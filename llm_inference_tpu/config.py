@@ -1,0 +1,248 @@
+"""Configuration dataclasses.
+
+Replaces the reference's hard-coded hyperparameters in its model factory
+(reference: src/utils/model_utils.h:16-33, where LLaMA-2-7B's head_num=32,
+head_size=128, inter_size=11008, vocab=32000 are burned into C++) and its
+compile-time CMake feature flags (reference: CMakeLists.txt:130-155) with
+runtime dataclass configs, JSON-loadable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _from_dict(cls, d: dict):
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a decoder-only transformer.
+
+    Mirrors the parameter set the reference plumbs through
+    LLaMAAttentionStaticParams / ctor args (reference: src/models/llama/
+    llama_params.h:3-8, src/models/llama/llama.h:90-123).
+    """
+
+    name: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    # Activation dtype policy ("bfloat16" or "float32").
+    dtype: str = "bfloat16"
+    # Attention logit soft-capping (Gemma-2 style); 0 disables.
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    # RoPE scaling: None, or {"type": "linear"|"ntk", "factor": float}
+    rope_scaling: Optional[dict] = None
+    # Sliding-window attention size; 0 = full attention (mistral support).
+    sliding_window: int = 0
+    # MoE: number of experts (0 = dense FFN), experts per token.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    # Bias terms on qkv projection (qwen2 uses them).
+    qkv_bias: bool = False
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @property
+    def qkv_out_dim(self) -> int:
+        return (self.num_heads + 2 * self.num_kv_heads) * self.head_dim
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ModelConfig":
+        return _from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, path: str) -> "ModelConfig":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+# Presets. llama2_7b matches the reference factory's real-model hyperparams
+# (reference: src/utils/model_utils.h:18-33) with the true num_layers=32
+# instead of the reference's debugging value of 3.
+# ---------------------------------------------------------------------------
+
+def llama2_7b(**kw) -> ModelConfig:
+    return ModelConfig(name="llama2-7b", vocab_size=32000, hidden_size=4096,
+                       intermediate_size=11008, num_layers=32, num_heads=32,
+                       num_kv_heads=32, head_dim=128, rms_norm_eps=1e-5,
+                       max_position_embeddings=4096, **kw)
+
+
+def llama2_13b(**kw) -> ModelConfig:
+    return ModelConfig(name="llama2-13b", vocab_size=32000, hidden_size=5120,
+                       intermediate_size=13824, num_layers=40, num_heads=40,
+                       num_kv_heads=40, head_dim=128, rms_norm_eps=1e-5,
+                       max_position_embeddings=4096, **kw)
+
+
+def llama2_70b(**kw) -> ModelConfig:
+    return ModelConfig(name="llama2-70b", vocab_size=32000, hidden_size=8192,
+                       intermediate_size=28672, num_layers=80, num_heads=64,
+                       num_kv_heads=8, head_dim=128, rms_norm_eps=1e-5,
+                       max_position_embeddings=4096, **kw)
+
+
+def llama3_8b(**kw) -> ModelConfig:
+    return ModelConfig(name="llama3-8b", vocab_size=128256, hidden_size=4096,
+                       intermediate_size=14336, num_layers=32, num_heads=32,
+                       num_kv_heads=8, head_dim=128, rms_norm_eps=1e-5,
+                       rope_theta=500000.0, max_position_embeddings=8192, **kw)
+
+
+def tiny_llama(**kw) -> ModelConfig:
+    """Small config for tests — analogous to the reference's tiny example
+    configs (reference: examples/cpp/attention/context_attn_example.cpp:7-20)."""
+    defaults = dict(name="tiny-llama", vocab_size=256, hidden_size=128,
+                    intermediate_size=256, num_layers=2, num_heads=4,
+                    num_kv_heads=2, head_dim=32, rms_norm_eps=1e-5,
+                    max_position_embeddings=512, dtype="float32")
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+PRESETS = {
+    "llama2-7b": llama2_7b,
+    "llama2-13b": llama2_13b,
+    "llama2-70b": llama2_70b,
+    "llama3-8b": llama3_8b,
+    "tiny-llama": tiny_llama,
+}
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight / KV-cache quantization. New capability vs the reference
+    (which is FP32/FP16 only — reference: src/utils/tensor.h:20 lists INT8
+    in the enum but no kernel ever uses it)."""
+
+    # "none" | "int8" | "int4"  (weight-only, symmetric)
+    weights: str = "none"
+    # Sub-channel group size along the contraction dim; 0 = per-channel.
+    group_size: int = 0
+    # "none" | "int8" — per-head-scale quantized KV cache.
+    kv_cache: str = "none"
+    # Skip quantizing embedding / lm_head (they are gather/peak-sensitive).
+    quantize_embedding: bool = False
+
+    @property
+    def enabled(self) -> bool:
+        return self.weights != "none"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QuantConfig":
+        return _from_dict(cls, d)
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Mesh axes for distribution. The reference has zero distributed code
+    (SURVEY §2.12); this is new, TPU-first functionality: tensor parallelism
+    over ICI, data/sequence parallelism over DCN."""
+
+    # Mesh shape by axis; product must equal jax.device_count().
+    data: int = 1
+    tensor: int = 1
+    # Axis names used in PartitionSpecs throughout the codebase.
+    data_axis: str = "data"
+    tensor_axis: str = "tensor"
+
+    @property
+    def mesh_shape(self) -> Tuple[int, int]:
+        return (self.data, self.tensor)
+
+    @property
+    def axis_names(self) -> Tuple[str, str]:
+        return (self.data_axis, self.tensor_axis)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ShardingConfig":
+        return _from_dict(cls, d)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Serving-engine knobs. Replaces the reference's magic numbers
+    (output_token_limit=256 at src/models/llama/llama.h:29, batch_size=1 at
+    llama.h:36, num_tokens=13 buffer sizing at llama.cpp:27)."""
+
+    max_seq_len: int = 2048
+    max_batch_size: int = 8
+    # Prefill length buckets (token counts) to bound jit recompiles.
+    prefill_buckets: Sequence[int] = (128, 256, 512, 1024, 2048)
+    # Tokens generated per jitted decode chunk before host sync (streaming
+    # granularity); eliminates the reference's per-token D2H round trip
+    # (reference: llama.cpp:266,440-443).
+    decode_chunk: int = 8
+    # Paged KV cache page size in tokens; 0 = dense contiguous cache.
+    page_size: int = 0
+    # Continuous batching scheduler limits.
+    max_queued_requests: int = 256
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        return _from_dict(cls, d)
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Per-request sampling parameters. The reference supports top-K=5
+    weighted sampling only (reference: src/kernels/topK.cu:159,
+    src/kernels/sampling.cu:28-115); we add greedy/temperature/top-p."""
+
+    max_new_tokens: int = 256
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0      # 1.0 = disabled
+    greedy: bool = False
+    eos_token_ids: Sequence[int] = (2,)
+    seed: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GenerationConfig":
+        return _from_dict(cls, d)
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Top-level bundle, JSON-loadable (replaces reference compile-time
+    configuration entirely)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+
+    @classmethod
+    def from_json(cls, path: str) -> "RuntimeConfig":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            model=ModelConfig.from_dict(d.get("model", {})),
+            quant=QuantConfig.from_dict(d.get("quant", {})),
+            sharding=ShardingConfig.from_dict(d.get("sharding", {})),
+            engine=EngineConfig.from_dict(d.get("engine", {})),
+            generation=GenerationConfig.from_dict(d.get("generation", {})),
+        )

@@ -1,0 +1,90 @@
+"""Attention — pure-JAX reference path (golden model and XLA-fused fallback).
+
+Covers, in one masked-attention function, what the reference spreads over six
+kernels: causal mask build (reference: src/kernels/build_causal_mask.cu:5-59),
+GQA head broadcast (repeat_kv.cu:27-124), batched Q·Kᵀ and P·V GEMMs
+(linear.cu:126-229), fused scale+mask+softmax (attn_softmax_kernel.cu:79-390),
+and the fused decode attention (fused_decoder_self_attention.cu:80-390).
+
+Design: keys/values always come FROM THE CACHE (shape [B, Hkv, S, D]); queries
+carry absolute positions. The mask `key_slot <= q_position` subsumes both the
+prefill causal mask (including multi-round history, which the reference
+handles with its `k ≥ klen−qlen` mask arithmetic) and the decode prefix mask.
+Padding slots beyond a sequence's current length are never readable because
+they exceed every valid query position.
+
+Softmax is computed in float32 with a max-subtraction, matching HF numerics
+(the reference adds a 1e-4/1e-6 fudge to the denominator instead —
+attn_softmax_kernel.cu:158 — which we deliberately do NOT replicate).
+
+Pallas flash-attention (prefill) and fused decode-attention kernels live in
+ops/pallas/; this module is their numerical oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def make_attention_mask(
+    q_positions: jnp.ndarray,   # [B, T] absolute positions of queries
+    kv_len: int,                # S — cache slots
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Boolean mask [B, 1, T, S]: True where query may attend key slot."""
+    slots = jnp.arange(kv_len, dtype=q_positions.dtype)          # [S]
+    mask = slots[None, None, :] <= q_positions[:, :, None]       # [B, T, S]
+    if sliding_window > 0:
+        mask &= slots[None, None, :] > (q_positions[:, :, None] - sliding_window)
+    return mask[:, None, :, :]
+
+
+def attend(
+    q: jnp.ndarray,            # [B, T, Hq, D]
+    k: jnp.ndarray,            # [B, Hkv, S, D]
+    v: jnp.ndarray,            # [B, Hkv, S, D]
+    mask: jnp.ndarray,         # [B, 1, T, S] bool
+    scale: Optional[float] = None,
+    logit_softcap: float = 0.0,
+) -> jnp.ndarray:
+    """Masked multi-head attention with GQA, fp32 softmax.
+
+    Returns [B, T, Hq, D] in q.dtype.
+    """
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+
+    qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    # scores: [B, Hkv, G, T, S]
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores.astype(jnp.float32) * scale
+    if logit_softcap > 0.0:
+        scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+    scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)
+    return out.astype(q.dtype)
+
+
+def decode_attend(
+    q: jnp.ndarray,            # [B, 1, Hq, D] single new token per sequence
+    k: jnp.ndarray,            # [B, Hkv, S, D] cache (new token already written)
+    v: jnp.ndarray,
+    positions: jnp.ndarray,    # [B, 1] absolute position of the new token
+    scale: Optional[float] = None,
+    logit_softcap: float = 0.0,
+) -> jnp.ndarray:
+    """Single-step cached attention (reference's launchDecoderMaskedMHA)."""
+    mask = make_attention_mask(positions, k.shape[2])
+    return attend(q, k, v, mask, scale, logit_softcap)

@@ -1,0 +1,40 @@
+"""Linear / matmul dispatch.
+
+Replaces the reference's cuBLAS wrapper + launchLinearGemm shape plumbing
+(reference: src/kernels/cublas_utils.h:15-76, src/kernels/linear.cu:38-229):
+on TPU a plain `jnp.dot` under jit IS the tuned GEMM (XLA tiles it onto the
+MXU), so the only real content here is the quantized-weight dispatch. The
+row-major/col-major transpose gymnastics the reference documents at
+linear.cu:106-171 have no equivalent — weights are stored [in, out] and
+activations right-multiply.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from llm_inference_tpu.ops.quantization import ArrayOrQ, QTensor, qmatmul_ref
+
+
+def matmul(x: jnp.ndarray, w: ArrayOrQ, bias: Optional[jnp.ndarray] = None,
+           use_pallas: bool = True) -> jnp.ndarray:
+    """y = x @ W (+ bias). W may be a dense array or a QTensor.
+
+    For QTensor weights this dispatches to the fused dequant matmul kernel
+    (ops/pallas/quant_matmul.py) on TPU, falling back to the jnp reference
+    path elsewhere.
+    """
+    if isinstance(w, QTensor):
+        if use_pallas:
+            from llm_inference_tpu.ops.pallas import quant_matmul as qm
+            y = qm.quant_matmul(x, w)
+        else:
+            y = qmatmul_ref(x, w)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

@@ -1,0 +1,198 @@
+"""Fused weight-dequant matmul (INT8 / packed INT4) — Pallas TPU kernel.
+
+The decode-roofline kernel: at batch≲32 every decoder matmul is HBM-bound on
+weight bytes, so the win over a dense bf16 matmul is exactly the 2×/4×
+byte reduction — PROVIDED the dequant happens in VMEM after the DMA, never
+materializing dequantized weights in HBM. XLA cannot guarantee that fusion;
+this kernel does it by construction.
+
+(Reference analogue: none — the reference is FP32/FP16 cuBLAS only,
+src/kernels/cublas_utils.h:15-76. This is a new capability from the north
+star: "weight-only INT8/INT4 dequant fused into every matmul".)
+
+Design:
+- Grid (N/bn, K/bk), k innermost ("arbitrary"), n parallel. The weight tile
+  [bk, bn] streams HBM→VMEM double-buffered by the pallas pipeline while the
+  MXU consumes the previous tile; an f32 scratch accumulates per n-tile.
+- Activations [M, K] sit wholly in VMEM (M ≤ 64 after padding) and are sliced
+  per k-step — decode batches are tiny, so this costs ≤ a few hundred KB.
+- INT8 per-channel: the dot runs on the raw int8 tile converted to bf16 and
+  the per-column scale is applied once to the f32 accumulator at the last
+  k-step (exact for symmetric quant, cheaper and more precise than scaling
+  weights).
+- Group-wise (sub-channel) scales: the weight tile is dequantized in VMEM
+  (VPU multiply) before the dot.
+- INT4 uses split-half packing (quantization._pack_int4): packed row r holds
+  original rows r (low nibble) and r + K/2 (high nibble), so unpacking is two
+  arithmetic shifts + a concat along sublanes — no interleave shuffle.
+
+Large-M (prefill) inputs fall back to the XLA path (qmatmul_ref): prefill is
+MXU-bound, where dense bf16 dots are already optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_tpu.ops.pallas import use_interpret
+from llm_inference_tpu.ops.quantization import QTensor, qmatmul_ref
+
+# Above this many rows the XLA dense path wins (MXU-bound regime).
+_PALLAS_MAX_M = 64
+
+
+def _pick_block(dim: int, preferred: int, step: int = 128) -> Optional[int]:
+    """Largest multiple of `step` that is ≤ preferred and divides dim."""
+    b = min(preferred, dim)
+    b -= b % step
+    while b >= step:
+        if dim % b == 0:
+            return b
+        b -= step
+    return None
+
+
+def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
+            bits: int, bk: int, k_half: int, groups_per_tile: int,
+            group_size: int, per_channel: bool):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if bits == 8:
+        xk = x_ref[:, pl.ds(k * bk, bk)]
+        if per_channel:
+            acc_ref[:] += jnp.dot(xk, w_ref[:].astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            srows = scale_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
+            w = w_ref[:].astype(jnp.float32)
+            w = w.reshape(groups_per_tile, group_size, w.shape[-1])
+            w = (w * srows[:, None, :]).reshape(bk, -1)
+            acc_ref[:] += jnp.dot(xk, w.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+    else:  # int4, split-half packed: tile covers rows [k*bkp, +bkp) and
+        #   [k_half + k*bkp, +bkp) of the logical weight.
+        bkp = bk
+        packed = w_ref[:]
+        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extend
+        hi = jnp.right_shift(packed, 4)
+        x_lo = x_ref[:, pl.ds(k * bkp, bkp)]
+        x_hi = x_ref[:, pl.ds(k_half + k * bkp, bkp)]
+        if per_channel:
+            acc_ref[:] += jnp.dot(x_lo, lo.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(x_hi, hi.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+        else:
+            n_cols = packed.shape[-1]
+            s_lo = scale_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
+            hi_group0 = (k_half // group_size) + k * groups_per_tile
+            s_hi = scale_ref[pl.ds(hi_group0, groups_per_tile), :]
+            w_lo = (lo.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
+                    * s_lo[:, None, :]).reshape(bkp, n_cols)
+            w_hi = (hi.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
+                    * s_hi[:, None, :]).reshape(bkp, n_cols)
+            acc_ref[:] += jnp.dot(x_lo, w_lo.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(x_hi, w_hi.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        acc = acc_ref[:]
+        if per_channel:
+            acc = acc * scale_ref[0, :][None, :]
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_n",
+                                             "block_k", "interpret"))
+def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                     *, bits: int, group_size: int,
+                     block_n: int, block_k: int, interpret: bool) -> jnp.ndarray:
+    M, K = x.shape
+    N = q.shape[1]
+    num_groups = scale.shape[0]
+    per_channel = num_groups == 1
+    k_half = K // 2
+    kdim = q.shape[0]                    # packed rows for int4, K for int8
+    nk = kdim // block_k
+    gsize = K // num_groups              # == group_size or K
+    groups_per_tile = block_k // gsize if not per_channel else 0
+
+    grid = (N // block_n, nk)
+    kernel = functools.partial(
+        _kernel, bits=bits, bk=block_k, k_half=k_half,
+        groups_per_tile=groups_per_tile, group_size=gsize,
+        per_channel=per_channel)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, block_n), lambda n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, block_n), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=q.size * q.dtype.itemsize + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, q, scale)
+    return out
+
+
+def quant_matmul(x: jnp.ndarray, qt: QTensor,
+                 block_n: int = 256, block_k: int = 512) -> jnp.ndarray:
+    """y = x @ dequant(qt). x: [..., K]; returns [..., N] in x.dtype."""
+    *lead, K = x.shape
+    M = 1
+    for d in lead:
+        M *= d
+    if M > _PALLAS_MAX_M:
+        return qmatmul_ref(x, qt)
+
+    N = qt.out_features
+    kdim = qt.q.shape[0]
+    num_groups = qt.scale.shape[0]
+    gsize = K // num_groups
+
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(kdim, block_k)
+    # group boundaries must align with k-tiles (each int4 packed tile spans
+    # `bk` original rows in each half, so the same bk % gsize == 0 condition
+    # applies to both formats)
+    if bk is not None and num_groups > 1 and bk % gsize != 0:
+        bk = _pick_block(kdim, gsize) if gsize % 128 == 0 else None
+    if bn is None or bk is None or (qt.bits == 4 and K % 2 != 0):
+        return qmatmul_ref(x, qt)
+
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    m_pad = max(8, M)
+    if m_pad != M:
+        x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+    out = _quant_matmul_2d(x2, qt.q, qt.scale,
+                           bits=qt.bits, group_size=qt.group_size,
+                           block_n=bn, block_k=bk,
+                           interpret=use_interpret())
+    out = out[:M].reshape(*lead, N)
+    return out.astype(x.dtype)

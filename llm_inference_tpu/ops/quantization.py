@@ -1,0 +1,156 @@
+"""Weight-only quantization: INT8 and packed INT4, symmetric, per-channel or
+group-wise sub-channel scales.
+
+New capability vs the reference (FP32/FP16 only; its DataType enum lists INT8
+but no kernel consumes it — reference: src/utils/tensor.h:20). This module is
+the *representation + golden dequant path*; the fused dequant-matmul Pallas
+kernels that hit HBM roofline live in ops/pallas/quant_matmul.py.
+
+Conventions:
+- Weights are stored [in_features (K), out_features (N)] so activations
+  right-multiply: y = x @ W.
+- INT8: q int8 [K, N]; INT4: two values packed per int8 along K — row 2k in
+  the low nibble, row 2k+1 in the high nibble → q int8 [K//2, N].
+- scale float32 [K/G, N] where G = group_size (G=K ⇒ per-channel, one group).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class QTensor:
+    """Quantized 2-D weight. Static (non-pytree) fields carry the format."""
+    q: jnp.ndarray                   # int8 [K, N] (int8) or [K//2, N] (int4 packed)
+    scale: jnp.ndarray               # float32 [num_groups, N]
+    bits: int = struct.field(pytree_node=False, default=8)
+    group_size: int = struct.field(pytree_node=False, default=0)  # 0 = per-channel
+    orig_dtype: str = struct.field(pytree_node=False, default="bfloat16")
+
+    @property
+    def in_features(self) -> int:
+        return self.q.shape[0] * (2 if self.bits == 4 else 1)
+
+    @property
+    def out_features(self) -> int:
+        return self.q.shape[1]
+
+    @property
+    def shape(self):
+        return (self.in_features, self.out_features)
+
+
+ArrayOrQ = Union[jnp.ndarray, QTensor]
+
+
+def _pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values in [-8, 7] (held in int8 [K, N]) → int8 [K//2, N].
+
+    Split-half layout: packed row r holds original row r in the low nibble
+    and original row r + K/2 in the high nibble. Unpacking is then two
+    arithmetic shifts + a concat along the sublane axis — no row interleave —
+    which is what the Pallas dequant-matmul kernel exploits.
+    """
+    half = q.shape[0] // 2
+    lo = q[:half] & 0x0F
+    hi = (q[half:] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack int8 [K//2, N] → int4 values as int8 [K, N] (sign-extended)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic ⇒ sign-extend
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def quantize(
+    w: jnp.ndarray,
+    bits: int = 8,
+    group_size: int = 0,
+) -> QTensor:
+    """Symmetric quantization of a [K, N] weight.
+
+    scale = max|w| per (group, column) / qmax;  q = round(w / scale).
+    """
+    assert w.ndim == 2, f"expected 2-D weight, got {w.shape}"
+    K, N = w.shape
+    if group_size <= 0 or group_size >= K:
+        group_size_eff = K
+    else:
+        assert K % group_size == 0, (K, group_size)
+        group_size_eff = group_size
+    num_groups = K // group_size_eff
+    qmax = float(2 ** (bits - 1) - 1)
+
+    w32 = w.astype(jnp.float32).reshape(num_groups, group_size_eff, N)
+    absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)          # [G#,1,N]
+    scale = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(w32 / scale), -qmax - 1, qmax)
+    q = q.reshape(K, N).astype(jnp.int8)
+    if bits == 4:
+        q = _pack_int4(q)
+    elif bits != 8:
+        raise ValueError(f"unsupported bits={bits}")
+    return QTensor(q=q, scale=scale.reshape(num_groups, N),
+                   bits=bits, group_size=group_size,
+                   orig_dtype=str(w.dtype))
+
+
+def dequantize(qt: QTensor, dtype=None) -> jnp.ndarray:
+    """Golden dequantization back to a dense [K, N] array."""
+    dtype = dtype or qt.orig_dtype
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q)
+    K, N = q.shape
+    num_groups = qt.scale.shape[0]
+    gsize = K // num_groups
+    w = q.astype(jnp.float32).reshape(num_groups, gsize, N) * qt.scale[:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+def qmatmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
+    """Reference quantized matmul: x [..., K] @ dequant(W) [K, N].
+
+    For per-channel scales the dot runs on the raw int8 weight and the scale
+    is applied to the OUTPUT (one multiply per output element instead of one
+    per weight) — mathematically identical for symmetric quant, and it lets
+    XLA feed int8→bf16-converted tiles straight into the MXU.
+    """
+    dtype = dtype or x.dtype
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q)
+    num_groups = qt.scale.shape[0]
+    if num_groups == 1:
+        y = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        y = y * qt.scale[0][(None,) * (y.ndim - 1)]
+        return y.astype(dtype)
+    K, N = q.shape
+    gsize = K // num_groups
+    xg = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, gsize)
+    wg = q.astype(jnp.float32).reshape(num_groups, gsize, N)
+    # per-group partial dots, scaled then summed: [..., G#, N]
+    partial = jnp.einsum("...gk,gkn->...gn", xg, wg,
+                         preferred_element_type=jnp.float32)
+    y = jnp.sum(partial * qt.scale[:, :], axis=-2)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache INT8 quantization (per-token, per-head scales).
+# ---------------------------------------------------------------------------
+
+def quantize_kv(x: jnp.ndarray):
+    """Quantize KV entries [..., D] → (int8 [..., D], scale float32 [..., 1])."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale).astype(dtype)

@@ -1,0 +1,82 @@
+"""Rotary position embeddings (RoPE), HF LLaMA pairing convention.
+
+Equivalent of the reference's two RoPE kernels — the fused prefill
+`launchAddFusedQKVBiasTransposeAndRoPE` (reference:
+src/kernels/qkv_bias_and_RoPE.cu:49-144) and the decode `launchRoPE`
+(reference: qkv_bias_and_RoPE.cu:333-459) — with two deliberate design
+departures:
+
+1. cos/sin are precomputed once into a [max_pos, head_dim] table instead of
+   recomputing `powf(theta, 2i/d)` per thread per step (the reference does the
+   latter; its own notes call this out as wasteful).
+2. The HF "rotate_half" pairing (x[i] pairs with x[i + d/2]) is kept for
+   checkpoint parity — the reference notes this pairing defeats its float4
+   vectorization (项目整理.md:14); on TPU the VPU handles the strided halves
+   fine since the table is laid out as two concatenated halves.
+
+This also fixes two reference bugs we must not replicate: its decode RoPE
+assumes MHA only (head_num = qkv_head_num/3, qkv_bias_and_RoPE.cu:416) and its
+fp16 kernel body is empty (:384-396). Here GQA head counts and all dtypes work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def make_rope_table(
+    max_positions: int,
+    head_dim: int,
+    theta: float = 10000.0,
+    scaling: Optional[dict] = None,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (cos, sin) tables of shape [max_positions, head_dim].
+
+    The table is laid out HF-style: freqs for dims [0, d/2) duplicated into
+    both halves, so `q * cos + rotate_half(q) * sin` applies the rotation.
+
+    `scaling` supports {"type": "linear", "factor": f} (position interpolation)
+    and {"type": "ntk", "factor": f} (NTK-aware base scaling) — the latter is
+    the functional version of the reference's never-implemented
+    `use_dynamic_ntk` placeholder (reference: llama_params.h:7).
+    """
+    if scaling and scaling.get("type") == "ntk":
+        factor = float(scaling["factor"])
+        theta = theta * factor ** (head_dim / (head_dim - 2))
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    pos = jnp.arange(max_positions, dtype=jnp.float32)
+    if scaling and scaling.get("type") == "linear":
+        pos = pos / float(scaling["factor"])
+    freqs = jnp.outer(pos, inv_freq)                       # [P, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)         # [P, d]
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+) -> jnp.ndarray:
+    """Apply rotary embedding.
+
+    Args:
+      x:         [batch, seq, heads, head_dim] query or key.
+      positions: [batch, seq] absolute positions (int32).
+      cos_table / sin_table: [max_pos, head_dim] from make_rope_table.
+
+    Returns: rotated x, same shape/dtype.
+    """
+    cos = jnp.take(cos_table, positions, axis=0)[:, :, None, :]  # [B,S,1,d]
+    sin = jnp.take(sin_table, positions, axis=0)[:, :, None, :]
+    x32 = x.astype(jnp.float32)
+    out = x32 * cos + _rotate_half(x32) * sin
+    return out.astype(x.dtype)

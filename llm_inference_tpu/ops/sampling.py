@@ -1,0 +1,65 @@
+"""On-device token sampling: greedy, temperature, top-k, top-p.
+
+Replaces the reference's two-round cub top-K reduction
+(reference: src/kernels/topK.cu:25-191) with `jax.lax.top_k`, and its
+softmax-free weighted sampler (reference: src/kernels/sampling.cu:28-115)
+with a Gumbel-max categorical draw. Everything is static-shape and runs
+inside the jitted decode program, so sampled ids never round-trip to the
+host per token (the reference copies every sampled id D2H and back —
+llama.cpp:266,440-443).
+
+The reference seeds curand with the step index (sampling.cu:48); here the
+caller threads a `jax.random` key, which is both reproducible and
+batch-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Mask logits outside the top-k to -inf. k is a static int."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering: keep the smallest prefix of sorted probs with
+    cumulative mass >= p; mask the rest to -inf."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative mass *before* them is < p
+    keep_sorted = (cum - probs) < p
+    # threshold logit = smallest kept logit
+    num_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+    threshold = jnp.take_along_axis(sorted_logits, num_keep - 1, axis=-1)
+    return jnp.where(logits < threshold, NEG_INF, logits)
+
+
+def sample(
+    logits: jnp.ndarray,          # [B, V] float
+    key: Optional[jax.Array],
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    greedy: bool = False,
+) -> jnp.ndarray:
+    """Sample next-token ids [B] int32. All knobs are static Python values
+    (they select the compiled program, matching bucketed-jit discipline)."""
+    logits = logits.astype(jnp.float32)
+    if greedy or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature != 1.0:
+        logits = logits / temperature
+    if top_k > 0:
+        logits = apply_top_k(logits, top_k)
+    if top_p < 1.0:
+        logits = apply_top_p(logits, top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,122 @@
+"""Model-level tests on a tiny LLaMA config.
+
+The key test is prefill/decode consistency: running the whole sequence in one
+prefill must produce the same last-token logits as prefilling a prefix and
+decoding the rest token by token through the KV cache. The reference has no
+automated equivalent (it diffs tensor dumps against HF by hand —
+reference: src/utils/debug_utils.h:9-11); this closes that gap.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.config import tiny_llama, QuantConfig
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_llama()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return llama.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def make_cache(cfg, batch, max_seq=64):
+    return kvcache.init_cache(cfg.num_layers, batch, cfg.num_kv_heads,
+                              max_seq, cfg.head_dim, jnp.float32)
+
+
+class TestForward:
+    def test_prefill_shapes(self, cfg, params):
+        B, T = 2, 5
+        ids = jnp.ones((B, T), jnp.int32)
+        pos = jnp.tile(jnp.arange(T), (B, 1))
+        cache = make_cache(cfg, B)
+        logits, cache2 = llama.forward(cfg, params, ids, pos, cache)
+        assert logits.shape == (B, cfg.vocab_size)
+        assert cache2.k.shape == cache.k.shape
+
+    def test_logits_all_mode(self, cfg, params):
+        B, T = 1, 4
+        ids = jnp.ones((B, T), jnp.int32)
+        pos = jnp.tile(jnp.arange(T), (B, 1))
+        logits, _ = llama.forward(cfg, params, ids, pos, make_cache(cfg, B),
+                                  logits_mode="all")
+        assert logits.shape == (B, T, cfg.vocab_size)
+
+    def test_prefill_decode_consistency(self, cfg, params):
+        """Full prefill of N tokens == prefill of N-2 + 2 decode steps."""
+        rng = np.random.default_rng(0)
+        N = 8
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, N)), jnp.int32)
+        pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+
+        # one-shot
+        logits_full, _ = llama.forward(cfg, params, ids, pos,
+                                       make_cache(cfg, 1))
+
+        # prefix + incremental
+        cache = make_cache(cfg, 1)
+        _, cache = llama.forward(cfg, params, ids[:, :N - 2], pos[:, :N - 2],
+                                 cache, logits_mode="none")
+        for t in range(N - 2, N):
+            logits_inc, cache = llama.forward(
+                cfg, params, ids[:, t:t + 1], pos[:, t:t + 1], cache)
+        np.testing.assert_allclose(np.asarray(logits_inc),
+                                   np.asarray(logits_full),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_batch_position_independence(self, cfg, params):
+        """A sequence's logits must not depend on other batch rows."""
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+        pos = jnp.tile(jnp.arange(6), (2, 1))
+        logits_b, _ = llama.forward(cfg, params, ids, pos, make_cache(cfg, 2))
+        logits_0, _ = llama.forward(cfg, params, ids[:1], pos[:1],
+                                    make_cache(cfg, 1))
+        np.testing.assert_allclose(np.asarray(logits_b[0]),
+                                   np.asarray(logits_0[0]), atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_last_idx_gather(self, cfg, params):
+        """Right-padded batch: logits come from each row's true last token."""
+        rng = np.random.default_rng(2)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+        pos = jnp.tile(jnp.arange(6), (2, 1))
+        # row 1 has true length 4
+        logits, _ = llama.forward(cfg, params, ids, pos, make_cache(cfg, 2),
+                                  last_idx=jnp.array([5, 3], jnp.int32))
+        short, _ = llama.forward(cfg, params, ids[1:, :4], pos[1:, :4],
+                                 make_cache(cfg, 1))
+        np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(short[0]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestQuantizedForward:
+    @pytest.mark.parametrize("weights,gs,min_corr",
+                             [("int8", 0, 0.999), ("int4", 32, 0.97)])
+    def test_quantized_close_to_dense(self, cfg, params, weights, gs, min_corr):
+        qparams = llama.quantize_params(
+            params, QuantConfig(weights=weights, group_size=gs))
+        ids = jnp.ones((1, 4), jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None, :]
+        dense, _ = llama.forward(cfg, params, ids, pos, make_cache(cfg, 1))
+        quant, _ = llama.forward(cfg, qparams, ids, pos, make_cache(cfg, 1))
+        # logits stay correlated; loose tolerance (tiny random models have no
+        # outlier structure, the worst case for low-bit quant)
+        d, q = np.asarray(dense[0]), np.asarray(quant[0])
+        corr = np.corrcoef(d, q)[0, 1]
+        assert corr > min_corr
+
+    def test_param_bytes_shrink(self, cfg, params):
+        q8 = llama.quantize_params(params, QuantConfig(weights="int8"))
+        q4 = llama.quantize_params(params, QuantConfig(weights="int4",
+                                                       group_size=32))
+        b, b8, b4 = (llama.param_bytes(p) for p in (params, q8, q4))
+        assert b8 < 0.6 * b and b4 < 0.45 * b

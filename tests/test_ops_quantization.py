@@ -1,0 +1,102 @@
+"""Tests for weight-only quantization and the fused dequant matmul.
+
+The Pallas kernel runs in interpret mode on CPU (ops/pallas/__init__.py) —
+the compiled-mode run happens on the real chip via bench.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.ops import quantization as Q
+from llm_inference_tpu.ops.pallas import quant_matmul as QM
+
+
+def rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+
+
+class TestPacking:
+    def test_int4_pack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        q = rng.integers(-8, 8, size=(16, 8)).astype(np.int8)
+        packed = Q._pack_int4(jnp.asarray(q))
+        assert packed.shape == (8, 8)
+        unpacked = Q._unpack_int4(packed)
+        np.testing.assert_array_equal(np.asarray(unpacked), q)
+
+
+class TestQuantize:
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 64), (4, 0), (4, 64)])
+    def test_roundtrip_error(self, bits, gs):
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((256, 128)).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        wd = np.asarray(Q.dequantize(qt, jnp.float32))
+        # symmetric quant error bound: scale/2 per element
+        tol = 0.5 if bits == 4 else 0.02
+        # normalize by per-column absmax
+        err = np.abs(wd - w) / (np.abs(w).max(0, keepdims=True) + 1e-9)
+        assert err.max() < tol
+
+    def test_scale_shapes(self):
+        w = jnp.ones((256, 64))
+        assert Q.quantize(w, 8, 0).scale.shape == (1, 64)
+        assert Q.quantize(w, 8, 64).scale.shape == (4, 64)
+        assert Q.quantize(w, 4, 128).q.shape == (128, 64)
+
+
+class TestQMatmulRef:
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 128), (4, 0), (4, 128)])
+    def test_matches_dequant_matmul(self, bits, gs):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        w = rng.standard_normal((256, 128)).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = Q.qmatmul_ref(jnp.asarray(x), qt, jnp.float32)
+        assert rel_err(out, golden) < 2e-2  # bf16 dot path
+
+
+class TestPallasQuantMatmul:
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 128), (4, 0), (4, 128)])
+    def test_matches_golden(self, bits, gs):
+        rng = np.random.default_rng(3)
+        M, K, N = 4, 512, 256
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        assert out.shape == (M, N)
+        assert rel_err(out, golden) < 2e-2
+
+    def test_3d_input_and_batch1(self):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, 1, 256)).astype(np.float32) * 0.1
+        w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=8)
+        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        golden = Q.qmatmul_ref(jnp.asarray(x), qt, jnp.float32)
+        assert out.shape == (2, 1, 128)
+        assert rel_err(out, np.asarray(golden)) < 2e-2
+
+    def test_large_m_falls_back(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
+        w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=8)
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        golden = Q.qmatmul_ref(jnp.asarray(x), qt)
+        assert rel_err(out, np.asarray(golden)) < 2e-2
+
+
+class TestKVQuant:
+    def test_kv_roundtrip(self):
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((2, 3, 5, 32)).astype(np.float32)
+        q, scale = Q.quantize_kv(jnp.asarray(x))
+        back = np.asarray(Q.dequantize_kv(q, scale, jnp.float32))
+        assert np.abs(back - x).max() < np.abs(x).max() / 100.0
