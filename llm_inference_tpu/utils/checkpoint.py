@@ -1,0 +1,240 @@
+"""Checkpoint loading: HuggingFace safetensors / torch state dicts and the
+reference's raw per-tensor .bin directory format.
+
+Replaces the reference's weight loader (reference:
+src/utils/weight_utils.cu:90-182 — fread into host vector, H2D memcpy, with a
+CUDA type-conversion kernel when file dtype ≠ model dtype) and its per-layer
+HF-key file naming (reference: src/weights/llama/layer_weights.cc:48-66,
+llama_weights.cc:42-53). Here dtype conversion is a jnp astype and sharding
+happens at device_put time via NamedSharding (see parallel/).
+
+Weight-layout conventions (see models/llama.py docstring):
+- all matmul weights stored [in, out] (HF stores [out, in] ⇒ transpose);
+- qkv fused along out-dim, gate∥up fused along out-dim — same offline-fusion
+  convention the reference uses (reference: src/kernels/linear.cu:24-35).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.config import ModelConfig, QuantConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# HF config → ModelConfig
+# ---------------------------------------------------------------------------
+
+def model_config_from_hf(hf_cfg) -> ModelConfig:
+    """Build a ModelConfig from a transformers config object or dict."""
+    g = (lambda k, d=None: hf_cfg.get(k, d)) if isinstance(hf_cfg, dict) \
+        else (lambda k, d=None: getattr(hf_cfg, k, d))
+    num_heads = g("num_attention_heads")
+    hidden = g("hidden_size")
+    head_dim = g("head_dim") or hidden // num_heads
+    rope_scaling = g("rope_scaling")
+    if rope_scaling is not None and not isinstance(rope_scaling, dict):
+        rope_scaling = dict(rope_scaling)
+    return ModelConfig(
+        name=g("model_type", "llama"),
+        vocab_size=g("vocab_size"),
+        hidden_size=hidden,
+        intermediate_size=g("intermediate_size"),
+        num_layers=g("num_hidden_layers"),
+        num_heads=num_heads,
+        num_kv_heads=g("num_key_value_heads") or num_heads,
+        head_dim=head_dim,
+        rope_theta=g("rope_theta", 10000.0),
+        max_position_embeddings=g("max_position_embeddings", 4096),
+        rms_norm_eps=g("rms_norm_eps", 1e-5),
+        tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+        rope_scaling=rope_scaling,
+        sliding_window=g("sliding_window") or 0,
+        qkv_bias=bool(g("attention_bias", False)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HF state dict → params pytree
+# ---------------------------------------------------------------------------
+
+def _np(x) -> np.ndarray:
+    """torch tensor / np array → np array (no torch import required)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu()
+        if str(x.dtype) == "torch.bfloat16":
+            x = x.float()
+        return x.numpy()
+    return np.asarray(x)
+
+
+def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
+                          dtype=None) -> Params:
+    """Convert an HF LLaMA-family state dict (name → tensor) to our pytree.
+
+    Accepts torch tensors or numpy arrays. Keys may carry a leading "model."
+    or not (both appear in the wild).
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    sd = { (k[6:] if k.startswith("model.") else k): v for k, v in sd.items() }
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing weight {name!r}; have e.g. "
+                           f"{sorted(sd)[:5]}")
+        return _np(sd[name]).astype(np.float32)
+
+    L = cfg.num_layers
+    attn_norm, wqkv, wqkv_b, wo = [], [], [], []
+    ffn_norm, w_gate_up, w_down = [], [], []
+    for i in range(L):
+        p = f"layers.{i}."
+        attn_norm.append(get(p + "input_layernorm.weight"))
+        q = get(p + "self_attn.q_proj.weight").T       # [H, HqD]
+        k = get(p + "self_attn.k_proj.weight").T
+        v = get(p + "self_attn.v_proj.weight").T
+        wqkv.append(np.concatenate([q, k, v], axis=1))
+        if cfg.qkv_bias:
+            wqkv_b.append(np.concatenate([
+                get(p + "self_attn.q_proj.bias"),
+                get(p + "self_attn.k_proj.bias"),
+                get(p + "self_attn.v_proj.bias")], axis=0))
+        wo.append(get(p + "self_attn.o_proj.weight").T)
+        ffn_norm.append(get(p + "post_attention_layernorm.weight"))
+        gate = get(p + "mlp.gate_proj.weight").T       # [H, I]
+        up = get(p + "mlp.up_proj.weight").T
+        w_gate_up.append(np.concatenate([gate, up], axis=1))
+        w_down.append(get(p + "mlp.down_proj.weight").T)
+
+    layers = {
+        "attn_norm": jnp.asarray(np.stack(attn_norm), dtype),
+        "wqkv": jnp.asarray(np.stack(wqkv), dtype),
+        "wo": jnp.asarray(np.stack(wo), dtype),
+        "ffn_norm": jnp.asarray(np.stack(ffn_norm), dtype),
+        "w_gate_up": jnp.asarray(np.stack(w_gate_up), dtype),
+        "w_down": jnp.asarray(np.stack(w_down), dtype),
+    }
+    if cfg.qkv_bias:
+        layers["wqkv_bias"] = jnp.asarray(np.stack(wqkv_b), dtype)
+
+    params: Params = {
+        "embed": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# safetensors checkpoint directory
+# ---------------------------------------------------------------------------
+
+def load_hf_checkpoint(path: str, dtype=None) -> Tuple[ModelConfig, Params]:
+    """Load config.json + *.safetensors from an HF model directory."""
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = model_config_from_hf(hf_cfg)
+
+    from safetensors.numpy import load_file
+    sd: Dict[str, np.ndarray] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    for fn in files:
+        sd.update(load_file(os.path.join(path, fn)))
+    return cfg, convert_hf_state_dict(cfg, sd, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Reference-style raw .bin directory (one row-major f32/f16 file per tensor)
+# ---------------------------------------------------------------------------
+
+_REF_DTYPES = {"fp32": np.float32, "fp16": np.float16}
+
+
+def load_reference_bin_dir(cfg: ModelConfig, path: str, dtype=None,
+                           file_dtype: str = "fp32") -> Params:
+    """Load the reference engine's exported weight directory: raw row-major
+    binaries named by HF key with pre-fused qkv / gate_up (reference:
+    src/weights/llama/layer_weights.cc:48-66 reads
+    model.layers.N.{...}.weight.bin with exactly these fusions).
+
+    Shapes follow the reference's [out, in] convention, so every matmul
+    weight is transposed on load.
+    """
+    np_dt = _REF_DTYPES[file_dtype]
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    H, L, I = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+    qkv_out = cfg.qkv_out_dim
+    o_in = cfg.num_heads * cfg.head_dim
+
+    def rd(name, shape):
+        fn = os.path.join(path, name + ".bin")
+        arr = np.fromfile(fn, dtype=np_dt)
+        expect = int(np.prod(shape))
+        if arr.size != expect:
+            raise ValueError(f"{fn}: got {arr.size} elems, want {shape}")
+        return arr.reshape(shape).astype(np.float32)
+
+    layers = {"attn_norm": [], "wqkv": [], "wo": [], "ffn_norm": [],
+              "w_gate_up": [], "w_down": []}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        layers["attn_norm"].append(rd(p + "input_layernorm.weight", (H,)))
+        layers["wqkv"].append(rd(p + "self_attn.qkv.weight", (qkv_out, H)).T)
+        layers["wo"].append(rd(p + "self_attn.o_proj.weight", (o_in, H)).T)
+        layers["ffn_norm"].append(
+            rd(p + "post_attention_layernorm.weight", (H,)))
+        layers["w_gate_up"].append(
+            rd(p + "mlp.gate_up_proj.weight", (2 * I, H)).T)
+        layers["w_down"].append(rd(p + "mlp.down_proj.weight", (H, I)).T)
+
+    params: Params = {
+        "embed": jnp.asarray(
+            rd("model.embed_tokens.weight", (cfg.vocab_size, H)), dtype),
+        "layers": {k: jnp.asarray(np.stack(v), dtype)
+                   for k, v in layers.items()},
+        "final_norm": jnp.asarray(rd("model.norm.weight", (H,)), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            rd("lm_head.weight", (cfg.vocab_size, H)).T, dtype)
+    return params
+
+
+def save_reference_bin_dir(cfg: ModelConfig, params: Params, path: str,
+                           file_dtype: str = "fp32") -> None:
+    """Export params in the reference's .bin directory format (round-trip of
+    load_reference_bin_dir) — lets the reference engine consume checkpoints
+    we produce, and gives the loader a self-test."""
+    np_dt = _REF_DTYPES[file_dtype]
+    os.makedirs(path, exist_ok=True)
+
+    def wr(name, arr):
+        np.asarray(arr, dtype=np.float32).astype(np_dt).tofile(
+            os.path.join(path, name + ".bin"))
+
+    lay = params["layers"]
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        wr(p + "input_layernorm.weight", lay["attn_norm"][i])
+        wr(p + "self_attn.qkv.weight", np.asarray(lay["wqkv"][i]).T)
+        wr(p + "self_attn.o_proj.weight", np.asarray(lay["wo"][i]).T)
+        wr(p + "post_attention_layernorm.weight", lay["ffn_norm"][i])
+        wr(p + "mlp.gate_up_proj.weight", np.asarray(lay["w_gate_up"][i]).T)
+        wr(p + "mlp.down_proj.weight", np.asarray(lay["w_down"][i]).T)
+    wr("model.embed_tokens.weight", params["embed"])
+    wr("model.norm.weight", params["final_norm"])
+    if "lm_head" in params:
+        wr("lm_head.weight", np.asarray(params["lm_head"]).T)
