@@ -14,23 +14,33 @@ Covers the reference's entire model layer in one module:
 TPU-first choices:
 - Layers are STACKED along a leading axis and iterated with `lax.scan`, so
   compile time and HLO size are O(1) in depth.
-- Weights follow the reference's fusion conventions (qkv fused, gate∥up
-  fused — reference: src/weights/llama/layer_weights.cc:5-45), which is also
-  optimal on the MXU: fewer, larger matmuls.
+- Projection weights are kept SEPARATE (wq/wk/wv, w_gate/w_up) rather than
+  fused as the reference does offline (reference: src/weights/llama/
+  layer_weights.cc:5-45). Fusion is a kernel-launch economy that XLA makes
+  irrelevant; separate weights keep every tensor-parallel shard boundary
+  clean (a fused qkv axis would interleave q/k/v across shards and force
+  reshards at the split points).
+- Tensor parallelism is explicit: `forward(..., tp_axis="tensor")` runs the
+  SAME code inside `shard_map` with manual collectives (psum after the
+  row-sharded o_proj/down_proj, masked-gather+psum for the vocab-sharded
+  embedding, all-gather for vocab-sharded logits). This keeps Pallas kernels
+  shard-local — the supported way to combine custom kernels with SPMD.
 - The KV cache is functional state threaded through scan; in the jitted
   engine programs the buffers are donated so updates are in-place.
 
-Weight pytree layout (dense arrays or QTensor for the 4 matmul weights):
-  embed:      [V, H]
+Weight pytree layout (dense arrays or QTensor for the 7 matmul weights):
+  embed:      [V, H]                 (vocab-sharded under TP)
   layers/attn_norm:  [L, H]
-  layers/wqkv:       [L, H, (Hq + 2·Hkv)·D]
-  layers/wqkv_bias:  [L, (Hq + 2·Hkv)·D]      (optional, qwen2)
+  layers/wq:         [L, H, Hq·D]    (+ optional bq [L, Hq·D], qwen2)
+  layers/wk:         [L, H, Hkv·D]   (+ bk)
+  layers/wv:         [L, H, Hkv·D]   (+ bv)
   layers/wo:         [L, Hq·D, H]
   layers/ffn_norm:   [L, H]
-  layers/w_gate_up:  [L, H, 2·I]
+  layers/w_gate:     [L, H, I]
+  layers/w_up:       [L, H, I]
   layers/w_down:     [L, I, H]
   final_norm: [H]
-  lm_head:    [H, V]                           (absent if tied)
+  lm_head:    [H, V]                 (absent if tied; vocab-sharded under TP)
 """
 
 from __future__ import annotations
@@ -64,9 +74,8 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
     dtype = dtype or _act_dtype(cfg)
     H, L = cfg.hidden_size, cfg.num_layers
     I, V = cfg.intermediate_size, cfg.vocab_size
-    qkv_out = cfg.qkv_out_dim
-    o_in = cfg.num_heads * cfg.head_dim
-    ks = jax.random.split(key, 8)
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(key, 16)
     std = 0.02
 
     def rnd(k, shape):
@@ -74,32 +83,42 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
 
     layers = {
         "attn_norm": jnp.ones((L, H), dtype),
-        "wqkv": rnd(ks[0], (L, H, qkv_out)),
-        "wo": rnd(ks[1], (L, o_in, H)),
+        "wq": rnd(ks[0], (L, H, Hq * D)),
+        "wk": rnd(ks[1], (L, H, Hkv * D)),
+        "wv": rnd(ks[2], (L, H, Hkv * D)),
+        "wo": rnd(ks[3], (L, Hq * D, H)),
         "ffn_norm": jnp.ones((L, H), dtype),
-        "w_gate_up": rnd(ks[2], (L, H, 2 * I)),
-        "w_down": rnd(ks[3], (L, I, H)),
+        "w_gate": rnd(ks[4], (L, H, I)),
+        "w_up": rnd(ks[5], (L, H, I)),
+        "w_down": rnd(ks[6], (L, I, H)),
     }
     if cfg.qkv_bias:
-        layers["wqkv_bias"] = jnp.zeros((L, qkv_out), dtype)
+        layers["bq"] = jnp.zeros((L, Hq * D), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * D), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * D), dtype)
     params: Params = {
-        "embed": rnd(ks[4], (V, H)),
+        "embed": rnd(ks[7], (V, H)),
         "layers": layers,
         "final_norm": jnp.ones((H,), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = rnd(ks[5], (H, V))
+        params["lm_head"] = rnd(ks[8], (H, V))
     return params
 
 
-_QUANT_KEYS = ("wqkv", "wo", "w_gate_up", "w_down")
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
+def quantize_params(params: Params, qcfg: QuantConfig,
+                    row_shards: int = 1) -> Params:
     """Quantize the per-layer matmul weights to QTensors (stacked over L).
 
     lm_head/embed stay dense unless qcfg.quantize_embedding — the gather and
     the final logits matmul are accuracy-sensitive.
+
+    `row_shards`: tensor-parallel degree. Row-sharded weights (wo, w_down)
+    get INT4 pack blocks aligned to shard boundaries so each TP shard's
+    slice is a self-contained packed matrix (see ops/quantization.QTensor).
     """
     if not qcfg.enabled:
         return params
@@ -108,9 +127,9 @@ def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
     layers = dict(params["layers"])
     for name in _QUANT_KEYS:
         w = layers[name]  # [L, K, N]
-        qt = jax.vmap(lambda m: quantize(m, bits, qcfg.group_size))(w)
-        # vmap over quantize returns QTensor with leading L on q/scale
-        layers[name] = qt
+        blocks = row_shards if name in ("wo", "w_down") else 1
+        layers[name] = jax.vmap(
+            lambda m: quantize(m, bits, qcfg.group_size, pack_blocks=blocks))(w)
     out["layers"] = layers
     if qcfg.quantize_embedding and "lm_head" in params:
         out["lm_head"] = quantize(params["lm_head"], bits, qcfg.group_size)
@@ -123,35 +142,60 @@ def param_bytes(params: Params) -> int:
 
 
 # ---------------------------------------------------------------------------
+# TP collectives (no-ops when tp_axis is None / outside shard_map)
+# ---------------------------------------------------------------------------
+
+def _psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _sharded_embedding_lookup(table, ids, tp_axis):
+    """Vocab-sharded gather: local rows cover [lo, lo + V_local); out-of-shard
+    ids contribute zero and the psum restores the full row."""
+    if not tp_axis:
+        return embedding.embedding_lookup(table, ids)
+    v_local = table.shape[0]
+    lo = jax.lax.axis_index(tp_axis) * v_local
+    local = ids - lo
+    in_shard = (local >= 0) & (local < v_local)
+    rows = jnp.take(table, jnp.clip(local, 0, v_local - 1), axis=0)
+    rows = jnp.where(in_shard[..., None], rows, 0)
+    return jax.lax.psum(rows, tp_axis)
+
+
+# ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 def _layer(cfg: ModelConfig, h, lp, kc, vc, positions, write_offsets, mask,
-           cos, sin):
-    """One decoder layer. h: [B, T, H]; kc/vc: [B, Hkv, S, D]."""
+           cos, sin, tp_axis: Optional[str]):
+    """One decoder layer. h: [B, T, H] (replicated across TP); kc/vc:
+    [B, Hkv_local, S, D]."""
     B, T, H = h.shape
-    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    D = cfg.head_dim
     eps = cfg.rms_norm_eps
 
     # --- attention block ---
     normed = norms.rms_norm(h, lp["attn_norm"], eps)
-    qkv = matmul(normed, lp["wqkv"], bias=lp.get("wqkv_bias"))
-    q, k, v = jnp.split(qkv, [Hq * D, (Hq + Hkv) * D], axis=-1)
-    q = q.reshape(B, T, Hq, D)
-    k = k.reshape(B, T, Hkv, D)
-    v = v.reshape(B, T, Hkv, D)
+    q = matmul(normed, lp["wq"], bias=lp.get("bq"))
+    k = matmul(normed, lp["wk"], bias=lp.get("bk"))
+    v = matmul(normed, lp["wv"], bias=lp.get("bv"))
+    q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
+    k = k.reshape(B, T, -1, D)
+    v = v.reshape(B, T, -1, D)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
     kc, vc = kvcache.update_kv_cache(kc, vc, k, v, write_offsets)
     attn = attention.attend(q, kc, vc, mask,
                             logit_softcap=cfg.attn_logit_softcap)
-    attn = matmul(attn.reshape(B, T, Hq * D), lp["wo"])
-    h = h + attn
+    attn = matmul(attn.reshape(B, T, -1), lp["wo"])
+    h = h + _psum(attn, tp_axis)
 
     # --- FFN block ---
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
-    gate_up = matmul(normed, lp["w_gate_up"])
-    h = h + matmul(activations.swiglu(gate_up), lp["w_down"])
+    act = activations.swiglu_split(matmul(normed, lp["w_gate"]),
+                                   matmul(normed, lp["w_up"]))
+    h = h + _psum(matmul(act, lp["w_down"]), tp_axis)
     return h, kc, vc
 
 
@@ -164,6 +208,7 @@ def forward(
     *,
     logits_mode: str = "last",   # "last" | "all" | "none"
     last_idx: Optional[jnp.ndarray] = None,  # [B] index of last valid token
+    tp_axis: Optional[str] = None,           # shard_map axis name for TP
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Run the decoder over T tokens per sequence, updating the cache.
 
@@ -175,7 +220,7 @@ def forward(
     S = cache.max_seq_len
     dtype = _act_dtype(cfg)
 
-    h = embedding.embedding_lookup(params["embed"], ids).astype(dtype)
+    h = _sharded_embedding_lookup(params["embed"], ids, tp_axis).astype(dtype)
     mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
     write_offsets = positions[:, 0]
     cos, sin = rope.make_rope_table(
@@ -185,7 +230,7 @@ def forward(
     def body(h, xs):
         lp, kc, vc = xs
         h, kc, vc = _layer(cfg, h, lp, kc, vc, positions, write_offsets,
-                           mask, cos, sin)
+                           mask, cos, sin, tp_axis)
         return h, (kc, vc)
 
     h, (k_new, v_new) = jax.lax.scan(
@@ -203,10 +248,16 @@ def forward(
 
     lm_head = params.get("lm_head")
     if lm_head is None:
+        # tied embeddings: embed is vocab-sharded under TP, so the local dot
+        # yields the local vocab slice — same layout as the lm_head branch.
         logits = jnp.dot(h.astype(jnp.float32),
                          params["embed"].T.astype(jnp.float32))
     else:
         logits = matmul(h, lm_head).astype(jnp.float32)
+    if tp_axis:
+        # vocab-sharded logits → full logits on every shard (B is small)
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
     return logits, new_cache

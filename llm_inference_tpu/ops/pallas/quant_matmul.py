@@ -59,7 +59,7 @@ def _pick_block(dim: int, preferred: int, step: int = 128) -> Optional[int]:
 
 
 def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
-            bits: int, bk: int, k_half: int, groups_per_tile: int,
+            bits: int, bk: int, block_rows: int, groups_per_tile: int,
             group_size: int, per_channel: bool):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -80,14 +80,20 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
             w = (w * srows[:, None, :]).reshape(bk, -1)
             acc_ref[:] += jnp.dot(xk, w.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
-    else:  # int4, split-half packed: tile covers rows [k*bkp, +bkp) and
-        #   [k_half + k*bkp, +bkp) of the logical weight.
+    else:  # int4, block-local split-half packed (quantization.QTensor):
+        # packed tile k sits inside block b; it covers original rows
+        # [lo_start, +bk) (low nibbles) and [lo_start + block_rows, +bk)
+        # (high nibbles). Tiles never straddle blocks (checked by caller).
         bkp = bk
+        pr = k * bkp
+        b = pr // block_rows
+        lo_start = b * 2 * block_rows + (pr - b * block_rows)
+        hi_start = lo_start + block_rows
         packed = w_ref[:]
         lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extend
         hi = jnp.right_shift(packed, 4)
-        x_lo = x_ref[:, pl.ds(k * bkp, bkp)]
-        x_hi = x_ref[:, pl.ds(k_half + k * bkp, bkp)]
+        x_lo = x_ref[:, pl.ds(lo_start, bkp)]
+        x_hi = x_ref[:, pl.ds(hi_start, bkp)]
         if per_channel:
             acc_ref[:] += jnp.dot(x_lo, lo.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
@@ -95,9 +101,8 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
                                   preferred_element_type=jnp.float32)
         else:
             n_cols = packed.shape[-1]
-            s_lo = scale_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
-            hi_group0 = (k_half // group_size) + k * groups_per_tile
-            s_hi = scale_ref[pl.ds(hi_group0, groups_per_tile), :]
+            s_lo = scale_ref[pl.ds(lo_start // group_size, groups_per_tile), :]
+            s_hi = scale_ref[pl.ds(hi_start // group_size, groups_per_tile), :]
             w_lo = (lo.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
                     * s_lo[:, None, :]).reshape(bkp, n_cols)
             w_hi = (hi.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
@@ -115,16 +120,16 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "block_n",
+@functools.partial(jax.jit, static_argnames=("bits", "group_size",
+                                             "block_rows", "block_n",
                                              "block_k", "interpret"))
 def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
-                     *, bits: int, group_size: int,
+                     *, bits: int, group_size: int, block_rows: int,
                      block_n: int, block_k: int, interpret: bool) -> jnp.ndarray:
     M, K = x.shape
     N = q.shape[1]
     num_groups = scale.shape[0]
     per_channel = num_groups == 1
-    k_half = K // 2
     kdim = q.shape[0]                    # packed rows for int4, K for int8
     nk = kdim // block_k
     gsize = K // num_groups              # == group_size or K
@@ -132,7 +137,7 @@ def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
 
     grid = (N // block_n, nk)
     kernel = functools.partial(
-        _kernel, bits=bits, bk=block_k, k_half=k_half,
+        _kernel, bits=bits, bk=block_k, block_rows=block_rows,
         groups_per_tile=groups_per_tile, group_size=gsize,
         per_channel=per_channel)
 
@@ -176,14 +181,20 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor,
     num_groups = qt.scale.shape[0]
     gsize = K // num_groups
 
+    block_rows = (qt.block_rows or kdim) if qt.bits == 4 else kdim
     bn = _pick_block(N, block_n)
-    bk = _pick_block(kdim, block_k)
+    bk = _pick_block(min(kdim, block_rows), block_k)
     # group boundaries must align with k-tiles (each int4 packed tile spans
     # `bk` original rows in each half, so the same bk % gsize == 0 condition
     # applies to both formats)
     if bk is not None and num_groups > 1 and bk % gsize != 0:
         bk = _pick_block(kdim, gsize) if gsize % 128 == 0 else None
-    if bn is None or bk is None or (qt.bits == 4 and K % 2 != 0):
+    ok = bn is not None and bk is not None
+    if ok and qt.bits == 4:
+        # tiles must not straddle pack blocks; groups must not either
+        ok = (block_rows % bk == 0 and
+              (num_groups == 1 or block_rows % gsize == 0))
+    if not ok:
         return qmatmul_ref(x, qt)
 
     x2 = x.reshape(M, K).astype(jnp.bfloat16)
@@ -192,6 +203,7 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor,
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
     out = _quant_matmul_2d(x2, qt.q, qt.scale,
                            bits=qt.bits, group_size=qt.group_size,
+                           block_rows=block_rows,
                            block_n=bn, block_k=bk,
                            interpret=use_interpret())
     out = out[:M].reshape(*lead, N)

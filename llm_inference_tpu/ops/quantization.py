@@ -25,12 +25,22 @@ from flax import struct
 
 @struct.dataclass
 class QTensor:
-    """Quantized 2-D weight. Static (non-pytree) fields carry the format."""
+    """Quantized 2-D weight. Static (non-pytree) fields carry the format.
+
+    INT4 packing is *block-local split-half*: the packed rows are divided
+    into blocks of `block_rows` packed rows; within a block, packed row r
+    holds original rows r (low nibble) and r + block_rows (high nibble).
+    `block_rows` is invariant under slicing the row axis at block boundaries,
+    which is exactly what tensor-parallel `shard_map` does to row-sharded
+    weights — a local shard is itself a valid QTensor with the same
+    `block_rows`. Single-chip weights use one block (block_rows = K//2).
+    """
     q: jnp.ndarray                   # int8 [K, N] (int8) or [K//2, N] (int4 packed)
     scale: jnp.ndarray               # float32 [num_groups, N]
     bits: int = struct.field(pytree_node=False, default=8)
     group_size: int = struct.field(pytree_node=False, default=0)  # 0 = per-channel
     orig_dtype: str = struct.field(pytree_node=False, default="bfloat16")
+    block_rows: int = struct.field(pytree_node=False, default=0)  # 0 = q.shape[0]
 
     @property
     def in_features(self) -> int:
@@ -48,35 +58,47 @@ class QTensor:
 ArrayOrQ = Union[jnp.ndarray, QTensor]
 
 
-def _pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+def _pack_int4(q: jnp.ndarray, blocks: int = 1) -> jnp.ndarray:
     """Pack int4 values in [-8, 7] (held in int8 [K, N]) → int8 [K//2, N].
 
-    Split-half layout: packed row r holds original row r in the low nibble
-    and original row r + K/2 in the high nibble. Unpacking is then two
+    Block-local split-half layout (see QTensor docstring): within each of
+    `blocks` equal row-blocks, packed row r holds original row r in the low
+    nibble and row r + block_K/2 in the high nibble. Unpacking is two
     arithmetic shifts + a concat along the sublane axis — no row interleave —
-    which is what the Pallas dequant-matmul kernel exploits.
+    which the Pallas dequant-matmul kernel exploits.
     """
-    half = q.shape[0] // 2
-    lo = q[:half] & 0x0F
-    hi = (q[half:] & 0x0F) << 4
-    return (lo | hi).astype(jnp.int8)
+    K, N = q.shape
+    assert K % (2 * blocks) == 0, (K, blocks)
+    qb = q.reshape(blocks, K // blocks, N)
+    half = K // blocks // 2
+    lo = qb[:, :half] & 0x0F
+    hi = (qb[:, half:] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8).reshape(K // 2, N)
 
 
-def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def _unpack_int4(packed: jnp.ndarray, block_rows: int = 0) -> jnp.ndarray:
     """Unpack int8 [K//2, N] → int4 values as int8 [K, N] (sign-extended)."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic ⇒ sign-extend
-    hi = jnp.right_shift(packed, 4)
-    return jnp.concatenate([lo, hi], axis=0)
+    P, N = packed.shape
+    block_rows = block_rows or P
+    blocks = P // block_rows
+    pb = packed.reshape(blocks, block_rows, N)
+    lo = jnp.right_shift(jnp.left_shift(pb, 4), 4)  # arithmetic ⇒ sign-extend
+    hi = jnp.right_shift(pb, 4)
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * P, N)
 
 
 def quantize(
     w: jnp.ndarray,
     bits: int = 8,
     group_size: int = 0,
+    pack_blocks: int = 1,
 ) -> QTensor:
     """Symmetric quantization of a [K, N] weight.
 
     scale = max|w| per (group, column) / qmax;  q = round(w / scale).
+    `pack_blocks`: number of row-blocks for INT4 packing — set to the
+    tensor-parallel degree for row-sharded weights so each shard's slice is
+    self-contained (see QTensor docstring).
     """
     assert w.ndim == 2, f"expected 2-D weight, got {w.shape}"
     K, N = w.shape
@@ -93,19 +115,21 @@ def quantize(
     scale = jnp.maximum(absmax / qmax, 1e-8)
     q = jnp.clip(jnp.round(w32 / scale), -qmax - 1, qmax)
     q = q.reshape(K, N).astype(jnp.int8)
+    block_rows = 0
     if bits == 4:
-        q = _pack_int4(q)
+        q = _pack_int4(q, pack_blocks)
+        block_rows = K // 2 // pack_blocks
     elif bits != 8:
         raise ValueError(f"unsupported bits={bits}")
     return QTensor(q=q, scale=scale.reshape(num_groups, N),
                    bits=bits, group_size=group_size,
-                   orig_dtype=str(w.dtype))
+                   orig_dtype=str(w.dtype), block_rows=block_rows)
 
 
 def dequantize(qt: QTensor, dtype=None) -> jnp.ndarray:
     """Golden dequantization back to a dense [K, N] array."""
     dtype = dtype or qt.orig_dtype
-    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q)
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q, qt.block_rows)
     K, N = q.shape
     num_groups = qt.scale.shape[0]
     gsize = K // num_groups
@@ -122,7 +146,7 @@ def qmatmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
     XLA feed int8→bf16-converted tiles straight into the MXU.
     """
     dtype = dtype or x.dtype
-    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q)
+    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q, qt.block_rows)
     num_groups = qt.scale.shape[0]
     if num_groups == 1:
         y = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),

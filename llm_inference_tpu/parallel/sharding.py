@@ -1,0 +1,152 @@
+"""PartitionSpecs and the shard_map-wrapped forward.
+
+Megatron-style tensor parallelism, expressed the TPU way:
+- column-shard wq/wk/wv (heads) and w_gate/w_up (FFN columns);
+- row-shard wo and w_down, with an explicit psum of the partial sums
+  (models/llama.py applies it when tp_axis is set);
+- vocab-shard embed and lm_head (masked gather + psum / logits all-gather);
+- shard the KV cache over (data=batch, tensor=kv_heads);
+- norms replicated.
+
+The whole forward runs under `jax.shard_map` rather than jit+NamedSharding
+annotations so the Pallas kernels (quant matmul, decode attention) execute
+shard-locally — custom kernels don't carry SPMD partitioning rules, and
+shard_map is the supported way to compose them with a mesh.
+
+(Reference analogue: none — SURVEY §2.12, the reference is strictly
+single-GPU.)
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llm_inference_tpu.config import ModelConfig
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache
+
+_COL_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up"}
+_ROW_SHARDED = {"wo", "w_down"}
+_BIASES = {"bq", "bk", "bv"}
+
+
+def _path_keys(path) -> list:
+    keys = []
+    for entry in path:
+        if hasattr(entry, "key"):
+            keys.append(str(entry.key))
+        elif hasattr(entry, "name"):
+            keys.append(str(entry.name))
+        else:
+            keys.append(str(entry))
+    return keys
+
+
+def _spec_for(path, leaf, tp: str, tp_size: int) -> P:
+    keys = _path_keys(path)
+    names = set(keys)
+    is_scale = keys[-1] == "scale"
+
+    if "embed" in names:
+        return P(tp, None)                       # vocab-sharded
+    if "lm_head" in names:
+        return P(*([None] * (leaf.ndim - 1) + [tp]))   # vocab-sharded cols
+    if names & _COL_SHARDED:
+        return P(*([None] * (leaf.ndim - 1) + [tp]))   # [L, K, N] → cols
+    if names & _BIASES:
+        return P(None, tp)
+    if names & _ROW_SHARDED:
+        if is_scale:
+            # group scales follow the contraction rows; per-channel scales
+            # (or non-divisible group counts) replicate
+            g = leaf.shape[1]
+            if g > 1 and g % tp_size == 0:
+                return P(None, tp, None)
+            return P(None, None, None)
+        return P(None, tp, None)                 # [L, K, N] → rows
+    # norms and anything unrecognized: replicate
+    return P(*([None] * leaf.ndim))
+
+
+def param_pspecs(params: Dict[str, Any], mesh: Mesh,
+                 tensor_axis: str = "tensor"):
+    """PartitionSpec pytree matching `params` (dense or quantized)."""
+    tp_size = mesh.shape[tensor_axis]
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _spec_for(p, x, tensor_axis, tp_size), params)
+
+
+def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor"):
+    """[L, B, Hkv, S, D] → batch over data, kv heads over tensor."""
+    spec = P(None, data_axis, tensor_axis, None, None)
+    return kvcache.KVCache(k=spec, v=spec)
+
+
+def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor"):
+    """device_put the pytree with its canonical shardings."""
+    specs = param_pspecs(params, mesh, tensor_axis)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)
+
+
+def shard_cache(cache: kvcache.KVCache, mesh: Mesh,
+                data_axis: str = "data", tensor_axis: str = "tensor"):
+    spec = cache_pspec(data_axis, tensor_axis)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(cache, shardings)
+
+
+def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
+    """TP divisibility requirements (mirrors what the spec rules assume)."""
+    checks = {
+        "num_heads": cfg.num_heads,
+        "num_kv_heads": cfg.num_kv_heads,
+        "vocab_size": cfg.vocab_size,
+        "intermediate_size": cfg.intermediate_size,
+    }
+    for name, v in checks.items():
+        if v % tp_size != 0:
+            raise ValueError(f"{name}={v} not divisible by tp={tp_size}")
+
+
+def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
+                    *, logits_mode: str = "last",
+                    data_axis: str = "data", tensor_axis: str = "tensor",
+                    donate_cache: bool = True):
+    """Build a jitted shard_map'd forward:
+        f(params, ids, positions, cache, last_idx) -> (logits, cache)
+
+    ids/positions/last_idx are sharded over the data axis; logits come back
+    replicated across the tensor axis. The cache buffer is donated so XLA
+    updates it in place.
+    """
+    tp_size = mesh.shape[tensor_axis]
+    validate_tp(cfg, tp_size)
+    pspecs = param_pspecs(params, mesh, tensor_axis)
+    cspec = cache_pspec(data_axis, tensor_axis)
+    dspec = P(data_axis)
+    tp_axis = tensor_axis if tp_size > 1 else None
+
+    def fn(params, ids, positions, cache, last_idx):
+        return llama.forward(cfg, params, ids, positions, cache,
+                             logits_mode=logits_mode, last_idx=last_idx,
+                             tp_axis=tp_axis)
+
+    logits_spec = (None if logits_mode == "none"
+                   else P(data_axis, *([None] * (1 if logits_mode == "last" else 2))))
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pspecs, P(data_axis, None), P(data_axis, None), cspec, dspec),
+        out_specs=(logits_spec, cspec),
+        check_vma=False,
+    )
+    donate = (3,) if donate_cache else ()
+    return jax.jit(mapped, donate_argnums=donate)

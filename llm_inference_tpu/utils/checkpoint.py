@@ -94,37 +94,26 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         return _np(sd[name]).astype(np.float32)
 
     L = cfg.num_layers
-    attn_norm, wqkv, wqkv_b, wo = [], [], [], []
-    ffn_norm, w_gate_up, w_down = [], [], []
+    acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                           "w_gate", "w_up", "w_down", "bq", "bk", "bv")}
     for i in range(L):
         p = f"layers.{i}."
-        attn_norm.append(get(p + "input_layernorm.weight"))
-        q = get(p + "self_attn.q_proj.weight").T       # [H, HqD]
-        k = get(p + "self_attn.k_proj.weight").T
-        v = get(p + "self_attn.v_proj.weight").T
-        wqkv.append(np.concatenate([q, k, v], axis=1))
+        acc["attn_norm"].append(get(p + "input_layernorm.weight"))
+        acc["wq"].append(get(p + "self_attn.q_proj.weight").T)   # [H, HqD]
+        acc["wk"].append(get(p + "self_attn.k_proj.weight").T)
+        acc["wv"].append(get(p + "self_attn.v_proj.weight").T)
         if cfg.qkv_bias:
-            wqkv_b.append(np.concatenate([
-                get(p + "self_attn.q_proj.bias"),
-                get(p + "self_attn.k_proj.bias"),
-                get(p + "self_attn.v_proj.bias")], axis=0))
-        wo.append(get(p + "self_attn.o_proj.weight").T)
-        ffn_norm.append(get(p + "post_attention_layernorm.weight"))
-        gate = get(p + "mlp.gate_proj.weight").T       # [H, I]
-        up = get(p + "mlp.up_proj.weight").T
-        w_gate_up.append(np.concatenate([gate, up], axis=1))
-        w_down.append(get(p + "mlp.down_proj.weight").T)
+            acc["bq"].append(get(p + "self_attn.q_proj.bias"))
+            acc["bk"].append(get(p + "self_attn.k_proj.bias"))
+            acc["bv"].append(get(p + "self_attn.v_proj.bias"))
+        acc["wo"].append(get(p + "self_attn.o_proj.weight").T)
+        acc["ffn_norm"].append(get(p + "post_attention_layernorm.weight"))
+        acc["w_gate"].append(get(p + "mlp.gate_proj.weight").T)  # [H, I]
+        acc["w_up"].append(get(p + "mlp.up_proj.weight").T)
+        acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
 
-    layers = {
-        "attn_norm": jnp.asarray(np.stack(attn_norm), dtype),
-        "wqkv": jnp.asarray(np.stack(wqkv), dtype),
-        "wo": jnp.asarray(np.stack(wo), dtype),
-        "ffn_norm": jnp.asarray(np.stack(ffn_norm), dtype),
-        "w_gate_up": jnp.asarray(np.stack(w_gate_up), dtype),
-        "w_down": jnp.asarray(np.stack(w_down), dtype),
-    }
-    if cfg.qkv_bias:
-        layers["wqkv_bias"] = jnp.asarray(np.stack(wqkv_b), dtype)
+    layers = {k: jnp.asarray(np.stack(v), dtype)
+              for k, v in acc.items() if v}
 
     params: Params = {
         "embed": jnp.asarray(get("embed_tokens.weight"), dtype),
@@ -187,17 +176,25 @@ def load_reference_bin_dir(cfg: ModelConfig, path: str, dtype=None,
             raise ValueError(f"{fn}: got {arr.size} elems, want {shape}")
         return arr.reshape(shape).astype(np.float32)
 
-    layers = {"attn_norm": [], "wqkv": [], "wo": [], "ffn_norm": [],
-              "w_gate_up": [], "w_down": []}
+    hq = cfg.num_heads * cfg.head_dim
+    hkv = cfg.num_kv_heads * cfg.head_dim
+    layers = {"attn_norm": [], "wq": [], "wk": [], "wv": [], "wo": [],
+              "ffn_norm": [], "w_gate": [], "w_up": [], "w_down": []}
     for i in range(L):
         p = f"model.layers.{i}."
         layers["attn_norm"].append(rd(p + "input_layernorm.weight", (H,)))
-        layers["wqkv"].append(rd(p + "self_attn.qkv.weight", (qkv_out, H)).T)
+        # the reference stores qkv fused [(q+2kv)·hs, hidden] and gate∥up
+        # fused [2·inter, hidden] (layer_weights.cc:5-45) — split on load
+        qkv = rd(p + "self_attn.qkv.weight", (qkv_out, H)).T   # [H, qkv_out]
+        layers["wq"].append(qkv[:, :hq])
+        layers["wk"].append(qkv[:, hq:hq + hkv])
+        layers["wv"].append(qkv[:, hq + hkv:])
         layers["wo"].append(rd(p + "self_attn.o_proj.weight", (o_in, H)).T)
         layers["ffn_norm"].append(
             rd(p + "post_attention_layernorm.weight", (H,)))
-        layers["w_gate_up"].append(
-            rd(p + "mlp.gate_up_proj.weight", (2 * I, H)).T)
+        gate_up = rd(p + "mlp.gate_up_proj.weight", (2 * I, H)).T  # [H, 2I]
+        layers["w_gate"].append(gate_up[:, :I])
+        layers["w_up"].append(gate_up[:, I:])
         layers["w_down"].append(rd(p + "mlp.down_proj.weight", (H, I)).T)
 
     params: Params = {
@@ -229,10 +226,15 @@ def save_reference_bin_dir(cfg: ModelConfig, params: Params, path: str,
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
         wr(p + "input_layernorm.weight", lay["attn_norm"][i])
-        wr(p + "self_attn.qkv.weight", np.asarray(lay["wqkv"][i]).T)
+        qkv = np.concatenate([np.asarray(lay["wq"][i]),
+                              np.asarray(lay["wk"][i]),
+                              np.asarray(lay["wv"][i])], axis=1)
+        wr(p + "self_attn.qkv.weight", qkv.T)
         wr(p + "self_attn.o_proj.weight", np.asarray(lay["wo"][i]).T)
         wr(p + "post_attention_layernorm.weight", lay["ffn_norm"][i])
-        wr(p + "mlp.gate_up_proj.weight", np.asarray(lay["w_gate_up"][i]).T)
+        gate_up = np.concatenate([np.asarray(lay["w_gate"][i]),
+                                  np.asarray(lay["w_up"][i])], axis=1)
+        wr(p + "mlp.gate_up_proj.weight", gate_up.T)
         wr(p + "mlp.down_proj.weight", np.asarray(lay["w_down"][i]).T)
     wr("model.embed_tokens.weight", params["embed"])
     wr("model.norm.weight", params["final_norm"])

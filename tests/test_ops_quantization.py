@@ -28,6 +28,45 @@ class TestPacking:
         np.testing.assert_array_equal(np.asarray(unpacked), q)
 
 
+class TestBlockPacking:
+    def test_block_pack_roundtrip(self):
+        rng = np.random.default_rng(9)
+        q = rng.integers(-8, 8, size=(32, 8)).astype(np.int8)
+        packed = Q._pack_int4(jnp.asarray(q), blocks=4)
+        unpacked = Q._unpack_int4(packed, block_rows=4)  # 32/2/4 = 4
+        np.testing.assert_array_equal(np.asarray(unpacked), q)
+
+    def test_block_packed_shard_slice_is_self_contained(self):
+        """Slicing a pack_blocks=t weight into t row chunks (what shard_map
+        does to row-sharded weights) must yield valid standalone QTensors."""
+        rng = np.random.default_rng(10)
+        K, N, t = 512, 64, 4
+        w = rng.standard_normal((K, N)).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=4, group_size=64, pack_blocks=t)
+        full = np.asarray(Q.dequantize(qt, jnp.float32))
+        rows_per_shard = qt.q.shape[0] // t
+        grp_per_shard = qt.scale.shape[0] // t
+        for s in range(t):
+            local = Q.QTensor(
+                q=qt.q[s * rows_per_shard:(s + 1) * rows_per_shard],
+                scale=qt.scale[s * grp_per_shard:(s + 1) * grp_per_shard],
+                bits=4, group_size=qt.group_size, orig_dtype=qt.orig_dtype,
+                block_rows=qt.block_rows)
+            local_dq = np.asarray(Q.dequantize(local, jnp.float32))
+            np.testing.assert_array_equal(
+                local_dq, full[s * K // t:(s + 1) * K // t])
+
+    def test_pallas_matmul_block_packed(self):
+        rng = np.random.default_rng(11)
+        M, K, N = 4, 512, 256
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=4, group_size=128, pack_blocks=2)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        assert rel_err(out, golden) < 2e-2
+
+
 class TestQuantize:
     @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 64), (4, 0), (4, 64)])
     def test_roundtrip_error(self, bits, gs):

@@ -1,0 +1,134 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: tensor + data
+parallel forward must reproduce the single-device logits exactly (same math,
+different placement). This is the test the reference never needed — it has
+no distributed code at all (SURVEY §2.12)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from llm_inference_tpu.config import tiny_llama, QuantConfig, ShardingConfig
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache
+from llm_inference_tpu.parallel import (
+    make_mesh, param_pspecs, shard_cache, shard_params, sharded_forward)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # kv_heads=4 so tp=4 divides it
+    return tiny_llama(num_kv_heads=4)
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return llama.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def run_single(cfg, params, ids, pos, max_seq=32):
+    cache = kvcache.init_cache(cfg.num_layers, ids.shape[0],
+                               cfg.num_kv_heads, max_seq, cfg.head_dim,
+                               jnp.float32)
+    logits, _ = llama.forward(cfg, params, ids, pos, cache)
+    return np.asarray(logits)
+
+
+def run_sharded(cfg, params, ids, pos, dp, tp, max_seq=32):
+    mesh = make_mesh(ShardingConfig(data=dp, tensor=tp))
+    sparams = shard_params(params, mesh)
+    cache = shard_cache(
+        kvcache.init_cache(cfg.num_layers, ids.shape[0], cfg.num_kv_heads,
+                           max_seq, cfg.head_dim, jnp.float32), mesh)
+    fwd = sharded_forward(cfg, mesh, sparams)
+    last = jnp.full((ids.shape[0],), ids.shape[1] - 1, jnp.int32)
+    logits, cache2 = fwd(sparams, ids, pos, cache, last)
+    return np.asarray(logits), cache2
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (1, 4), (2, 2), (2, 1), (4, 2)])
+class TestShardedForwardParity:
+    def test_matches_single_device(self, cfg, params, dp, tp):
+        rng = np.random.default_rng(0)
+        B, T = max(dp, 2) if dp > 1 else 2, 6
+        B = dp * 2  # divisible by dp
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        golden = run_single(cfg, params, ids, pos)
+        out, _ = run_sharded(cfg, params, ids, pos, dp, tp)
+        np.testing.assert_allclose(out, golden, atol=2e-4, rtol=2e-4)
+
+
+class TestQuantizedSharded:
+    @pytest.mark.parametrize("weights,gs", [("int8", 0), ("int8", 32),
+                                            ("int4", 32)])
+    def test_quantized_tp_matches_unsharded_quantized(self, cfg, params,
+                                                      weights, gs):
+        tp = 2
+        qcfg = QuantConfig(weights=weights, group_size=gs)
+        qparams = llama.quantize_params(params, qcfg, row_shards=tp)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+        golden = run_single(cfg, qparams, ids, pos)
+        out, _ = run_sharded(cfg, qparams, ids, pos, 1, tp)
+        np.testing.assert_allclose(out, golden, atol=5e-3, rtol=5e-3)
+
+
+class TestDecodeSharded:
+    def test_prefill_then_decode_sharded(self, cfg, params):
+        """Sharded prefill + sharded decode step match the single-device
+        incremental path."""
+        mesh = make_mesh(ShardingConfig(data=2, tensor=4))
+        sparams = shard_params(params, mesh)
+        rng = np.random.default_rng(2)
+        B, T = 2, 4
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        cache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32), mesh)
+        fwd = sharded_forward(cfg, mesh, sparams)
+        last = jnp.full((B,), T - 1, jnp.int32)
+        logits, cache = fwd(sparams, ids, pos, cache, last)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        pos1 = jnp.full((B, 1), T, jnp.int32)
+        logits1, cache = fwd(sparams, nxt, pos1, cache,
+                             jnp.zeros((B,), jnp.int32))
+
+        # single-device golden
+        c0 = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                                cfg.head_dim, jnp.float32)
+        g0, c0 = llama.forward(cfg, params, ids, pos, c0)
+        gn = jnp.argmax(g0, -1).astype(jnp.int32)[:, None]
+        g1, _ = llama.forward(cfg, params, gn, pos1, c0)
+        np.testing.assert_array_equal(np.asarray(nxt), np.asarray(gn))
+        np.testing.assert_allclose(np.asarray(logits1), np.asarray(g1),
+                                   atol=2e-4, rtol=2e-4)
+
+
+class TestSpecs:
+    def test_pspec_assignment(self, cfg, params):
+        mesh = make_mesh(ShardingConfig(data=1, tensor=2))
+        specs = param_pspecs(params, mesh)
+        assert specs["embed"] == P("tensor", None)
+        assert specs["lm_head"] == P(None, "tensor")
+        lay = specs["layers"]
+        assert lay["wq"] == P(None, None, "tensor")
+        assert lay["wo"] == P(None, "tensor", None)
+        assert lay["w_down"] == P(None, "tensor", None)
+        assert lay["attn_norm"] == P(None, None)
+
+    def test_quantized_pspecs(self, cfg, params):
+        mesh = make_mesh(ShardingConfig(data=1, tensor=2))
+        qparams = llama.quantize_params(
+            params, QuantConfig(weights="int8", group_size=32), row_shards=2)
+        specs = param_pspecs(qparams, mesh)
+        wo = specs["layers"]["wo"]
+        assert wo.q == P(None, "tensor", None)
+        assert wo.scale == P(None, "tensor", None)  # groupwise, divisible
+        wq = specs["layers"]["wq"]
+        assert wq.q == P(None, None, "tensor")
+        assert wq.scale == P(None, None, "tensor")
