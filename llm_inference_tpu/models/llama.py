@@ -136,6 +136,59 @@ def quantize_params(params: Params, qcfg: QuantConfig,
     return out
 
 
+def init_params_quantized(cfg: ModelConfig, key: jax.Array,
+                          qcfg: QuantConfig, dtype=None,
+                          row_shards: int = 1) -> Params:
+    """Random quantized dummy weights, built directly as QTensors — the
+    perf-bench path for big models (never materializes the dense weights,
+    so a 7B INT8 model needs ~7 GB instead of ~20 GB peak)."""
+    if not qcfg.enabled:
+        return init_params(cfg, key, dtype)
+    dtype = dtype or _act_dtype(cfg)
+    bits = {"int8": 8, "int4": 4}[qcfg.weights]
+    H, L = cfg.hidden_size, cfg.num_layers
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = iter(jax.random.split(key, 16))
+    qmax = 2 ** (bits - 1) - 1
+    # scale chosen so dequantized weights look like N(0, 0.02)-ish
+    scale_val = 0.02 / qmax
+
+    def qrnd(k, K, N, blocks=1):
+        rows = K // 2 if bits == 4 else K
+        q = jax.random.randint(k, (L, rows, N), -128, 128, jnp.int32
+                               ).astype(jnp.int8)
+        gs = qcfg.group_size
+        groups = K // gs if (0 < gs < K) else 1
+        scale = jnp.full((L, groups, N), scale_val, jnp.float32)
+        return QTensor(q=q, scale=scale, bits=bits,
+                       group_size=qcfg.group_size, orig_dtype=str(dtype),
+                       block_rows=(K // 2 // blocks if bits == 4 else 0))
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dtype),
+        "wq": qrnd(next(ks), H, Hq * D),
+        "wk": qrnd(next(ks), H, Hkv * D),
+        "wv": qrnd(next(ks), H, Hkv * D),
+        "wo": qrnd(next(ks), Hq * D, H, blocks=row_shards),
+        "ffn_norm": jnp.ones((L, H), dtype),
+        "w_gate": qrnd(next(ks), H, I),
+        "w_up": qrnd(next(ks), H, I),
+        "w_down": qrnd(next(ks), I, H, blocks=row_shards),
+    }
+    params: Params = {
+        "embed": rnd(next(ks), (V, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = rnd(next(ks), (H, V))
+    return params
+
+
 def param_bytes(params: Params) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))

@@ -20,11 +20,14 @@ Design:
   the per-column scale is applied once to the f32 accumulator at the last
   k-step (exact for symmetric quant, cheaper and more precise than scaling
   weights).
-- Group-wise (sub-channel) scales: the weight tile is dequantized in VMEM
-  (VPU multiply) before the dot.
-- INT4 uses split-half packing (quantization._pack_int4): packed row r holds
-  original rows r (low nibble) and r + K/2 (high nibble), so unpacking is two
-  arithmetic shifts + a concat along sublanes — no interleave shuffle.
+- Group-wise (sub-channel) scales: the scale rows for each k-tile arrive via
+  their own blocked input (Mosaic can't prove alignment of an in-kernel
+  sublane-dim dynamic slice) and the weight tile is dequantized in VMEM (VPU
+  multiply) before the dot.
+- INT4 uses block-local split-half packing (quantization.QTensor): a packed
+  tile maps to two x/scale slices (low/high nibbles) whose offsets are pure
+  functions of the grid index, so both ride the pipeline as separate blocked
+  inputs.
 
 Large-M (prefill) inputs fall back to the XLA path (qmatmul_ref): prefill is
 MXU-bound, where dense bf16 dots are already optimal.
@@ -35,6 +38,7 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -58,9 +62,9 @@ def _pick_block(dim: int, preferred: int, step: int = 128) -> Optional[int]:
     return None
 
 
-def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
-            bits: int, bk: int, block_rows: int, groups_per_tile: int,
-            group_size: int, per_channel: bool):
+def _kernel(x_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *,
+            bits: int, bk: int, block_rows: int, group_size: int,
+            per_channel: bool, tiles_per_block: int):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -68,45 +72,45 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    gpt = max(bk // group_size, 1)   # scale rows per (half-)tile
+
     if bits == 8:
-        xk = x_ref[:, pl.ds(k * bk, bk)]
+        xk = x_ref[:, pl.ds(pl.multiple_of(k * bk, bk), bk)]
         if per_channel:
             acc_ref[:] += jnp.dot(xk, w_ref[:].astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
         else:
-            srows = scale_ref[pl.ds(k * groups_per_tile, groups_per_tile), :]
             w = w_ref[:].astype(jnp.float32)
-            w = w.reshape(groups_per_tile, group_size, w.shape[-1])
-            w = (w * srows[:, None, :]).reshape(bk, -1)
+            w = w.reshape(-1, group_size, w.shape[-1])
+            w = (w * s_lo_ref[0:gpt][:, None, :]).reshape(bk, -1)
             acc_ref[:] += jnp.dot(xk, w.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
     else:  # int4, block-local split-half packed (quantization.QTensor):
-        # packed tile k sits inside block b; it covers original rows
-        # [lo_start, +bk) (low nibbles) and [lo_start + block_rows, +bk)
-        # (high nibbles). Tiles never straddle blocks (checked by caller).
-        bkp = bk
-        pr = k * bkp
-        b = pr // block_rows
-        lo_start = b * 2 * block_rows + (pr - b * block_rows)
-        hi_start = lo_start + block_rows
-        packed = w_ref[:]
-        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # sign-extend
-        hi = jnp.right_shift(packed, 4)
-        x_lo = x_ref[:, pl.ds(lo_start, bkp)]
-        x_hi = x_ref[:, pl.ds(hi_start, bkp)]
+        # packed tile k sits inside block b = k // tiles_per_block; it covers
+        # original rows [lo_start, +bk) (low nibbles) and [lo_start +
+        # block_rows, +bk) (high nibbles). Tiles never straddle blocks.
+        b = k // tiles_per_block
+        lo_tile = k + b * tiles_per_block
+        lo_start = pl.multiple_of(lo_tile * bk, bk)
+        hi_start = pl.multiple_of(lo_start + block_rows, bk)
+        # nibble extraction in i32 — Mosaic has no i8 vector shifts; the
+        # shl/ashr pair sign-extends the 4-bit values
+        p32 = w_ref[:].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+        x_lo = x_ref[:, pl.ds(lo_start, bk)]
+        x_hi = x_ref[:, pl.ds(hi_start, bk)]
         if per_channel:
             acc_ref[:] += jnp.dot(x_lo, lo.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
             acc_ref[:] += jnp.dot(x_hi, hi.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
         else:
-            n_cols = packed.shape[-1]
-            s_lo = scale_ref[pl.ds(lo_start // group_size, groups_per_tile), :]
-            s_hi = scale_ref[pl.ds(hi_start // group_size, groups_per_tile), :]
-            w_lo = (lo.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
-                    * s_lo[:, None, :]).reshape(bkp, n_cols)
-            w_hi = (hi.astype(jnp.float32).reshape(groups_per_tile, group_size, n_cols)
-                    * s_hi[:, None, :]).reshape(bkp, n_cols)
+            n_cols = p32.shape[-1]
+            w_lo = (lo.astype(jnp.float32).reshape(-1, group_size, n_cols)
+                    * s_lo_ref[0:gpt][:, None, :]).reshape(bk, n_cols)
+            w_hi = (hi.astype(jnp.float32).reshape(-1, group_size, n_cols)
+                    * s_hi_ref[0:gpt][:, None, :]).reshape(bk, n_cols)
             acc_ref[:] += jnp.dot(x_lo, w_lo.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
             acc_ref[:] += jnp.dot(x_hi, w_hi.astype(jnp.bfloat16),
@@ -116,7 +120,7 @@ def _kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     def _():
         acc = acc_ref[:]
         if per_channel:
-            acc = acc * scale_ref[0, :][None, :]
+            acc = acc * s_lo_ref[0, :][None, :]
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -133,13 +137,45 @@ def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     kdim = q.shape[0]                    # packed rows for int4, K for int8
     nk = kdim // block_k
     gsize = K // num_groups              # == group_size or K
-    groups_per_tile = block_k // gsize if not per_channel else 0
+    gpt = block_k // gsize if not per_channel else 1   # scale rows per tile
+    tiles_per_block = max(block_rows // block_k, 1)    # int4 only
+
+    # Per-k-tile scale layout: Mosaic requires block sublane dims divisible
+    # by 8 (or full), and can't prove alignment of in-kernel sublane-dim
+    # dynamic slices — so gather each tile's scale rows into its own padded
+    # 8-row-aligned band and let the pipeline deliver band k at step k.
+    if per_channel:
+        s_lo = s_hi = scale
+        s_block = (1, block_n)
+        s_lo_map = s_hi_map = lambda n, k: (0, n)
+    else:
+        srows = ((gpt + 7) // 8) * 8
+        if bits == 8:
+            lo_idx = np.arange(nk)[:, None] * gpt + np.arange(gpt)[None, :]
+            hi_idx = lo_idx
+        else:
+            R = tiles_per_block
+            t = np.arange(nk)
+            lo_group0 = (t + (t // R) * R) * (block_k // gsize)
+            lo_idx = lo_group0[:, None] + np.arange(gpt)[None, :]
+            hi_idx = lo_idx + block_rows // gsize
+
+        def tile_scales(idx):
+            s = jnp.take(scale, idx.reshape(-1), axis=0)     # [nk*gpt, N]
+            s = s.reshape(nk, gpt, N)
+            s = jnp.pad(s, ((0, 0), (0, srows - gpt), (0, 0)))
+            return s.reshape(nk * srows, N)
+
+        s_lo = tile_scales(lo_idx)
+        s_hi = tile_scales(hi_idx) if bits == 4 else s_lo
+        s_block = (srows, block_n)
+        s_lo_map = s_hi_map = lambda n, k: (k, n)
 
     grid = (N // block_n, nk)
     kernel = functools.partial(
         _kernel, bits=bits, bk=block_k, block_rows=block_rows,
-        groups_per_tile=groups_per_tile, group_size=gsize,
-        per_channel=per_channel)
+        group_size=gsize, per_channel=per_channel,
+        tiles_per_block=tiles_per_block)
 
     out = pl.pallas_call(
         kernel,
@@ -148,8 +184,8 @@ def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
             pl.BlockSpec((M, K), lambda n, k: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_groups, block_n), lambda n, k: (0, n),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s_block, s_lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(s_block, s_hi_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, block_n), lambda n, k: (0, n),
                                memory_space=pltpu.VMEM),
@@ -162,7 +198,7 @@ def _quant_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
             bytes_accessed=q.size * q.dtype.itemsize + M * K * 2 + M * N * 2,
             transcendentals=0),
         interpret=interpret,
-    )(x, q, scale)
+    )(x, q, s_lo, s_hi)
     return out
 
 
