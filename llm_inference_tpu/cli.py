@@ -1,0 +1,112 @@
+"""Interactive chat REPL — equivalent of the reference's user_entry.cpp
+(reference: user_entry.cpp:13-53: multi-round stdin loop, streaming token
+callback, "exit" to quit), plus dummy-weight and quantization flags.
+
+Usage:
+  python -m llm_inference_tpu.cli --model tiny            # dummy weights
+  python -m llm_inference_tpu.cli --model llama2-7b \
+      --checkpoint /path/to/hf_dir --tokenizer /path/to/tokenizer.bin \
+      --quant int8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_engine(args):
+    from llm_inference_tpu import config as C
+    from llm_inference_tpu.engine import InferenceEngine, load_tokenizer
+    from llm_inference_tpu.models import llama
+    from llm_inference_tpu.utils import checkpoint
+
+    if args.checkpoint:
+        cfg, params = checkpoint.load_hf_checkpoint(args.checkpoint,
+                                                    dtype=args.dtype)
+    else:
+        preset = C.PRESETS.get(args.model, C.tiny_llama)
+        cfg = preset()
+        print(f"[cli] no checkpoint given — dummy weights for {cfg.name} "
+              f"(the reference CLI does the same, user_entry.cpp:21)")
+        params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=args.dtype)
+
+    if args.quant != "none":
+        qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
+        params = llama.quantize_params(params, qcfg)
+
+    tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from llm_inference_tpu.parallel import make_mesh
+        mesh = make_mesh(C.ShardingConfig(data=args.dp, tensor=args.tp))
+    eng_cfg = C.EngineConfig(max_seq_len=args.max_seq_len,
+                             decode_chunk=args.decode_chunk)
+    return InferenceEngine(cfg, params, engine_cfg=eng_cfg,
+                           tokenizer=tokenizer, mesh=mesh)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native LLM chat")
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--checkpoint", default=None,
+                    help="HF safetensors dir (else dummy weights)")
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer.json / reference .bin vocab")
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4"])
+    ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--decode-chunk", type=int, default=8)
+    ap.add_argument("--max-new-tokens", type=int, default=256)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--greedy", action="store_true")
+    args = ap.parse_args(argv)
+
+    from llm_inference_tpu.config import GenerationConfig
+    from llm_inference_tpu.engine.engine import ChatSession
+
+    engine = build_engine(args)
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
+                           temperature=args.temperature, top_k=args.top_k,
+                           top_p=args.top_p, greedy=args.greedy)
+
+    if engine.tokenizer is None:
+        print("[cli] no tokenizer — echoing token ids for dummy runs")
+
+    session = ChatSession(engine)
+    print("Ready. Type your message ('exit' to quit, 'reset' to clear "
+          "history).")
+    while True:
+        try:
+            line = input("you> ").strip()
+        except EOFError:
+            break
+        if not line:
+            continue
+        if line == "exit":
+            break
+        if line == "reset":
+            session = ChatSession(engine)
+            continue
+        if engine.tokenizer is None:
+            # dummy mode: feed fixed ids, print sampled ids
+            res = engine.generate([[1, 2, 3, 4]], gen)[0]
+            print("ids>", res.token_ids)
+            continue
+        print("bot> ", end="", flush=True)
+        session.ask(line, gen, stream=lambda s: print(s, end="", flush=True))
+        print()
+    print("bye.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Serving engine: tokenizer, generation loop, continuous batching.
+
+Replaces the reference's Llama<T>::Response single-request loop
+(reference: src/models/llama/llama.cpp:363-449) and its trie tokenizer
+(reference: src/models/tokenizer.h:57-348).
+"""
+
+from llm_inference_tpu.engine.tokenizer import (  # noqa: F401
+    BPETokenizer, HFTokenizer, load_tokenizer)
+from llm_inference_tpu.engine.engine import InferenceEngine  # noqa: F401

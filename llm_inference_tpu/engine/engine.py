@@ -1,0 +1,331 @@
+"""InferenceEngine: jitted prefill/decode programs + generation loop.
+
+Replaces the reference's per-token host loop `Llama<T>::Response`
+(reference: src/models/llama/llama.cpp:363-449) with a TPU-native design:
+
+- ONE forward function serves prefill and decode (vs the reference's
+  firstTokenGen/continueTokenGen split, llama.cpp:273,318).
+- Decode runs in jitted multi-step chunks (`lax.scan` over decode steps with
+  on-device sampling feeding back), so sampled ids cross the host boundary
+  once per chunk instead of twice per token (the reference's D2H+H2D round
+  trip at llama.cpp:266,440-443 — its single biggest decode overhead).
+- Prompt lengths are bucketed to bound jit recompiles (the reference
+  sidesteps this with hard-coded 13-token buffers, llama.cpp:27).
+- The KV cache is donated to each program, so XLA updates it in place —
+  there is no allocator to manage (vs reference src/memory/allocator/).
+- Multi-chip: the same engine code runs over a mesh via shard_map'd forward
+  (parallel/sharding.py); the decode chunk jits the mapped function inside
+  its scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
+                                      ModelConfig)
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache, sampling
+from llm_inference_tpu.utils import metrics
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: List[int]
+    text: str
+    ttft_s: float                 # time to first token (prefill + sample)
+    decode_tokens_per_s: float
+    finished: bool                # hit EOS (vs max_new_tokens)
+
+
+class InferenceEngine:
+    """Single-model serving engine (sync API; the continuous-batching
+    scheduler in engine/scheduler.py layers on top)."""
+
+    def __init__(self, cfg: ModelConfig, params, *,
+                 engine_cfg: Optional[EngineConfig] = None,
+                 tokenizer=None, mesh=None,
+                 cache_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.cache_dtype = cache_dtype
+        self.metrics = metrics.Metrics()
+
+        if mesh is not None and mesh.devices.size > 1:
+            from llm_inference_tpu.parallel import sharding as _sh
+            _sh.validate_tp(cfg, mesh.shape["tensor"])
+            self.params = _sh.shard_params(params, mesh)
+            self._fwd = _sh.sharded_forward(cfg, mesh, self.params,
+                                            logits_mode="last", jit=False)
+            self._shard_cache = lambda c: _sh.shard_cache(c, mesh)
+        else:
+            self.params = params
+
+            def _fwd(params, ids, positions, cache, last_idx):
+                return llama.forward(cfg, params, ids, positions, cache,
+                                     logits_mode="last", last_idx=last_idx)
+            self._fwd = _fwd
+            self._shard_cache = lambda c: c
+
+        # jit caches (keyed by static sampling config; shapes are handled by
+        # jit's own shape-keyed cache)
+        self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(3,))
+        self._decode_jits: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # compiled programs
+    # ------------------------------------------------------------------
+
+    def _prefill_fn(self, params, ids, positions, cache, last_idx):
+        return self._fwd(params, ids, positions, cache, last_idx)
+
+    def _decode_chunk_fn(self, params, cache, token, pos, key, *,
+                         steps: int, gen: GenerationConfig):
+        """scan `steps` decode iterations on device; returns sampled tokens."""
+        B = token.shape[0]
+        zeros = jnp.zeros((B,), jnp.int32)
+
+        def body(carry, _):
+            cache, token, pos, key = carry
+            key, sub = jax.random.split(key)
+            logits, cache = self._fwd(params, token[:, None], pos[:, None],
+                                      cache, zeros)
+            nxt = sampling.sample(logits, sub,
+                                  temperature=gen.temperature,
+                                  top_k=gen.top_k, top_p=gen.top_p,
+                                  greedy=gen.greedy)
+            return (cache, nxt, pos + 1, key), nxt
+
+        (cache, token, pos, key), toks = jax.lax.scan(
+            body, (cache, token, pos, key), None, length=steps)
+        return toks.T, cache, token, pos, key        # toks: [B, steps]
+
+    def _get_decode_jit(self, steps: int, gen: GenerationConfig):
+        key = (steps, gen.temperature, gen.top_k, gen.top_p, gen.greedy)
+        fn = self._decode_jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(self._decode_chunk_fn, steps=steps,
+                                  gen=gen),
+                donate_argnums=(1,))
+            self._decode_jits[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def new_cache(self, batch: int, max_seq: Optional[int] = None):
+        cache = kvcache.init_cache(
+            self.cfg.num_layers, batch, self.cfg.num_kv_heads,
+            max_seq or self.engine_cfg.max_seq_len, self.cfg.head_dim,
+            self.cache_dtype)
+        return self._shard_cache(cache)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.engine_cfg.prefill_buckets:
+            if n <= b:
+                return b
+        return n  # beyond the largest bucket: compile exactly
+
+    def _encode_prompts(self, prompts) -> List[List[int]]:
+        out = []
+        for p in prompts:
+            if isinstance(p, str):
+                if self.tokenizer is None:
+                    raise ValueError("string prompts need a tokenizer")
+                out.append(list(self.tokenizer.encode(p)))
+            else:
+                out.append(list(p))
+        return out
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def prefill(self, token_lists: List[List[int]], cache=None,
+                start_positions: Optional[Sequence[int]] = None):
+        """Run prefill for a batch of prompts (optionally continuing an
+        existing cache at per-sequence offsets). Returns (logits, cache)."""
+        B = len(token_lists)
+        starts = list(start_positions or [0] * B)
+        T = self._bucket(max(len(t) for t in token_lists))
+        ids = np.zeros((B, T), np.int32)
+        pos = np.zeros((B, T), np.int32)
+        last = np.zeros((B,), np.int32)
+        for i, toks in enumerate(token_lists):
+            ids[i, :len(toks)] = toks
+            pos[i] = starts[i] + np.arange(T)
+            last[i] = len(toks) - 1
+        if cache is None:
+            cache = self.new_cache(B)
+        logits, cache = self._prefill_jit(self.params, jnp.asarray(ids),
+                                          jnp.asarray(pos), cache,
+                                          jnp.asarray(last))
+        return logits, cache
+
+    def generate(self,
+                 prompts: Sequence[Union[str, Sequence[int]]],
+                 gen: Optional[GenerationConfig] = None,
+                 stream: Optional[Callable[[int, int, str], None]] = None,
+                 ) -> List[GenerationResult]:
+        """Batch generation. `stream(row, token_id, text_piece)` is called as
+        tokens arrive (the reference's CallBack, basemodel.h:12)."""
+        gen = gen or GenerationConfig()
+        token_lists = self._encode_prompts(prompts)
+        B = len(token_lists)
+        lengths = np.array([len(t) for t in token_lists], np.int32)
+        eos = set(gen.eos_token_ids)
+
+        t0 = time.perf_counter()
+        logits, cache = self.prefill(token_lists)
+        key = jax.random.PRNGKey(gen.seed)
+        key, sub = jax.random.split(key)
+        first = sampling.sample(logits, sub, temperature=gen.temperature,
+                                top_k=gen.top_k, top_p=gen.top_p,
+                                greedy=gen.greedy)
+        first_np = np.asarray(first)
+        ttft = time.perf_counter() - t0
+        self.metrics.observe("ttft_s", ttft)
+
+        results = [[int(first_np[i])] for i in range(B)]
+        finished = np.array([int(first_np[i]) in eos for i in range(B)])
+        if stream is not None:
+            for i in range(B):
+                if not finished[i]:
+                    self._stream_one(stream, i, int(first_np[i]))
+
+        token = first
+        pos = jnp.asarray(lengths)            # next write position per row
+        chunk = max(1, self.engine_cfg.decode_chunk)
+        produced = 1
+        t_dec = time.perf_counter()
+        decoded = 0
+        while produced < gen.max_new_tokens and not finished.all():
+            steps = min(chunk, gen.max_new_tokens - produced)
+            fn = self._get_decode_jit(steps, gen)
+            toks, cache, token, pos, key = fn(self.params, cache, token, pos,
+                                              key)
+            toks_np = np.asarray(toks)        # [B, steps]
+            decoded += steps
+            for i in range(B):
+                for j in range(steps):
+                    if finished[i]:
+                        break
+                    t = int(toks_np[i, j])
+                    results[i].append(t)
+                    if t in eos:
+                        finished[i] = True
+                    elif stream is not None:
+                        self._stream_one(stream, i, t)
+            produced += steps
+        dt = time.perf_counter() - t_dec
+        tps = decoded * B / dt if dt > 0 else 0.0
+        self.metrics.observe("decode_tokens_per_s", tps)
+
+        out = []
+        for i in range(B):
+            ids = results[i]
+            fin = any(t in eos for t in ids)
+            if fin:
+                ids = ids[:next(j for j, t in enumerate(ids) if t in eos)]
+            text = self.tokenizer.decode(ids) if self.tokenizer else ""
+            out.append(GenerationResult(token_ids=ids, text=text,
+                                        ttft_s=ttft,
+                                        decode_tokens_per_s=tps,
+                                        finished=fin))
+        return out
+
+    def _stream_one(self, stream, row, token_id):
+        piece = (self.tokenizer.decode_token(token_id)
+                 if self.tokenizer else "")
+        stream(row, token_id, piece)
+
+
+class ChatSession:
+    """Multi-round chat holding the KV cache across rounds — the reference
+    re-tokenizes and re-prefills the whole history each round (MakeHistory,
+    llama.cpp's MakeInput); here history stays resident in the cache and each
+    round only prefills the new turn."""
+
+    def __init__(self, engine: InferenceEngine,
+                 template: Optional[Callable[[str, int], str]] = None):
+        self.engine = engine
+        self.template = template or llama2_chat_template
+        self.cache = None
+        self.pos = 0          # next unwritten cache slot / absolute position
+        self.round = 0
+        self._pending: List[int] = []   # sampled but never forwarded tokens
+
+    def ask(self, user_text: str, gen: Optional[GenerationConfig] = None,
+            stream: Optional[Callable[[str], None]] = None) -> str:
+        eng = self.engine
+        gen = gen or GenerationConfig()
+        prompt = self.template(user_text, self.round)
+        toks = (self._pending
+                + eng.tokenizer.encode(prompt, add_bos=(self.round == 0)))
+        self._pending = []
+        if self.cache is None:
+            self.cache = eng.new_cache(1)
+
+        logits, self.cache = eng.prefill([toks], cache=self.cache,
+                                         start_positions=[self.pos])
+        self.pos += len(toks)
+        key = jax.random.PRNGKey(gen.seed + self.round)
+        key, sub = jax.random.split(key)
+        token = sampling.sample(logits, sub, temperature=gen.temperature,
+                                top_k=gen.top_k, top_p=gen.top_p,
+                                greedy=gen.greedy)
+        eos = set(gen.eos_token_ids)
+
+        out_ids: List[int] = []
+        cur = int(token[0])           # sampled, not yet forwarded
+        pos = jnp.asarray([self.pos], jnp.int32)
+        chunk = max(1, eng.engine_cfg.decode_chunk)
+        ended_by_eos = cur in eos
+        while not ended_by_eos and len(out_ids) + 1 < gen.max_new_tokens:
+            out_ids.append(cur)       # about to be forwarded by the chunk
+            if stream is not None:
+                stream(eng.tokenizer.decode_token(cur))
+            steps = min(chunk, gen.max_new_tokens - len(out_ids))
+            fn = eng._get_decode_jit(steps, gen)
+            toks_d, self.cache, token, pos, key = fn(
+                eng.params, self.cache, token, pos, key)
+            self.pos += 1             # `cur` is now in the cache...
+            chunk_toks = np.asarray(toks_d)[0]
+            # ...and all but the last sampled token of the chunk are too
+            for j, t in enumerate(chunk_toks):
+                cur = int(t)
+                is_last = j == len(chunk_toks) - 1
+                if cur in eos:
+                    ended_by_eos = True
+                    break
+                if not is_last:
+                    out_ids.append(cur)
+                    self.pos += 1
+                    if stream is not None:
+                        stream(eng.tokenizer.decode_token(cur))
+        if not ended_by_eos and cur not in eos:
+            # last sampled token was never forwarded: emit it, but its KV is
+            # not in the cache — carry it into the next round's prefill
+            out_ids.append(cur)
+            if stream is not None:
+                stream(eng.tokenizer.decode_token(cur))
+            self._pending = [cur]
+        self.round += 1
+        return eng.tokenizer.decode(out_ids)
+
+
+def llama2_chat_template(user_text: str, round_idx: int) -> str:
+    """LLaMA-2-chat prompt format (equivalent of the reference's MakeInput
+    history splicing, src/models/basemodel.h:24-33)."""
+    return f"[INST] {user_text} [/INST]"

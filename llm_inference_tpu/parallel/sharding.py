@@ -120,13 +120,15 @@ def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
 def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
                     *, logits_mode: str = "last",
                     data_axis: str = "data", tensor_axis: str = "tensor",
-                    donate_cache: bool = True):
-    """Build a jitted shard_map'd forward:
+                    donate_cache: bool = True, jit: bool = True):
+    """Build a shard_map'd forward:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
     ids/positions/last_idx are sharded over the data axis; logits come back
-    replicated across the tensor axis. The cache buffer is donated so XLA
-    updates it in place.
+    replicated across the tensor axis. With jit=True the cache buffer is
+    donated so XLA updates it in place; jit=False returns the raw mapped
+    function for composition into larger jitted programs (e.g. the engine's
+    multi-step decode scan).
     """
     tp_size = mesh.shape[tensor_axis]
     validate_tp(cfg, tp_size)
@@ -148,5 +150,7 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
         out_specs=(logits_spec, cspec),
         check_vma=False,
     )
+    if not jit:
+        return mapped
     donate = (3,) if donate_cache else ()
     return jax.jit(mapped, donate_argnums=donate)

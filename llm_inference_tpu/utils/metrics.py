@@ -1,0 +1,66 @@
+"""Serving metrics: latency/throughput counters + structured logging.
+
+The reference has no observability beyond stdout printf (SURVEY §5); this is
+the "metrics / logging" subsystem the TPU rebuild adds: per-request TTFT,
+decode tokens/s, rolling percentiles, and a one-line JSON snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from collections import defaultdict
+from typing import Dict, List
+
+logger = logging.getLogger("llm_inference_tpu")
+
+
+class Metrics:
+    def __init__(self, window: int = 1024):
+        self.window = window
+        self._series: Dict[str, List[float]] = defaultdict(list)
+        self._counters: Dict[str, float] = defaultdict(float)
+
+    def observe(self, name: str, value: float) -> None:
+        s = self._series[name]
+        s.append(float(value))
+        if len(s) > self.window:
+            del s[: len(s) - self.window]
+
+    def count(self, name: str, inc: float = 1.0) -> None:
+        self._counters[name] += inc
+
+    def percentile(self, name: str, p: float) -> float:
+        s = sorted(self._series.get(name, ()))
+        if not s:
+            return float("nan")
+        idx = min(len(s) - 1, int(p / 100.0 * len(s)))
+        return s[idx]
+
+    def snapshot(self) -> dict:
+        out = dict(self._counters)
+        for name, s in self._series.items():
+            if s:
+                out[f"{name}_p50"] = self.percentile(name, 50)
+                out[f"{name}_p99"] = self.percentile(name, 99)
+                out[f"{name}_last"] = s[-1]
+        return out
+
+    def log_snapshot(self) -> None:
+        logger.info("metrics %s", json.dumps(self.snapshot(), default=float))
+
+
+class Timer:
+    """Context-manager timer feeding a Metrics series."""
+
+    def __init__(self, metrics: Metrics, name: str):
+        self.metrics, self.name = metrics, name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.metrics.observe(self.name, time.perf_counter() - self.t0)
+        return False

@@ -1,0 +1,194 @@
+"""Engine-level tests: generation loop, chunked decode, EOS handling,
+chat sessions with resident KV history, tokenizer round trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
+                                      tiny_llama)
+from llm_inference_tpu.engine.engine import ChatSession, InferenceEngine
+from llm_inference_tpu.engine.tokenizer import BPETokenizer
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_llama()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return llama.init_params(cfg, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def engine(cfg, params):
+    return InferenceEngine(
+        cfg, params,
+        engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                prefill_buckets=(8, 16, 32)))
+
+
+def greedy_reference(cfg, params, prompt, steps, max_seq=64):
+    """Token-by-token greedy loop straight on the model (no engine)."""
+    cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, max_seq,
+                               cfg.head_dim, jnp.bfloat16)
+    ids = jnp.asarray([prompt], jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, cache = llama.forward(cfg, params, ids, pos, cache)
+    toks = [int(jnp.argmax(logits[0]))]
+    for i in range(steps - 1):
+        p = jnp.array([[len(prompt) + i]], jnp.int32)
+        logits, cache = llama.forward(
+            cfg, params, jnp.array([[toks[-1]]], jnp.int32), p, cache)
+        toks.append(int(jnp.argmax(logits[0])))
+    return toks
+
+
+class TestGenerate:
+    def test_greedy_matches_manual_loop(self, cfg, params, engine):
+        prompt = [1, 17, 103, 42]
+        gen = GenerationConfig(max_new_tokens=10, greedy=True,
+                               eos_token_ids=())
+        res = engine.generate([prompt], gen)[0]
+        golden = greedy_reference(cfg, params, prompt, 10)
+        assert res.token_ids == golden
+
+    def test_chunk_size_invariance(self, cfg, params):
+        """Decode chunking must not change greedy output."""
+        prompt = [1, 5, 9]
+        outs = []
+        for chunk in (1, 3, 8):
+            eng = InferenceEngine(
+                cfg, params,
+                engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=chunk,
+                                        prefill_buckets=(8,)))
+            gen = GenerationConfig(max_new_tokens=9, greedy=True,
+                                   eos_token_ids=())
+            outs.append(eng.generate([prompt], gen)[0].token_ids)
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_batch_generation(self, engine):
+        gen = GenerationConfig(max_new_tokens=6, greedy=True,
+                               eos_token_ids=())
+        res = engine.generate([[1, 3, 7], [1, 200, 150, 90, 2]], gen)
+        assert len(res) == 2
+        assert all(len(r.token_ids) == 6 for r in res)
+        # batch rows must match single-row runs (padding independence)
+        solo = engine.generate([[1, 3, 7]], gen)[0]
+        assert res[0].token_ids == solo.token_ids
+
+    def test_eos_stops(self, cfg, params, engine):
+        gen0 = GenerationConfig(max_new_tokens=8, greedy=True,
+                                eos_token_ids=())
+        full = engine.generate([[1, 11, 22]], gen0)[0]
+        # use the 3rd generated token as "EOS" and re-run
+        eos_tok = full.token_ids[2]
+        gen1 = GenerationConfig(max_new_tokens=8, greedy=True,
+                                eos_token_ids=(eos_tok,))
+        res = engine.generate([[1, 11, 22]], gen1)[0]
+        assert res.finished
+        assert res.token_ids == full.token_ids[:2]
+
+    def test_streaming_callback(self, engine):
+        seen = []
+        gen = GenerationConfig(max_new_tokens=5, greedy=True,
+                               eos_token_ids=())
+        res = engine.generate([[1, 2, 3]], gen,
+                              stream=lambda row, tid, s: seen.append(tid))
+        assert seen == res[0].token_ids
+
+    def test_sampled_generation_reproducible(self, engine):
+        gen = GenerationConfig(max_new_tokens=6, temperature=0.8, top_k=50,
+                               seed=7, eos_token_ids=())
+        a = engine.generate([[1, 9, 2]], gen)[0].token_ids
+        b = engine.generate([[1, 9, 2]], gen)[0].token_ids
+        assert a == b
+
+
+class TestChatSession:
+    def test_history_resident_matches_full_reprefill(self, cfg, params):
+        """Round-2 logits with cache-resident history must equal a fresh
+        prefill over the concatenated history."""
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=2,
+                                    prefill_buckets=(4, 8, 16, 32)))
+        # identity "template" and token prompts via a fake tokenizer
+        class TokStub:
+            def encode(self, text, add_bos=True):
+                return [int(t) for t in text.split()]
+            def decode(self, ids):
+                return " ".join(map(str, ids))
+            def decode_token(self, tid):
+                return f"{tid} "
+        eng.tokenizer = TokStub()
+        sess = ChatSession(eng, template=lambda text, r: text)
+        gen = GenerationConfig(max_new_tokens=4, greedy=True,
+                               eos_token_ids=())
+        r1 = sess.ask("1 5 9", gen)
+        r2 = sess.ask("7 3", gen)
+        ids1 = [int(t) for t in r1.split()]
+        ids2 = [int(t) for t in r2.split()]
+
+        # golden: full-history token-by-token greedy
+        hist = [1, 5, 9]
+        golden1 = greedy_reference(cfg, params, hist, 4)
+        assert ids1 == golden1
+        hist = hist + golden1 + [7, 3]
+        golden2 = greedy_reference(cfg, params, hist, 4)
+        assert ids2 == golden2
+
+
+class TestTokenizer:
+    @pytest.fixture(scope="class")
+    def tok(self, tmp_path_factory):
+        # synthesize a small vocab in the reference binary format
+        vocab = {}
+        tid = 0
+        for t in ["<unk>", "<s>", "</s>"]:
+            vocab[t.encode()] = (tid, 0.0); tid += 1
+        for i in range(256):
+            vocab[b"<0x%02X>" % i] = (tid, -1000.0); tid += 1
+        # BPE can only merge pairs whose concatenation is in-vocab, so the
+        # vocab must contain the intermediate pieces (as real SP vocabs do)
+        pieces = ["▁", "a", "b", "c", "h", "e", "l", "o", "w", "r", "d",
+                  "ab", "abc", "▁ab", "▁h", "▁he", "ll", "llo", "▁hello",
+                  "▁w", "▁wo", "or", "orl", "orld", "▁world", "!"]
+        for i, p in enumerate(pieces):
+            vocab[p.encode()] = (tid, float(len(p))); tid += 1
+        t = BPETokenizer(vocab, kv={"bos_token_id": "1",
+                                    "eos_token_id": "2"})
+        path = tmp_path_factory.mktemp("tok") / "vocab.bin"
+        t.save_binary(str(path))
+        return BPETokenizer.from_binary(str(path))
+
+    def test_roundtrip(self, tok):
+        for s in ["hello world!", "abc ab c", "x y z"]:
+            assert tok.decode(tok.encode(s, add_bos=False)) == s
+
+    def test_merges_prefer_longest_score(self, tok):
+        ids = tok.encode("hello", add_bos=False)
+        assert ids == [tok.token_to_id["▁hello"]]
+
+    def test_byte_fallback(self, tok):
+        ids = tok.encode("é", add_bos=False)  # not in vocab → utf-8 bytes
+        assert tok.decode(ids) == "é"
+
+    def test_bos(self, tok):
+        assert tok.encode("a")[0] == 1
+
+    def test_reference_vocab_file_if_present(self):
+        import os
+        path = "/root/reference/llama2-7b-tokenizer.bin"
+        if not os.path.exists(path):
+            pytest.skip("reference tokenizer artifact not present")
+        t = BPETokenizer.from_binary(path)
+        assert t.vocab_size == 32000
+        # HF-verified ids for llama-2
+        assert t.encode("Hello, world!") == [1, 15043, 29892, 3186, 29991]
+        s = "The quick brown fox."
+        assert t.decode(t.encode(s, add_bos=False)) == s
