@@ -1,0 +1,143 @@
+"""Headline benchmark: LLaMA-2-7B INT8 weight-only decode, batch=1, on one
+TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline reports the
+fraction of the chip's HBM-bandwidth ROOFLINE achieved — the honest
+speed-of-light comparison for a memory-bound decode (v5e ≈ 819 GB/s; decode
+cost ≈ weight bytes + KV bytes per token). 1.0 = speed of light.
+
+Measurement notes: this environment reaches the chip through a relay with
+~30 ms fixed round-trip latency, so the decode loop runs as ONE jitted
+lax.scan of many steps (greedy sampling feeding back on device) and latency
+is amortized + subtracted via two different step counts.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"[bench] backend={backend} devices={jax.devices()}")
+
+    from llm_inference_tpu.config import QuantConfig, llama2_7b, tiny_llama
+    from llm_inference_tpu.models import llama
+    from llm_inference_tpu.ops import kvcache
+
+    if on_tpu:
+        cfg = llama2_7b()
+        steps_a, steps_b = 32, 160
+        hbm_bw = 819e9  # v5e
+    else:  # smoke mode for CI machines
+        cfg = tiny_llama(num_kv_heads=4)
+        steps_a, steps_b = 4, 12
+        hbm_bw = 50e9
+
+    qcfg = QuantConfig(weights="int8")
+    seq_len = 1024
+    prompt_len = 128
+
+    t0 = time.time()
+    params = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
+    cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, seq_len,
+                               cfg.head_dim, jnp.bfloat16)
+    log(f"[bench] params built in {time.time()-t0:.1f}s, "
+        f"{llama.param_bytes(params)/1e9:.2f} GB")
+
+    # ---- prefill (TTFT component) ----
+    def prefill(params, ids, pos, cache):
+        return llama.forward(cfg, params, ids, pos, cache)
+
+    prefill_j = jax.jit(prefill, donate_argnums=(3,))
+    ids = jnp.ones((1, prompt_len), jnp.int32)
+    pos = jnp.arange(prompt_len, dtype=jnp.int32)[None]
+    t0 = time.time()
+    logits, cache = prefill_j(params, ids, pos, cache)
+    logits.block_until_ready()
+    log(f"[bench] prefill compile+run {time.time()-t0:.1f}s")
+    ts = []
+    for _ in range(3):
+        cache_i = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                     seq_len, cfg.head_dim, jnp.bfloat16)
+        t0 = time.perf_counter()
+        logits, cache = prefill_j(params, ids, pos, cache_i)
+        np.asarray(logits[0, :8])  # fetch → true completion
+        ts.append(time.perf_counter() - t0)
+    ttft = min(ts)
+    log(f"[bench] prefill({prompt_len} tokens) p50 ≈ {ttft*1e3:.1f} ms "
+        f"(includes ~30ms relay RTT)")
+
+    # ---- decode: jitted scan of N greedy steps ----
+    def decode_n(params, cache, token, pos0, steps):
+        def body(carry, _):
+            cache, token, pos = carry
+            logits, cache = llama.forward(cfg, params, token[:, None],
+                                          pos[:, None], cache)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (cache, nxt, pos + 1), nxt
+        (cache, token, pos), toks = jax.lax.scan(
+            body, (cache, token, pos0), None, length=steps)
+        return toks, cache
+
+    token0 = jnp.argmax(logits, -1).astype(jnp.int32)
+    pos0 = jnp.full((1,), prompt_len, jnp.int32)
+
+    times = {}
+    for steps in (steps_a, steps_b):
+        fn = jax.jit(lambda p, c, t, q, s=steps: decode_n(p, c, t, q, s))
+        t0 = time.time()
+        toks, _ = fn(params, cache, token0, pos0)
+        np.asarray(toks[-1])
+        log(f"[bench] decode[{steps}] compile+run {time.time()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            toks, _ = fn(params, cache, token0, pos0)
+            np.asarray(toks[-1])     # fetch → true completion
+            best = min(best, time.perf_counter() - t0)
+        times[steps] = best
+        log(f"[bench] decode {steps} steps: {best*1e3:.1f} ms")
+
+    # amortize fixed relay latency: marginal time per step
+    dt = (times[steps_b] - times[steps_a]) / (steps_b - steps_a)
+    tokens_per_s = 1.0 / dt
+
+    # roofline: bytes touched per decode step
+    wbytes = llama.param_bytes(params)
+    # embed table is gathered (1 row), not streamed — subtract it
+    wbytes -= params["embed"].size * params["embed"].dtype.itemsize
+    wbytes += params["embed"].shape[1] * 2
+    kv_bytes = (cfg.num_layers * cfg.num_kv_heads * (prompt_len + steps_b // 2)
+                * cfg.head_dim * 2 * 2)
+    roofline = hbm_bw / (wbytes + kv_bytes)
+    frac = tokens_per_s / roofline
+
+    log(f"[bench] marginal decode: {dt*1e3:.2f} ms/token → "
+        f"{tokens_per_s:.1f} tok/s; roofline {roofline:.1f} tok/s "
+        f"({wbytes/1e9:.2f} GB weights + {kv_bytes/1e6:.0f} MB KV per token)")
+
+    metric = ("llama2_7b_int8_decode_tokens_per_s" if on_tpu
+              else "tiny_llama_int8_decode_tokens_per_s_cpu_smoke")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(frac, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
