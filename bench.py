@@ -52,6 +52,7 @@ def main():
 
     t0 = time.time()
     params = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
+    params = llama.prepare_params(params)
     cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, seq_len,
                                cfg.head_dim, jnp.bfloat16)
     log(f"[bench] params built in {time.time()-t0:.1f}s, "

@@ -36,7 +36,8 @@ def build_engine(args):
 
     if args.quant != "none":
         qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
-        params = llama.quantize_params(params, qcfg)
+        params = llama.quantize_params(params, qcfg, row_shards=args.tp)
+    params = llama.prepare_params(params, tp_size=args.tp)
 
     tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
     mesh = None

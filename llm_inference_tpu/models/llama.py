@@ -54,7 +54,9 @@ import jax.numpy as jnp
 from llm_inference_tpu.config import ModelConfig, QuantConfig
 from llm_inference_tpu.ops import activations, attention, embedding, kvcache, norms, rope
 from llm_inference_tpu.ops.linear import matmul
-from llm_inference_tpu.ops.quantization import QTensor, quantize
+from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
+from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
+                                                quantize, to_blocked)
 
 Params = Dict[str, Any]
 
@@ -107,6 +109,114 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _interleave_cols(arrs, tp_size: int):
+    """Concat along the last (output/column) axis, shard-locally: result
+    column block s is [a0_s | a1_s | ... ] so a contiguous 1/tp_size column
+    slice of the fused weight is exactly the fusion of each input's shard-s
+    slice. tp_size=1 degenerates to a plain concat."""
+    if tp_size == 1:
+        return jnp.concatenate(arrs, axis=-1)
+    parts = []
+    for s in range(tp_size):
+        for a in arrs:
+            n = a.shape[-1] // tp_size
+            parts.append(jax.lax.slice_in_dim(a, s * n, (s + 1) * n,
+                                              axis=a.ndim - 1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def fuse_params(params: Params, tp_size: int = 1) -> Params:
+    """Fuse wq/wk/wv → wqkv and w_gate/w_up → w_gateup (column concat).
+
+    The decode GEMVs are HBM-bound with a fixed per-kernel cost, so 7
+    matmuls/layer → 4 cuts overhead nearly in half. This mirrors what the
+    reference does OFFLINE to its checkpoints (reference: src/weights/llama/
+    layer_weights.cc:48-66 loads pre-fused qkv / gate_up files) but is done
+    at load time and stays tensor-parallel-sliceable: columns are interleaved
+    per TP shard (see _interleave_cols), so the sharding rules still apply
+    P(..., tp) to the fused axis and each shard sees [q_s | k_s | v_s].
+    Works for dense arrays and QTensors (scales concat along N as well;
+    INT4 row packing is untouched by a column concat)."""
+    layers = dict(params["layers"])
+
+    def fuse(keys, out_key):
+        ws = [layers.pop(k) for k in keys]
+        if isinstance(ws[0], QTensor):
+            layers[out_key] = QTensor(
+                q=_interleave_cols([w.q for w in ws], tp_size),
+                scale=_interleave_cols([w.scale for w in ws], tp_size),
+                bits=ws[0].bits, group_size=ws[0].group_size,
+                orig_dtype=ws[0].orig_dtype, block_rows=ws[0].block_rows)
+        else:
+            layers[out_key] = _interleave_cols(ws, tp_size)
+
+    if "wq" in layers:
+        fuse(("wq", "wk", "wv"), "wqkv")
+        if "bq" in layers:
+            fuse(("bq", "bk", "bv"), "bqkv")
+    if "w_gate" in layers:
+        fuse(("w_gate", "w_up"), "w_gateup")
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+# Output-column-sharded vs contraction-row-sharded weight names under TP
+# (must stay in sync with parallel/sharding.py's spec rules).
+_COL_KEYS = ("wqkv", "wq", "wk", "wv", "w_gate", "w_up", "w_gateup")
+_ROW_KEYS = ("wo", "w_down")
+
+
+def block_params(params: Params, tp_size: int = 1,
+                 target_bytes: int = 3 << 20) -> Params:
+    """Re-lay every QTensor into the column-blocked streaming layout
+    (quantization.to_blocked) so the Pallas decode GEMV DMAs contiguous
+    chunks. The block width divides the TP-shard-local output dim so the
+    blocked leading axis shards cleanly; the chunk-size budget is computed
+    on the shard-local contraction rows."""
+    layers = dict(params["layers"])
+    for name, w in layers.items():
+        if not isinstance(w, QTensor) or w.block_n:
+            continue
+        Kp, N = w.q.shape[-2], w.q.shape[-1]
+        n_local = N // tp_size if name in _COL_KEYS else N
+        k_local = Kp // tp_size if name in _ROW_KEYS else Kp
+        bn = choose_block_n(k_local, n_local, target_bytes)
+        if bn:
+            layers[name] = to_blocked(w, bn)
+    out = dict(params)
+    out["layers"] = layers
+    lm = out.get("lm_head")
+    if isinstance(lm, QTensor) and not lm.block_n:
+        bn = choose_block_n(lm.q.shape[-2], lm.q.shape[-1] // tp_size,
+                            target_bytes)
+        if bn:
+            out["lm_head"] = to_blocked(lm, bn)
+    return out
+
+
+def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
+                   block: bool = True, donate: bool = True) -> Params:
+    """Post-quantization layout passes: fuse qkv/gate-up, then re-lay
+    QTensors for streaming. Call after quantize_params / checkpoint load.
+
+    donate=True (default) runs the re-layout as one jitted program with the
+    input pytree donated, so the old layout never coexists with the new one
+    in HBM (a 7B model would otherwise briefly need ~2× weight memory).
+    The caller's `params` buffers are invalidated — rebind the variable.
+    """
+    def _transform(p):
+        if fuse:
+            p = fuse_params(p, tp_size)
+        if block:
+            p = block_params(p, tp_size)
+        return p
+
+    if donate:
+        return jax.jit(_transform, donate_argnums=0)(params)
+    return _transform(params)
 
 
 def quantize_params(params: Params, qcfg: QuantConfig,
@@ -220,36 +330,73 @@ def _sharded_embedding_lookup(table, ids, tp_axis):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer(cfg: ModelConfig, h, lp, kc, vc, positions, write_offsets, mask,
-           cos, sin, tp_axis: Optional[str]):
-    """One decoder layer. h: [B, T, H] (replicated across TP); kc/vc:
-    [B, Hkv_local, S, D]."""
+def _layer(cfg: ModelConfig, h, lp, qw, k_all, v_all, layer_idx, positions,
+           write_offsets, mask, cos, sin, tp_axis: Optional[str]):
+    """One decoder layer. h: [B, T, H] (replicated across TP).
+
+    Layer-varying state is split three ways:
+    - `lp`: small per-layer tensors (norms, biases, dense weights) — scanned
+      xs, sliced by the scan itself.
+    - `qw`: stacked QTensor weights, passed WHOLE and indexed by `layer_idx`
+      inside the matmul kernel (a scan-sliced operand to an opaque Pallas
+      call would be materialized — an HBM→HBM copy of every weight every
+      step; see ops/pallas/quant_matmul._quant_matmul_blocked).
+    - the FULL stacked cache (k_all [L, B, Hkv_local, D, S], v_all
+      [L, B, Hkv_local, S, D]) — scan CARRY, updated in place via while-loop
+      carry aliasing, pages addressed by `layer_idx` (kvcache.
+      update_kv_cache_layer)."""
     B, T, H = h.shape
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
 
+    def mm(name, x, bias=None):
+        if name in qw:
+            return matmul(x, qw[name], bias=bias, layer=layer_idx)
+        return matmul(x, lp[name], bias=bias)
+
     # --- attention block ---
     normed = norms.rms_norm(h, lp["attn_norm"], eps)
-    q = matmul(normed, lp["wq"], bias=lp.get("bq"))
-    k = matmul(normed, lp["wk"], bias=lp.get("bk"))
-    v = matmul(normed, lp["wv"], bias=lp.get("bv"))
+    if "wqkv" in qw or "wqkv" in lp:
+        # load-time fused projection (fuse_params); split is shard-local
+        qkv = mm("wqkv", normed, bias=lp.get("bqkv"))
+        n_local = qkv.shape[-1]
+        nq = n_local * cfg.num_heads // (cfg.num_heads + 2 * cfg.num_kv_heads)
+        nkv = (n_local - nq) // 2
+        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv], qkv[..., nq + nkv:])
+    else:
+        q = mm("wq", normed, bias=lp.get("bq"))
+        k = mm("wk", normed, bias=lp.get("bk"))
+        v = mm("wv", normed, bias=lp.get("bv"))
     q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
     k = k.reshape(B, T, -1, D)
     v = v.reshape(B, T, -1, D)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
-    kc, vc = kvcache.update_kv_cache(kc, vc, k, v, write_offsets)
-    attn = attention.attend(q, kc, vc, mask,
-                            logit_softcap=cfg.attn_logit_softcap)
-    attn = matmul(attn.reshape(B, T, -1), lp["wo"])
+    k_all, v_all = kvcache.update_kv_cache_layer(k_all, v_all, layer_idx,
+                                                 k, v, write_offsets)
+    S = k_all.shape[-1]
+    if T == 1 and pallas_decode.supports(q.shape, S):
+        attn = pallas_decode.decode_attention(
+            q, k_all, v_all, layer_idx, positions[:, -1],
+            logit_softcap=cfg.attn_logit_softcap)
+    else:
+        kc = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
+        attn = attention.attend(q, kc, vc, mask,
+                                logit_softcap=cfg.attn_logit_softcap)
+    attn = mm("wo", attn.reshape(B, T, -1))
     h = h + _psum(attn, tp_axis)
 
     # --- FFN block ---
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
-    act = activations.swiglu_split(matmul(normed, lp["w_gate"]),
-                                   matmul(normed, lp["w_up"]))
-    h = h + _psum(matmul(act, lp["w_down"]), tp_axis)
-    return h, kc, vc
+    if "w_gateup" in qw or "w_gateup" in lp:
+        gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
+        act = activations.swiglu_split(gate, up)
+    else:
+        act = activations.swiglu_split(mm("w_gate", normed),
+                                       mm("w_up", normed))
+    h = h + _psum(mm("w_down", act), tp_axis)
+    return h, k_all, v_all
 
 
 def forward(
@@ -280,14 +427,20 @@ def forward(
         cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling)
 
-    def body(h, xs):
-        lp, kc, vc = xs
-        h, kc, vc = _layer(cfg, h, lp, kc, vc, positions, write_offsets,
-                           mask, cos, sin, tp_axis)
-        return h, (kc, vc)
+    # stacked QTensor weights bypass the scan (indexed inside the kernels);
+    # everything small rides as scan xs
+    qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
+    xs = {k: v for k, v in params["layers"].items()
+          if not isinstance(v, QTensor)}
 
-    h, (k_new, v_new) = jax.lax.scan(
-        body, h, (params["layers"], cache.k, cache.v))
+    def body(carry, lp):
+        h, k_all, v_all, idx = carry
+        h, k_all, v_all = _layer(cfg, h, lp, qw, k_all, v_all, idx, positions,
+                                 write_offsets, mask, cos, sin, tp_axis)
+        return (h, k_all, v_all, idx + 1), None
+
+    (h, k_new, v_new, _), _ = jax.lax.scan(
+        body, (h, cache.k, cache.v, jnp.int32(0)), xs)
     new_cache = kvcache.KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":

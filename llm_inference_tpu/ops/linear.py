@@ -19,8 +19,11 @@ from llm_inference_tpu.ops.quantization import ArrayOrQ, QTensor, qmatmul_ref
 
 
 def matmul(x: jnp.ndarray, w: ArrayOrQ, bias: Optional[jnp.ndarray] = None,
-           use_pallas: bool = True) -> jnp.ndarray:
-    """y = x @ W (+ bias). W may be a dense array or a QTensor.
+           use_pallas: bool = True, layer=None) -> jnp.ndarray:
+    """y = x @ W (+ bias). W may be a dense array or a QTensor; a QTensor
+    stacked over layers takes `layer` to select the slice inside the kernel
+    (so stacked weights are never materialized per layer — see
+    ops/pallas/quant_matmul._quant_matmul_blocked).
 
     For QTensor weights this dispatches to the fused dequant matmul kernel
     (ops/pallas/quant_matmul.py) on TPU, falling back to the jnp reference
@@ -29,8 +32,11 @@ def matmul(x: jnp.ndarray, w: ArrayOrQ, bias: Optional[jnp.ndarray] = None,
     if isinstance(w, QTensor):
         if use_pallas:
             from llm_inference_tpu.ops.pallas import quant_matmul as qm
-            y = qm.quant_matmul(x, w)
+            y = qm.quant_matmul(x, w, layer=layer)
         else:
+            if layer is not None:
+                from llm_inference_tpu.ops.pallas.quant_matmul import _index_layer
+                w = _index_layer(w, layer)
             y = qmatmul_ref(x, w)
     else:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32

@@ -31,9 +31,9 @@ from llm_inference_tpu.config import ModelConfig
 from llm_inference_tpu.models import llama
 from llm_inference_tpu.ops import kvcache
 
-_COL_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up"}
+_COL_SHARDED = {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gateup"}
 _ROW_SHARDED = {"wo", "w_down"}
-_BIASES = {"bq", "bk", "bv"}
+_BIASES = {"bq", "bk", "bv", "bqkv"}
 
 
 def _path_keys(path) -> list:
@@ -53,11 +53,20 @@ def _spec_for(path, leaf, tp: str, tp_size: int) -> P:
     names = set(keys)
     is_scale = keys[-1] == "scale"
 
+    # blocked streaming layout (QTensor.block_n): layer weights are
+    # [L, NB, K', bn] (q) / [L, NB, G, bn] (scale); lm_head drops the L.
+    # The column dim is the NB axis, the contraction rows stay axis -2.
+    blocked = leaf.ndim == 4 or ("lm_head" in names and leaf.ndim == 3)
+
     if "embed" in names:
         return P(tp, None)                       # vocab-sharded
     if "lm_head" in names:
+        if blocked:
+            return P(tp, None, None)             # NB axis carries the vocab
         return P(*([None] * (leaf.ndim - 1) + [tp]))   # vocab-sharded cols
     if names & _COL_SHARDED:
+        if blocked:
+            return P(None, tp, None, None)       # [L, NB, K', bn] → NB
         return P(*([None] * (leaf.ndim - 1) + [tp]))   # [L, K, N] → cols
     if names & _BIASES:
         return P(None, tp)
@@ -65,11 +74,11 @@ def _spec_for(path, leaf, tp: str, tp_size: int) -> P:
         if is_scale:
             # group scales follow the contraction rows; per-channel scales
             # (or non-divisible group counts) replicate
-            g = leaf.shape[1]
+            g = leaf.shape[-2]
             if g > 1 and g % tp_size == 0:
-                return P(None, tp, None)
-            return P(None, None, None)
-        return P(None, tp, None)                 # [L, K, N] → rows
+                return P(*([None] * (leaf.ndim - 2) + [tp, None]))
+            return P(*([None] * leaf.ndim))
+        return P(*([None] * (leaf.ndim - 2) + [tp, None]))  # rows = axis -2
     # norms and anything unrecognized: replicate
     return P(*([None] * leaf.ndim))
 

@@ -120,3 +120,47 @@ class TestQuantizedForward:
                                                        group_size=32))
         b, b8, b4 = (llama.param_bytes(p) for p in (params, q8, q4))
         assert b8 < 0.6 * b and b4 < 0.45 * b
+
+
+class TestPreparedParams:
+    """fuse_params + block_params (the serving weight layout) must be a pure
+    re-layout: same logits as the unfused row-major parameters."""
+
+    @pytest.mark.parametrize("weights", ["none", "int8", "int4"])
+    def test_prepared_matches_plain(self, cfg, params, weights):
+        p0 = params
+        if weights != "none":
+            p0 = llama.quantize_params(p0, QuantConfig(weights=weights,
+                                                       group_size=32))
+        prep = llama.prepare_params(p0, donate=False)  # p0 reused below
+        assert "wqkv" in prep["layers"] and "wq" not in prep["layers"]
+        assert "w_gateup" in prep["layers"]
+        rng = np.random.default_rng(3)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5), (2, 1))
+        a, ca = llama.forward(cfg, p0, ids, pos, make_cache(cfg, 2))
+        b, cb = llama.forward(cfg, prep, ids, pos, make_cache(cfg, 2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+        # decode step parity too (separate cache lineages)
+        tok = jnp.argmax(a, -1).astype(jnp.int32)[:, None]
+        dpos = jnp.full((2, 1), 5, jnp.int32)
+        da, _ = llama.forward(cfg, p0, tok, dpos, ca)
+        db, _ = llama.forward(cfg, prep, tok, dpos, cb)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   atol=5e-3, rtol=1e-3)
+
+    def test_tp_interleaved_fusion_slices(self, cfg, params):
+        """A column shard of the fused weight must equal the fusion of the
+        per-tensor shards (what shard_map hands each TP rank)."""
+        tp = 2
+        fused = llama.fuse_params(params, tp_size=tp)["layers"]["wqkv"]
+        wq, wk, wv = (params["layers"][k] for k in ("wq", "wk", "wv"))
+        n = fused.shape[-1] // tp
+        for s in range(tp):
+            shard = np.asarray(fused[..., s * n:(s + 1) * n])
+            expect = np.concatenate(
+                [np.asarray(w[..., s * (w.shape[-1] // tp):
+                              (s + 1) * (w.shape[-1] // tp)])
+                 for w in (wq, wk, wv)], axis=-1)
+            np.testing.assert_array_equal(shard, expect)

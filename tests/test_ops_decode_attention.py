@@ -1,0 +1,93 @@
+"""Fused decode-attention Pallas kernel vs the jnp golden model.
+
+(Reference analogue: tests/unittests/test_fused_decoder_attention.cu — GPU
+kernel vs scalar CPU golden; here the golden is ops.attention.decode_attend.)
+Interpret mode on CPU; compiled-mode coverage comes from bench runs on chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.ops import attention
+from llm_inference_tpu.ops.pallas import decode_attention as DA
+
+
+CASES = [
+    # B, Hq, Hkv, S, D     (MHA, GQA, multi-batch, deep-cache)
+    (1, 8, 8, 256, 128),
+    (2, 8, 2, 256, 128),
+    (4, 4, 4, 128, 64),
+    (1, 32, 32, 1024, 128),
+]
+
+
+class TestDecodeAttention:
+    @pytest.mark.parametrize("B,Hq,Hkv,S,D", CASES)
+    def test_matches_golden(self, B, Hq, Hkv, S, D):
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+        pos = jnp.asarray(
+            np.random.default_rng(1).integers(1, S - 1, (B,)), jnp.int32)
+        kt = k.transpose(0, 1, 3, 2)          # cache keeps K as [.., D, S]
+        assert DA.supports(q.shape, S)
+        ref = attention.decode_attend(q, kt, v, pos[:, None])
+        out = DA.decode_attention(q, kt[None], v[None], 0, pos)
+        assert out.shape == ref.shape
+        # kernel computes the dots on bf16 operands (the production dtype);
+        # the f32 golden differs by bf16 rounding
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-3, rtol=2e-2)
+
+    def test_respects_position_mask(self):
+        """Entries beyond `pos` must not contribute."""
+        B, Hq, S, D = 1, 4, 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, Hq, S, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hq, S, D), jnp.float32)
+        pos = jnp.array([17], jnp.int32)
+        kt = k.transpose(0, 1, 3, 2)
+        out1 = DA.decode_attention(q, kt[None], v[None], 0, pos)
+        # poison the cache beyond pos — output must be identical
+        k2 = kt.at[:, :, :, 18:].set(1e4)
+        v2 = v.at[:, :, 18:].set(-1e4)
+        out2 = DA.decode_attention(q, k2[None], v2[None], 0, pos)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
+
+    def test_softcap(self):
+        B, Hq, S, D = 1, 2, 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32) * 3
+        k = jax.random.normal(ks[1], (B, Hq, S, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hq, S, D), jnp.float32)
+        pos = jnp.array([100], jnp.int32)
+        kt = k.transpose(0, 1, 3, 2)
+        ref = attention.decode_attend(q, kt, v, pos[:, None], logit_softcap=30.0)
+        out = DA.decode_attention(q, kt[None], v[None], 0, pos, logit_softcap=30.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-3, rtol=2e-2)
+
+    def test_supports_gating(self):
+        assert not DA.supports((1, 2, 4, 32), 128)      # D=32 unsupported
+        assert not DA.supports((1, 4, 4, 128), 100)     # S not 128-multiple
+        assert not DA.supports((1, 4, 4, 128), 128 * 1024)  # too long
+
+
+    def test_layer_indexing(self):
+        """The kernel must read pages of the requested layer only."""
+        L, B, Hq, S, D = 3, 1, 4, 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (L, B, Hq, D, S), jnp.float32)
+        v = jax.random.normal(ks[2], (L, B, Hq, S, D), jnp.float32)
+        pos = jnp.array([60], jnp.int32)
+        for l in range(L):
+            ref = attention.decode_attend(q, k[l], v[l], pos[:, None])
+            out = DA.decode_attention(q, k, v, l, pos)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=4e-3, rtol=2e-2)

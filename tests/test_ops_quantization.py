@@ -63,8 +63,34 @@ class TestBlockPacking:
         w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
         qt = Q.quantize(jnp.asarray(w), bits=4, group_size=128, pack_blocks=2)
         golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
-        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        out = QM.quant_matmul(jnp.asarray(x), Q.to_blocked(qt, 128))
         assert rel_err(out, golden) < 2e-2
+
+
+class TestBlockedLayout:
+    """Column-blocked streaming layout (QTensor.block_n > 0)."""
+
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 64), (4, 0), (4, 64)])
+    def test_roundtrip_and_ref(self, bits, gs):
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal((3, 256)).astype(np.float32) * 0.1
+        w = rng.standard_normal((256, 384)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        qb = Q.to_blocked(qt, 128)
+        assert qb.shape == qt.shape
+        np.testing.assert_array_equal(np.asarray(Q.dequantize(qb)),
+                                      np.asarray(Q.dequantize(qt)))
+        np.testing.assert_array_equal(
+            np.asarray(Q.from_blocked(qb).q), np.asarray(qt.q))
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        assert rel_err(Q.qmatmul_ref(jnp.asarray(x), qb, jnp.float32),
+                       golden) < 2e-2
+
+    def test_choose_block_n(self):
+        assert Q.choose_block_n(4096, 12288) == 768  # 3 MB = budget
+        assert Q.choose_block_n(11008, 4096) == 256
+        assert Q.choose_block_n(4096, 96) == 0       # no 128-divisor
+        assert Q.choose_block_n(32768, 128, target_bytes=3 << 20) == 0
 
 
 class TestQuantize:
@@ -106,9 +132,10 @@ class TestPallasQuantMatmul:
         M, K, N = 4, 512, 256
         x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
         w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
-        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        qt = Q.to_blocked(Q.quantize(jnp.asarray(w), bits=bits, group_size=gs),
+                          128)
         golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
-        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        out = QM.quant_matmul(jnp.asarray(x), qt)
         assert out.shape == (M, N)
         assert rel_err(out, golden) < 2e-2
 
@@ -116,8 +143,8 @@ class TestPallasQuantMatmul:
         rng = np.random.default_rng(4)
         x = rng.standard_normal((2, 1, 256)).astype(np.float32) * 0.1
         w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
-        qt = Q.quantize(jnp.asarray(w), bits=8)
-        out = QM.quant_matmul(jnp.asarray(x), qt, block_n=128, block_k=128)
+        qt = Q.to_blocked(Q.quantize(jnp.asarray(w), bits=8), 128)
+        out = QM.quant_matmul(jnp.asarray(x), qt)
         golden = Q.qmatmul_ref(jnp.asarray(x), qt, jnp.float32)
         assert out.shape == (2, 1, 128)
         assert rel_err(out, np.asarray(golden)) < 2e-2
@@ -126,7 +153,16 @@ class TestPallasQuantMatmul:
         rng = np.random.default_rng(5)
         x = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
         w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
-        qt = Q.quantize(jnp.asarray(w), bits=8)
+        qt = Q.to_blocked(Q.quantize(jnp.asarray(w), bits=8), 128)
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        golden = Q.qmatmul_ref(jnp.asarray(x), qt)
+        assert rel_err(out, np.asarray(golden)) < 2e-2
+
+    def test_unblocked_falls_back(self):
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((4, 256)).astype(np.float32) * 0.1
+        w = rng.standard_normal((256, 128)).astype(np.float32) * 0.1
+        qt = Q.quantize(jnp.asarray(w), bits=8)   # row-major layout
         out = QM.quant_matmul(jnp.asarray(x), qt)
         golden = Q.qmatmul_ref(jnp.asarray(x), qt)
         assert rel_err(out, np.asarray(golden)) < 2e-2
