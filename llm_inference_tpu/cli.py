@@ -15,6 +15,7 @@ import argparse
 import sys
 
 import jax
+import jax.numpy as jnp
 
 
 def build_engine(args):
@@ -46,8 +47,10 @@ def build_engine(args):
         mesh = make_mesh(C.ShardingConfig(data=args.dp, tensor=args.tp))
     eng_cfg = C.EngineConfig(max_seq_len=args.max_seq_len,
                              decode_chunk=args.decode_chunk)
+    cache_dtype = "int8" if args.kv_cache == "int8" else jnp.bfloat16
     return InferenceEngine(cfg, params, engine_cfg=eng_cfg,
-                           tokenizer=tokenizer, mesh=mesh)
+                           tokenizer=tokenizer, mesh=mesh,
+                           cache_dtype=cache_dtype)
 
 
 def main(argv=None):
@@ -61,6 +64,7 @@ def main(argv=None):
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--max-seq-len", type=int, default=2048)

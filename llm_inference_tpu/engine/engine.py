@@ -60,12 +60,14 @@ class InferenceEngine:
         self.cache_dtype = cache_dtype
         self.metrics = metrics.Metrics()
 
+        kv_quantized = cache_dtype in (jnp.int8, "int8")
         if mesh is not None and mesh.devices.size > 1:
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
             self.params = _sh.shard_params(params, mesh)
             self._fwd = _sh.sharded_forward(cfg, mesh, self.params,
-                                            logits_mode="last", jit=False)
+                                            logits_mode="last", jit=False,
+                                            cache_quantized=kv_quantized)
             self._shard_cache = lambda c: _sh.shard_cache(c, mesh)
         else:
             self.params = params
@@ -133,9 +135,10 @@ class InferenceEngine:
 
     def _bucket(self, n: int) -> int:
         for b in self.engine_cfg.prefill_buckets:
-            if n <= b:
+            # a bucket wider than the cache would write past max_seq_len
+            if n <= b <= self.engine_cfg.max_seq_len:
                 return b
-        return n  # beyond the largest bucket: compile exactly
+        return n  # beyond the largest (valid) bucket: compile exactly
 
     def _encode_prompts(self, prompts) -> List[List[int]]:
         out = []

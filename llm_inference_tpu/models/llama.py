@@ -55,6 +55,7 @@ from llm_inference_tpu.config import ModelConfig, QuantConfig
 from llm_inference_tpu.ops import activations, attention, embedding, kvcache, norms, rope
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
+from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
 from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
                                                 quantize, to_blocked)
 
@@ -177,13 +178,20 @@ def block_params(params: Params, tp_size: int = 1,
     blocked leading axis shards cleanly; the chunk-size budget is computed
     on the shard-local contraction rows."""
     layers = dict(params["layers"])
+
+    def budget(w):
+        # int4 chunks unpack to 2× rows of i32/f32 intermediates in VMEM —
+        # keep the packed streaming block smaller so the whole working set
+        # stays within scoped vmem
+        return target_bytes if w.bits == 8 else target_bytes // 2
+
     for name, w in layers.items():
         if not isinstance(w, QTensor) or w.block_n:
             continue
         Kp, N = w.q.shape[-2], w.q.shape[-1]
         n_local = N // tp_size if name in _COL_KEYS else N
         k_local = Kp // tp_size if name in _ROW_KEYS else Kp
-        bn = choose_block_n(k_local, n_local, target_bytes)
+        bn = choose_block_n(k_local, n_local, budget(w))
         if bn:
             layers[name] = to_blocked(w, bn)
     out = dict(params)
@@ -191,7 +199,7 @@ def block_params(params: Params, tp_size: int = 1,
     lm = out.get("lm_head")
     if isinstance(lm, QTensor) and not lm.block_n:
         bn = choose_block_n(lm.q.shape[-2], lm.q.shape[-1] // tp_size,
-                            target_bytes)
+                            budget(lm))
         if bn:
             out["lm_head"] = to_blocked(lm, bn)
     return out
@@ -295,7 +303,14 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array,
         "final_norm": jnp.ones((H,), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = rnd(next(ks), (H, V))
+        if qcfg.quantize_embedding:
+            params["lm_head"] = QTensor(
+                q=jax.random.randint(next(ks), (H, V), -128, 128, jnp.int32
+                                     ).astype(jnp.int8),
+                scale=jnp.full((1, V), scale_val, jnp.float32),
+                bits=8, group_size=0, orig_dtype=str(dtype))
+        else:
+            params["lm_head"] = rnd(next(ks), (H, V))
     return params
 
 
@@ -330,7 +345,7 @@ def _sharded_embedding_lookup(table, ids, tp_axis):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _layer(cfg: ModelConfig, h, lp, qw, k_all, v_all, layer_idx, positions,
+def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str]):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
@@ -372,18 +387,27 @@ def _layer(cfg: ModelConfig, h, lp, qw, k_all, v_all, layer_idx, positions,
     v = v.reshape(B, T, -1, D)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
-    k_all, v_all = kvcache.update_kv_cache_layer(k_all, v_all, layer_idx,
-                                                 k, v, write_offsets)
-    S = k_all.shape[-1]
+    cache = kvcache.update_cache_layer(cache, layer_idx, k, v, write_offsets)
+    S = cache.max_seq_len
     if T == 1 and pallas_decode.supports(q.shape, S):
         attn = pallas_decode.decode_attention(
-            q, k_all, v_all, layer_idx, positions[:, -1],
-            logit_softcap=cfg.attn_logit_softcap)
+            q, cache.k, cache.v, layer_idx, positions[:, -1],
+            logit_softcap=cfg.attn_logit_softcap,
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
+    elif pallas_flash.supports(q.shape, S, cache.quantized):
+        attn = pallas_flash.flash_attention(
+            q, cache.k, cache.v, layer_idx, positions,
+            logit_softcap=cfg.attn_logit_softcap,
+            sliding_window=cfg.sliding_window)
     else:
-        kc = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
-        attn = attention.attend(q, kc, vc, mask,
-                                logit_softcap=cfg.attn_logit_softcap)
+        def at_layer(x):
+            return (None if x is None else
+                    jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                                 keepdims=False))
+        attn = attention.attend(q, at_layer(cache.k), at_layer(cache.v),
+                                mask, logit_softcap=cfg.attn_logit_softcap,
+                                k_scale=at_layer(cache.k_scale),
+                                v_scale=at_layer(cache.v_scale))
     attn = mm("wo", attn.reshape(B, T, -1))
     h = h + _psum(attn, tp_axis)
 
@@ -396,7 +420,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, k_all, v_all, layer_idx, positions,
         act = activations.swiglu_split(mm("w_gate", normed),
                                        mm("w_up", normed))
     h = h + _psum(mm("w_down", act), tp_axis)
-    return h, k_all, v_all
+    return h, cache
 
 
 def forward(
@@ -434,14 +458,13 @@ def forward(
           if not isinstance(v, QTensor)}
 
     def body(carry, lp):
-        h, k_all, v_all, idx = carry
-        h, k_all, v_all = _layer(cfg, h, lp, qw, k_all, v_all, idx, positions,
-                                 write_offsets, mask, cos, sin, tp_axis)
-        return (h, k_all, v_all, idx + 1), None
+        h, cache, idx = carry
+        h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
+                          write_offsets, mask, cos, sin, tp_axis)
+        return (h, cache, idx + 1), None
 
-    (h, k_new, v_new, _), _ = jax.lax.scan(
-        body, (h, cache.k, cache.v, jnp.int32(0)), xs)
-    new_cache = kvcache.KVCache(k=k_new, v=v_new)
+    (h, new_cache, _), _ = jax.lax.scan(
+        body, (h, cache, jnp.int32(0)), xs)
 
     if logits_mode == "none":
         return None, new_cache

@@ -51,8 +51,14 @@ def attend(
     mask: jnp.ndarray,         # [B, 1, T, S] bool
     scale: Optional[float] = None,
     logit_softcap: float = 0.0,
+    k_scale: Optional[jnp.ndarray] = None,   # [B, Hkv, S] — int8 cache mode
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA, fp32 softmax.
+
+    With an INT8 KV cache, k/v hold int8 codes and the per-(head, slot)
+    scales fold exactly into the score / probability columns (same math as
+    the Pallas decode kernel).
 
     Returns [B, T, Hq, D] in q.dtype.
     """
@@ -64,15 +70,19 @@ def attend(
 
     qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
     # scores: [B, Hkv, G, T, S]
-    scores = jnp.einsum("bhgtd,bhds->bhgts", qg, k,
+    scores = jnp.einsum("bhgtd,bhds->bhgts", qg, k.astype(qg.dtype),
                         preferred_element_type=jnp.float32)
     scores = scores.astype(jnp.float32) * scale
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, None, :]
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, None, :]
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(q.dtype),
+                     v.astype(q.dtype), preferred_element_type=jnp.float32)
     out = out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)
     return out.astype(q.dtype)
 

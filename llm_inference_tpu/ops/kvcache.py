@@ -35,9 +35,18 @@ class KVCache:
 
     k: [layers, batch, kv_heads, head_dim, max_seq]   (transposed — see above)
     v: [layers, batch, kv_heads, max_seq, head_dim]
+
+    INT8 mode (new capability per the north star; no reference analogue):
+    k/v hold int8 codes and k_scale/v_scale hold per-(head, slot) float32
+    scales [layers, batch, kv_heads, max_seq]. Per-slot scaling is EXACT to
+    fold outside the attention dots: k[h,:,s] is uniformly scaled, so
+    scores[:, s] *= k_scale[s] after q·Kᵀ, and p[:, s] *= v_scale[s] before
+    P·V — the kernels never materialize dequantized pages.
     """
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def max_seq_len(self) -> int:
@@ -46,6 +55,10 @@ class KVCache:
     @property
     def batch_size(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_cache(
@@ -56,9 +69,15 @@ def init_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
-    k = jnp.zeros((num_layers, batch, num_kv_heads, head_dim, max_seq), dtype)
-    v = jnp.zeros((num_layers, batch, num_kv_heads, max_seq, head_dim), dtype)
-    return KVCache(k=k, v=v)
+    shape_k = (num_layers, batch, num_kv_heads, head_dim, max_seq)
+    shape_v = (num_layers, batch, num_kv_heads, max_seq, head_dim)
+    if dtype == jnp.int8 or dtype == "int8":
+        sshape = (num_layers, batch, num_kv_heads, max_seq)
+        return KVCache(k=jnp.zeros(shape_k, jnp.int8),
+                       v=jnp.zeros(shape_v, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
+    return KVCache(k=jnp.zeros(shape_k, dtype), v=jnp.zeros(shape_v, dtype))
 
 
 def update_kv_cache(
@@ -83,14 +102,13 @@ def update_kv_cache(
     return k_cache, v_cache
 
 
-def update_kv_cache_layer(
-    k_all: jnp.ndarray,     # [L, B, Hkv, D, S]  (all layers, K transposed)
-    v_all: jnp.ndarray,     # [L, B, Hkv, S, D]
+def update_cache_layer(
+    cache: KVCache,         # full stacked cache (all layers)
     layer: jnp.ndarray,     # scalar int32 — layer index
     k_new: jnp.ndarray,     # [B, T, Hkv, D]
     v_new: jnp.ndarray,
     offsets: jnp.ndarray,   # [B] int32 — write position per sequence
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> KVCache:
     """Write into ONE layer of the full stacked cache.
 
     The model threads the whole cache through the layer scan as CARRY and
@@ -98,7 +116,25 @@ def update_kv_cache_layer(
     update in place. (Threading per-layer slices as scan xs/ys instead
     re-materializes the entire stacked ys output every step — measured ~2 ms
     per decode step for a 7B cache on v5e.)
+
+    INT8 caches quantize at write time: per-(head, token) symmetric scales
+    over the head_dim axis (ops.quantization.quantize_kv semantics).
     """
+    if cache.quantized:
+        from llm_inference_tpu.ops.quantization import quantize_kv
+        kq, ks = quantize_kv(k_new)          # int8 [B,T,H,D], f32 [B,T,H,1]
+        vq, vs = quantize_kv(v_new)
+        k_all, v_all = _write_pages(cache.k, cache.v, layer,
+                                    kq, vq, offsets)
+        ks_all = _write_scales(cache.k_scale, layer, ks[..., 0], offsets)
+        vs_all = _write_scales(cache.v_scale, layer, vs[..., 0], offsets)
+        return KVCache(k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all)
+    k_all, v_all = _write_pages(cache.k, cache.v, layer, k_new, v_new,
+                                offsets)
+    return KVCache(k=k_all, v=v_all)
+
+
+def _write_pages(k_all, v_all, layer, k_new, v_new, offsets):
     k_new = k_new.transpose(0, 2, 3, 1).astype(k_all.dtype)   # [B, Hkv, D, T]
     v_new = v_new.transpose(0, 2, 1, 3).astype(v_all.dtype)   # [B, Hkv, T, D]
 
@@ -115,3 +151,20 @@ def update_kv_cache_layer(
     v_all = jax.vmap(write_v, in_axes=(1, 0, 0), out_axes=1)(
         v_all, v_new, offsets)
     return k_all, v_all
+
+
+def _write_scales(s_all, layer, s_new, offsets):
+    """s_all: [L, B, Hkv, S]; s_new: [B, T, Hkv]."""
+    s_new = s_new.transpose(0, 2, 1).astype(s_all.dtype)      # [B, Hkv, T]
+
+    def write(cache_lb, new_b, off):        # cache_lb: [L, Hkv, S]
+        return jax.lax.dynamic_update_slice(cache_lb, new_b[None],
+                                            (layer, 0, off))
+
+    return jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
+        s_all, s_new, offsets)
+
+
+def update_kv_cache_layer(k_all, v_all, layer, k_new, v_new, offsets):
+    """Back-compat wrapper for unquantized caches (see update_cache_layer)."""
+    return _write_pages(k_all, v_all, layer, k_new, v_new, offsets)

@@ -63,18 +63,24 @@ def _block_diag(x: jnp.ndarray, blocks: int, rows_per_block: int):
     return jnp.where((col // C) == (row // rows_per_block), tiled, 0)
 
 
-def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, o_ref, *,
-            hb: int, scale: float, softcap: float):
+def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
+            hb: int, scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
     pos = pos_ref[b]
     _, _, G, D = q_ref.shape
-    S = k_ref.shape[-1]
+    S = k_ref.shape[4]
     HG = hb * G
+
+    def per_head_to_rows(s):            # [hb, S] → [HG, S] (repeat over G)
+        return jnp.broadcast_to(s[:, None, :], (hb, G, S)).reshape(HG, S)
 
     q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
     qbd = _block_diag(q, hb, G)                            # [HG, hb*D]
     kb = k_ref[0, 0].reshape(hb * D, S).astype(jnp.bfloat16)
     scores = jnp.dot(qbd, kb, preferred_element_type=jnp.float32) * scale
+    if quantized:
+        # per-(head, slot) k scales fold EXACTLY into score columns
+        scores = scores * per_head_to_rows(ks_ref[0, 0])
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
     slot = jax.lax.broadcasted_iota(jnp.int32, (HG, S), 1)
@@ -84,43 +90,66 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, o_ref, *,
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)             # [HG, S] f32
 
-    pbd = _block_diag(p.astype(v_ref.dtype), hb, G)        # [HG, hb*S]
-    vb = v_ref[0, 0].reshape(hb * S, D)
+    if quantized:
+        # ... and v scales fold into the probability columns
+        p = p * per_head_to_rows(vs_ref[0, 0])
+    pbd = _block_diag(p.astype(jnp.bfloat16), hb, G)       # [HG, hb*S]
+    vb = v_ref[0, 0].reshape(hb * S, D).astype(jnp.bfloat16)
     out = jnp.dot(pbd, vb, preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(hb, G, D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _decode_attn(q, k_all, v_all, pos, layer, *, scale: float, softcap: float,
-                 interpret: bool):
+def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
+                 scale: float, softcap: float, interpret: bool):
     B, Hkv, G, D = q.shape
     S = k_all.shape[-1]
+    quantized = ks_all is not None
     hb = max(1, min(Hkv,
                     _KV_BYTES_PER_STEP // (2 * S * D * k_all.dtype.itemsize)))
     while Hkv % hb:
         hb -= 1
     grid = (B, Hkv // hb)
-    kernel = functools.partial(_kernel, hb=hb, scale=scale, softcap=softcap)
+    kernel = functools.partial(_kernel, hb=hb, scale=scale, softcap=softcap,
+                               quantized=quantized)
+    in_specs = [
+        pl.BlockSpec((1, hb, G, D),
+                     lambda b, g, pos, lyr: (b, g, 0, 0)),
+        # KV pages are read straight out of the FULL stacked cache —
+        # the layer index rides scalar prefetch, so the layer scan
+        # never materializes a per-layer cache slice.
+        pl.BlockSpec((1, 1, hb, D, S),
+                     lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
+        pl.BlockSpec((1, 1, hb, S, D),
+                     lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
+    ]
+    operands = [q, k_all, v_all]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, hb, S),
+                         lambda b, g, pos, lyr: (lyr[0], b, g, 0)),
+            pl.BlockSpec((1, 1, hb, S),
+                         lambda b, g, pos, lyr: (lyr[0], b, g, 0)),
+        ]
+        operands += [ks_all, vs_all]
+    else:
+        # dummy 1-element scale blocks so the kernel arity is fixed
+        dummy = jnp.zeros((1, 1, hb, 128), jnp.float32)
+        in_specs += [
+            pl.BlockSpec((1, 1, hb, 128), lambda b, g, pos, lyr: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, hb, 128), lambda b, g, pos, lyr: (0, 0, 0, 0)),
+        ]
+        operands += [dummy, dummy]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, hb, G, D),
-                             lambda b, g, pos, lyr: (b, g, 0, 0)),
-                # KV pages are read straight out of the FULL stacked cache —
-                # the layer index rides scalar prefetch, so the layer scan
-                # never materializes a per-layer cache slice.
-                pl.BlockSpec((1, 1, hb, D, S),
-                             lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
-                pl.BlockSpec((1, 1, hb, S, D),
-                             lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, G, D),
                                    lambda b, g, pos, lyr: (b, g, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -129,7 +158,7 @@ def _decode_attn(q, k_all, v_all, pos, layer, *, scale: float, softcap: float,
             // k_all.shape[0],
             transcendentals=B * Hkv * G * S),
         interpret=interpret,
-    )(pos, layer, q, k_all, v_all)
+    )(pos, layer, *operands)
 
 
 def decode_attention(
@@ -140,6 +169,8 @@ def decode_attention(
     positions: jnp.ndarray,    # [B] or [B, 1] absolute position of the token
     scale: float | None = None,
     logit_softcap: float = 0.0,
+    k_scale: jnp.ndarray | None = None,   # [L, B, Hkv, S] — int8 cache mode
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused decode attention; returns [B, 1, Hq, D] in q.dtype.
 
@@ -156,8 +187,9 @@ def decode_attention(
     # with program_id(0), and the index maps pick the cache layer.
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
-    out = _decode_attn(qg, k_all, v_all, pos, lyr, scale=scale,
-                       softcap=logit_softcap, interpret=use_interpret())
+    out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr,
+                       scale=scale, softcap=logit_softcap,
+                       interpret=use_interpret())
     return out.reshape(B, 1, Hq, D).astype(q.dtype)
 
 

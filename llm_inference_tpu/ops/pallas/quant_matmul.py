@@ -79,9 +79,11 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, o_ref, *, bits: int,
                                preferred_element_type=jnp.float32)
     else:  # int4, block-local split-half packing
         blocks = Kp // block_rows
-        ch = min(block_rows, _ROW_CHUNK)
+        # the unpack materializes i32 lo/hi (+ f32 dequant) chunks in VMEM —
+        # bound them to ~0.5 MB each so the scoped-vmem budget holds at any bn
+        ch = min(block_rows, _ROW_CHUNK, max(128, (1 << 19) // (bn * 4)))
         if not per_channel:
-            ch -= ch % gsize
+            ch = max(gsize, ch - ch % gsize)
         for b in range(blocks):
             base = b * block_rows           # packed-row base of this block
             xbase = b * 2 * block_rows      # original-row base
@@ -148,7 +150,8 @@ def _quant_matmul_blocked(x, q4, s4, lyr, *, bits, block_rows, gsize,
         ),
         out_shape=jax.ShapeDtypeStruct((M, NB * bn), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * NB * bn,
             bytes_accessed=q4.size // L + s4.size * 4 // L + M * K * 2

@@ -91,10 +91,13 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
         lambda p, x: _spec_for(p, x, tensor_axis, tp_size), params)
 
 
-def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor"):
-    """[L, B, Hkv, S, D] → batch over data, kv heads over tensor."""
+def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor",
+                quantized: bool = False):
+    """[L, B, Hkv, ...] → batch over data, kv heads over tensor; the int8
+    cache's per-(head, slot) scales [L, B, Hkv, S] shard the same way."""
     spec = P(None, data_axis, tensor_axis, None, None)
-    return kvcache.KVCache(k=spec, v=spec)
+    sspec = P(None, data_axis, tensor_axis, None) if quantized else None
+    return kvcache.KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
 def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor"):
@@ -107,7 +110,7 @@ def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor"):
 
 def shard_cache(cache: kvcache.KVCache, mesh: Mesh,
                 data_axis: str = "data", tensor_axis: str = "tensor"):
-    spec = cache_pspec(data_axis, tensor_axis)
+    spec = cache_pspec(data_axis, tensor_axis, quantized=cache.quantized)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(cache, shardings)
@@ -129,7 +132,8 @@ def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
 def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
                     *, logits_mode: str = "last",
                     data_axis: str = "data", tensor_axis: str = "tensor",
-                    donate_cache: bool = True, jit: bool = True):
+                    donate_cache: bool = True, jit: bool = True,
+                    cache_quantized: bool = False):
     """Build a shard_map'd forward:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
@@ -142,7 +146,7 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     tp_size = mesh.shape[tensor_axis]
     validate_tp(cfg, tp_size)
     pspecs = param_pspecs(params, mesh, tensor_axis)
-    cspec = cache_pspec(data_axis, tensor_axis)
+    cspec = cache_pspec(data_axis, tensor_axis, quantized=cache_quantized)
     dspec = P(data_axis)
     tp_axis = tensor_axis if tp_size > 1 else None
 

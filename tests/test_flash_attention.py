@@ -1,0 +1,71 @@
+"""Flash (blockwise) prefill attention kernel vs the jnp golden model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.ops import attention
+from llm_inference_tpu.ops.pallas import flash_attention as FA
+
+
+def make(B, T, Hq, Hkv, S, D, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, D, S), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    return q, k, v
+
+
+CASES = [
+    # B, T, Hq, Hkv, S, D, start
+    (1, 128, 4, 4, 256, 128, 0),        # MHA from scratch
+    (2, 64, 8, 2, 128, 64, 0),          # GQA, multi-batch
+    (1, 32, 4, 4, 256, 128, 100),       # history offset (chat round 2)
+    (1, 40, 2, 2, 128, 128, 0),         # T not a block multiple (padding)
+]
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("B,T,Hq,Hkv,S,D,start", CASES)
+    def test_matches_golden(self, B, T, Hq, Hkv, S, D, start):
+        q, k, v = make(B, T, Hq, Hkv, S, D)
+        pos = jnp.tile(start + jnp.arange(T, dtype=jnp.int32), (B, 1))
+        mask = attention.make_attention_mask(pos, S)
+        ref = attention.attend(q, k, v, mask)
+        out = FA.flash_attention(q, k[None], v[None], 0, pos,
+                                 block_t=32, block_s=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=8e-3, rtol=2e-2)
+
+    def test_sliding_window(self):
+        B, T, Hq, S, D = 1, 64, 2, 128, 64
+        q, k, v = make(B, T, Hq, Hq, S, D, seed=3)
+        pos = jnp.tile(40 + jnp.arange(T, dtype=jnp.int32), (B, 1))
+        mask = attention.make_attention_mask(pos, S, sliding_window=24)
+        ref = attention.attend(q, k, v, mask)
+        out = FA.flash_attention(q, k[None], v[None], 0, pos,
+                                 sliding_window=24, block_t=32, block_s=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=8e-3, rtol=2e-2)
+
+    def test_layer_indexing(self):
+        L, B, T, Hq, S, D = 3, 1, 32, 2, 128, 64
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (L, B, Hq, D, S), jnp.float32)
+        v = jax.random.normal(ks[2], (L, B, Hq, S, D), jnp.float32)
+        pos = jnp.arange(T, dtype=jnp.int32)[None]
+        mask = attention.make_attention_mask(pos, S)
+        for l in range(L):
+            ref = attention.attend(q, k[l], v[l], mask)
+            out = FA.flash_attention(q, k, v, l, pos,
+                                     block_t=32, block_s=64)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=8e-3, rtol=2e-2)
+
+    def test_supports_gating(self):
+        assert FA.supports((1, 128, 4, 128), 256, quantized=False)
+        assert not FA.supports((1, 1, 4, 128), 256, quantized=False)
+        assert not FA.supports((1, 128, 4, 128), 256, quantized=True)
+        assert not FA.supports((1, 128, 4, 32), 256, quantized=False)

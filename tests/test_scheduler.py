@@ -1,0 +1,80 @@
+"""Continuous batching scheduler: correctness vs one-at-a-time generation.
+
+The key property: interleaving many requests through shared decode slots
+must produce EXACTLY the tokens each request would get alone (greedy), with
+admissions happening as slots free up. (Reference analogue: none — the
+reference is strictly batch=1 serial, llama.h:36.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
+                                      tiny_llama)
+from llm_inference_tpu.engine.engine import InferenceEngine
+from llm_inference_tpu.engine.scheduler import ContinuousBatchingScheduler
+from llm_inference_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_llama(num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return InferenceEngine(
+        cfg, params,
+        engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                max_batch_size=2, prefill_buckets=(8, 16)))
+
+
+GEN = GenerationConfig(greedy=True, max_new_tokens=10, eos_token_ids=(1,))
+
+
+def solo_generate(engine, prompt_ids, n):
+    res = engine.generate([prompt_ids],
+                          GenerationConfig(greedy=True, max_new_tokens=n,
+                                           eos_token_ids=(1,)))
+    return res[0].token_ids
+
+
+class TestScheduler:
+    def test_matches_solo_generation(self, engine):
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(2, 200, rng.integers(3, 12)))
+                   for _ in range(5)]
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        reqs = sched.run(prompts)
+        assert len(reqs) == 5
+        for req, prompt in zip(reqs, prompts):
+            want = solo_generate(engine, prompt, GEN.max_new_tokens)
+            got = req.output_ids
+            if req.finished:                    # drop tokens after EOS
+                got = got[:got.index(1)] if 1 in got else got
+            assert got[:len(want)] == want[:len(got)], (
+                f"req {req.req_id}: {got} != {want}")
+            assert len(got) <= GEN.max_new_tokens
+
+    def test_more_requests_than_slots_all_complete(self, engine):
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        reqs = sched.run([[5, 6, 7]] * 7, max_new_tokens=5)
+        assert all(r.done_t > 0 for r in reqs)
+        assert all(1 <= len(r.output_ids) <= 5 for r in reqs)
+
+    def test_streaming_and_ttft(self, engine):
+        got = []
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        req = sched.submit([5, 9, 13], max_new_tokens=4,
+                           stream=lambda rid, tok: got.append((rid, tok)))
+        while sched.step():
+            pass
+        assert req.done_t > 0 and req.ttft_s > 0
+        streamed = [t for rid, t in got if rid == req.req_id]
+        # streamed tokens = outputs minus any EOS
+        want = [t for t in req.output_ids if t != 1]
+        assert streamed == want
+
+    def test_rejects_oversized_request(self, engine):
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        with pytest.raises(ValueError):
+            sched.submit(list(range(2, 62)), max_new_tokens=10)
