@@ -249,16 +249,29 @@ class HFTokenizer:
         return self._t.decode([int(tid)])
 
 
+def _binary_bpe(path: str):
+    """Reference-format vocab: prefer the native (C++) tokenizer — identical
+    ids (tests/test_native.py), much faster encode — fall back to Python."""
+    try:
+        from llm_inference_tpu import native
+        if native.available():
+            return native.NativeBPETokenizer(path)
+    except Exception:
+        pass
+    return BPETokenizer.from_binary(path)
+
+
 def load_tokenizer(path: str):
-    """Factory: .bin → reference binary BPE; tokenizer.json / dir → HF."""
+    """Factory: .bin → reference binary BPE (native C++ core when
+    available); tokenizer.json / dir → HF."""
     if os.path.isdir(path):
         tj = os.path.join(path, "tokenizer.json")
         if os.path.exists(tj):
             return HFTokenizer(tj)
         for fn in os.listdir(path):
             if fn.endswith(".bin") and "tokenizer" in fn:
-                return BPETokenizer.from_binary(os.path.join(path, fn))
+                return _binary_bpe(os.path.join(path, fn))
         raise FileNotFoundError(f"no tokenizer found under {path}")
     if path.endswith(".json"):
         return HFTokenizer(path)
-    return BPETokenizer.from_binary(path)
+    return _binary_bpe(path)

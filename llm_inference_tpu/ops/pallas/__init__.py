@@ -6,12 +6,15 @@ parity test in tests/):
 - quant_matmul.py   — fused INT8/INT4 dequant matmul (weight-only), the
                       decode-roofline kernel (reference analogue: cuBLAS
                       GEMM + no quant support at all).
-- decode_attention.py — fused single-step cached attention (reference
-                      analogue: fused_decoder_self_attention.cu).
-- flash_attention.py — blockwise prefill attention (reference analogue:
-                      the QKᵀ→softmax→PV chain in context_attention.cpp).
-- rmsnorm.py        — fused residual+RMSNorm (reference analogue:
-                      fused_addresidual_norm.cu).
+- decode_attention.py — fused single-step cached attention, bf16 or INT8 KV
+                      (reference analogue: fused_decoder_self_attention.cu).
+- flash_attention.py — blockwise online-softmax prefill attention (reference
+                      analogue: the QKᵀ→softmax→PV chain in
+                      context_attention.cpp, which materializes full scores).
+
+Deliberately NOT a kernel: fused residual-add+RMSNorm (the reference needs
+fused_addresidual_norm.cu; XLA already fuses the elementwise chain — traced
+at ~0.5 µs/layer, so a custom kernel has nothing to win).
 
 All kernels run in interpret mode off-TPU so CPU CI exercises them.
 """

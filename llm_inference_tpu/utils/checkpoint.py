@@ -30,6 +30,21 @@ from llm_inference_tpu.config import ModelConfig, QuantConfig
 Params = Dict[str, Any]
 
 
+def _as_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
+    """np array → jnp array of `dtype`, using the native parallel converter
+    for the (dominant) f32/f16 → bf16 case when the library is available."""
+    if jnp.dtype(dtype) == jnp.bfloat16 and arr.dtype in (np.float32,
+                                                          np.float16):
+        try:
+            from llm_inference_tpu import native
+            out = native.convert_to_bf16(arr)
+            if out is not None:
+                return jnp.asarray(out)
+        except Exception:
+            pass
+    return jnp.asarray(arr, dtype)
+
+
 # ---------------------------------------------------------------------------
 # HF config → ModelConfig
 # ---------------------------------------------------------------------------
@@ -112,16 +127,17 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         acc["w_up"].append(get(p + "mlp.up_proj.weight").T)
         acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
 
-    layers = {k: jnp.asarray(np.stack(v), dtype)
+    layers = {k: _as_jnp(np.stack(v), dtype)
               for k, v in acc.items() if v}
 
     params: Params = {
-        "embed": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "embed": _as_jnp(get("embed_tokens.weight"), dtype),
         "layers": layers,
-        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+        "final_norm": _as_jnp(get("norm.weight"), dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+        params["lm_head"] = _as_jnp(
+            np.ascontiguousarray(get("lm_head.weight").T), dtype)
     return params
 
 
@@ -198,11 +214,11 @@ def load_reference_bin_dir(cfg: ModelConfig, path: str, dtype=None,
         layers["w_down"].append(rd(p + "mlp.down_proj.weight", (H, I)).T)
 
     params: Params = {
-        "embed": jnp.asarray(
+        "embed": _as_jnp(
             rd("model.embed_tokens.weight", (cfg.vocab_size, H)), dtype),
-        "layers": {k: jnp.asarray(np.stack(v), dtype)
+        "layers": {k: _as_jnp(np.stack(v), dtype)
                    for k, v in layers.items()},
-        "final_norm": jnp.asarray(rd("model.norm.weight", (H,)), dtype),
+        "final_norm": _as_jnp(rd("model.norm.weight", (H,)), dtype),
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(
