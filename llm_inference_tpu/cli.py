@@ -35,6 +35,8 @@ def build_engine(args):
         params = llama.init_params(cfg, jax.random.PRNGKey(0),
                                    dtype=args.dtype)
 
+    if args.tp > 1:
+        params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":
         qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
         params = llama.quantize_params(params, qcfg, row_shards=args.tp)

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig, QuantConfig
 from llm_inference_tpu.ops import activations, attention, embedding, kvcache, norms, rope
+from llm_inference_tpu.utils import debug
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
 from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
@@ -202,6 +203,48 @@ def block_params(params: Params, tp_size: int = 1,
                             budget(lm))
         if bn:
             out["lm_head"] = to_blocked(lm, bn)
+    return out
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def pad_params_for_tp(params: Params, cfg: ModelConfig,
+                      tp_size: int) -> Params:
+    """Zero-pad the FFN intermediate and vocab dims so every TP shard is a
+    multiple of 128 lanes — the condition for the blocked streaming kernels
+    (and clean XLA tiling) on each shard. Exact: padded gate/up columns
+    produce silu(0)·0 = 0 through the padded down rows; padded vocab rows
+    are unreachable ids, and `forward` slices logits back to
+    cfg.vocab_size. Call on DENSE params before quantization."""
+    if tp_size <= 1:
+        return params
+    quantum = 128 * tp_size
+    I = cfg.intermediate_size
+    V = cfg.vocab_size
+    I_pad, V_pad = _round_up(I, quantum), _round_up(V, quantum)
+    if I_pad == I and V_pad == V:
+        return params
+
+    def pad_axis(a, axis, new):
+        if a.shape[axis] == new:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, new - a.shape[axis])
+        return jnp.pad(a, widths)
+
+    layers = dict(params["layers"])
+    if I_pad != I:
+        for k in ("w_gate", "w_up"):
+            layers[k] = pad_axis(layers[k], 2, I_pad)      # [L, H, I]
+        layers["w_down"] = pad_axis(layers["w_down"], 1, I_pad)  # [L, I, H]
+    out = dict(params)
+    out["layers"] = layers
+    if V_pad != V:
+        out["embed"] = pad_axis(params["embed"], 0, V_pad)
+        if "lm_head" in params:
+            out["lm_head"] = pad_axis(params["lm_head"], 1, V_pad)
     return out
 
 
@@ -457,10 +500,13 @@ def forward(
     xs = {k: v for k, v in params["layers"].items()
           if not isinstance(v, QTensor)}
 
+    debug.tap("embed", h)
+
     def body(carry, lp):
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
                           write_offsets, mask, cos, sin, tp_axis)
+        debug.tap("out", h, layer=idx)   # SAVE_DATA-style per-layer dump
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(
@@ -487,8 +533,12 @@ def forward(
         # vocab-sharded logits → full logits on every shard (B is small)
         logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
                                     tiled=True)
+    if logits.shape[-1] > cfg.vocab_size:
+        # vocab was padded for TP lane alignment (pad_params_for_tp)
+        logits = logits[..., :cfg.vocab_size]
     if cfg.final_logit_softcap > 0.0:
         logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+    debug.tap("logits", logits)
     return logits, new_cache
 
 

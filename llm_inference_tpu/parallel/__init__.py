@@ -10,6 +10,11 @@ backend.
 """
 
 from llm_inference_tpu.parallel.mesh import make_mesh  # noqa: F401
+from llm_inference_tpu.parallel.multihost import (  # noqa: F401
+    initialize as initialize_multihost,
+    make_hybrid_mesh,
+    process_local_batch,
+)
 from llm_inference_tpu.parallel.sharding import (  # noqa: F401
     cache_pspec,
     param_pspecs,

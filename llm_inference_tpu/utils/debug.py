@@ -1,0 +1,79 @@
+"""Debug tensor dumps — the reference's SAVE_DATA workflow, runtime-gated.
+
+The reference compiles with -DSAVE_DATA to write raw per-layer tensors to
+/home/data/<layer>_<name>.bin for offline diffing against HuggingFace
+activations (reference: src/utils/debug_utils.h:12-88, call sites
+context_decoder.cpp:117-131, llama.cpp:310; gated to layer_id ≤ 2). Here the
+same capability is a runtime context manager — no recompile of the
+framework, only a re-trace:
+
+    with debug.dump_activations("/tmp/acts", max_layer=2):
+        llama.forward(cfg, params, ids, pos, cache)
+    # → /tmp/acts/embed.npy, layer000_out.npy, layer001_out.npy, ...
+
+Implementation: model code calls `debug.tap(name, x, layer=...)`, a no-op
+unless a dump scope is active, in which case it inserts a
+jax.debug.callback that saves the tensor as .npy at run time (works inside
+jit and inside the layer scan — the layer index is a traced value and
+becomes part of the file name via the callback argument).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Optional
+
+_state = threading.local()
+
+
+class _Scope:
+    def __init__(self, out_dir: str, max_layer: int):
+        self.out_dir = out_dir
+        self.max_layer = max_layer
+
+
+def dump_activations(out_dir: str, max_layer: int = 2):
+    """Context manager enabling activation dumps (see module docstring).
+    `max_layer` bounds per-layer taps like the reference's layer_id ≤ 2
+    gate (debug_utils.h:29) — dumps get large fast."""
+
+    class _Ctx:
+        def __enter__(self):
+            os.makedirs(out_dir, exist_ok=True)
+            _state.scope = _Scope(out_dir, max_layer)
+            return out_dir
+
+        def __exit__(self, *exc):
+            _state.scope = None
+
+    return _Ctx()
+
+
+def _active() -> Optional[_Scope]:
+    return getattr(_state, "scope", None)
+
+
+def tap(name: str, x, layer=None) -> None:
+    """Dump `x` as <name>.npy (or layerNNN_<name>.npy) when a dump scope is
+    active; otherwise free (no trace pollution)."""
+    scope = _active()
+    if scope is None:
+        return
+    import jax
+    import numpy as np
+
+    out_dir, max_layer = scope.out_dir, scope.max_layer
+
+    if layer is None:
+        def save(val):
+            np.save(os.path.join(out_dir, f"{name}.npy"), np.asarray(val))
+        jax.debug.callback(save, x)
+        return
+
+    def save_l(val, lyr):
+        lyr = int(lyr)
+        if lyr <= max_layer:
+            np.save(os.path.join(out_dir, f"layer{lyr:03d}_{name}.npy"),
+                    np.asarray(val))
+    jax.debug.callback(save_l, x, layer)

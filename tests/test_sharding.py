@@ -109,6 +109,40 @@ class TestDecodeSharded:
                                    atol=2e-4, rtol=2e-4)
 
 
+class TestTPPaddingAndPreparedTP:
+    def test_padded_prepared_tp_matches_unsharded(self):
+        """The full TP serving pipeline — pad → quantize → fuse → block →
+        shard — must reproduce the plain unpadded quantized forward. Uses
+        dims that do NOT split into 128-lane shards (like 7B's I=11008) so
+        the padding actually engages."""
+        cfg = tiny_llama(num_kv_heads=4, intermediate_size=320,
+                         vocab_size=272)
+        tp = 2
+        params = llama.init_params(cfg, jax.random.PRNGKey(3))
+        qcfg = QuantConfig(weights="int8")
+
+        golden_p = llama.prepare_params(
+            llama.quantize_params(params, qcfg), donate=False)
+        rng = np.random.default_rng(4)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+        golden = run_single(cfg, golden_p, ids, pos)
+        assert golden.shape[-1] == cfg.vocab_size
+
+        padded = llama.pad_params_for_tp(params, cfg, tp)
+        assert padded["layers"]["w_gate"].shape[-1] == 512   # 320 → 2·256
+        assert padded["embed"].shape[0] == 512               # 272 → 2·256
+        prep = llama.prepare_params(
+            llama.quantize_params(padded, qcfg, row_shards=tp),
+            tp_size=tp, donate=False)
+        out, _ = run_sharded(cfg, prep, ids, pos, 1, tp)
+        assert out.shape[-1] == cfg.vocab_size
+        np.testing.assert_allclose(out, golden, atol=5e-3, rtol=5e-3)
+
+    def test_padding_noop_when_aligned(self, cfg, params):
+        assert llama.pad_params_for_tp(params, cfg, 1) is params
+
+
 class TestSpecs:
     def test_pspec_assignment(self, cfg, params):
         mesh = make_mesh(ShardingConfig(data=1, tensor=2))
