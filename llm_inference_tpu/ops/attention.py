@@ -46,7 +46,7 @@ def make_attention_mask(
 
 def attend(
     q: jnp.ndarray,            # [B, T, Hq, D]
-    k: jnp.ndarray,            # [B, Hkv, D, S]  (transposed K cache — kvcache.py)
+    k: jnp.ndarray,            # [B, Hkv, S, D]
     v: jnp.ndarray,            # [B, Hkv, S, D]
     mask: jnp.ndarray,         # [B, 1, T, S] bool
     scale: Optional[float] = None,
@@ -70,7 +70,7 @@ def attend(
 
     qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
     # scores: [B, Hkv, G, T, S]
-    scores = jnp.einsum("bhgtd,bhds->bhgts", qg, k.astype(qg.dtype),
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k.astype(qg.dtype),
                         preferred_element_type=jnp.float32)
     scores = scores.astype(jnp.float32) * scale
     if k_scale is not None:
@@ -89,12 +89,12 @@ def attend(
 
 def decode_attend(
     q: jnp.ndarray,            # [B, 1, Hq, D] single new token per sequence
-    k: jnp.ndarray,            # [B, Hkv, D, S] cache (new token already written)
+    k: jnp.ndarray,            # [B, Hkv, S, D] cache (new token already written)
     v: jnp.ndarray,            # [B, Hkv, S, D]
     positions: jnp.ndarray,    # [B, 1] absolute position of the new token
     scale: Optional[float] = None,
     logit_softcap: float = 0.0,
 ) -> jnp.ndarray:
     """Single-step cached attention (reference's launchDecoderMaskedMHA)."""
-    mask = make_attention_mask(positions, k.shape[3])
+    mask = make_attention_mask(positions, k.shape[2])
     return attend(q, k, v, mask, scale, logit_softcap)

@@ -5,14 +5,13 @@ Equivalent of the reference's dense contiguous cache
 src/models/llama/llama.cpp:77-78,102-103) and its append kernel
 `launchConcatKVCache` (reference: src/kernels/concat_past_kv.cu:17-145).
 
-TPU-first layout ("NT" form, chosen by the decode-attention kernel):
-- K cache: [layers, batch, kv_heads, head_dim, max_seq] — TRANSPOSED, so the
-  kernel's q·Kᵀ is a single dot over contiguous [head_dim, S] pages with S in
-  the lane dimension (softmax then reduces over lanes), and a whole
-  multi-head page [hb, D, S] reshapes to the block-matmul operand [hb·D, S]
-  with no data movement.
-- V cache: [layers, batch, kv_heads, max_seq, head_dim] — natural form for
-  the P·V dot.
+TPU-first layout: BOTH caches are [layers, batch, kv_heads, max_seq,
+head_dim] — token writes land on contiguous [head_dim] rows (a transposed-K
+variant was measured: it makes q·Kᵀ marginally cheaper but each decode-step
+K write becomes a strided lane-column RMW costing ~12 µs/layer, 8× the
+natural-layout write; the attention kernels instead use TN/NT dot_general
+forms that contract head_dim directly from the natural layout with no
+in-kernel transposes).
 
 Updates are vmapped `lax.dynamic_update_slice` (per-sequence offsets), which
 XLA lowers to an in-place scatter thanks to jit donation — no cache copy.
@@ -33,8 +32,7 @@ from flax import struct
 class KVCache:
     """Dense KV cache for all layers.
 
-    k: [layers, batch, kv_heads, head_dim, max_seq]   (transposed — see above)
-    v: [layers, batch, kv_heads, max_seq, head_dim]
+    k, v: [layers, batch, kv_heads, max_seq, head_dim]
 
     INT8 mode (new capability per the north star; no reference analogue):
     k/v hold int8 codes and k_scale/v_scale hold per-(head, slot) float32
@@ -50,7 +48,7 @@ class KVCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[4]
+        return self.k.shape[3]
 
     @property
     def batch_size(self) -> int:
@@ -69,36 +67,32 @@ def init_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
-    shape_k = (num_layers, batch, num_kv_heads, head_dim, max_seq)
-    shape_v = (num_layers, batch, num_kv_heads, max_seq, head_dim)
+    shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
     if dtype == jnp.int8 or dtype == "int8":
         sshape = (num_layers, batch, num_kv_heads, max_seq)
-        return KVCache(k=jnp.zeros(shape_k, jnp.int8),
-                       v=jnp.zeros(shape_v, jnp.int8),
+        return KVCache(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
                        k_scale=jnp.zeros(sshape, jnp.float32),
                        v_scale=jnp.zeros(sshape, jnp.float32))
-    return KVCache(k=jnp.zeros(shape_k, dtype), v=jnp.zeros(shape_v, dtype))
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def update_kv_cache(
-    k_cache: jnp.ndarray,   # [B, Hkv, D, S]  (single layer, transposed)
+    k_cache: jnp.ndarray,   # [B, Hkv, S, D]  (single layer)
     v_cache: jnp.ndarray,   # [B, Hkv, S, D]
     k_new: jnp.ndarray,     # [B, T, Hkv, D]
     v_new: jnp.ndarray,
     offsets: jnp.ndarray,   # [B] int32 — write position per sequence
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Write T new tokens per sequence into the cache at per-seq offsets."""
-    k_new = k_new.transpose(0, 2, 3, 1).astype(k_cache.dtype)  # [B, Hkv, D, T]
-    v_new = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)  # [B, Hkv, T, D]
+    k_new = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, Hkv, T, D]
+    v_new = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
 
-    def write_k(cache_b, new_b, off):
-        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, 0, off))
-
-    def write_v(cache_b, new_b, off):
+    def write(cache_b, new_b, off):
         return jax.lax.dynamic_update_slice(cache_b, new_b, (0, off, 0))
 
-    k_cache = jax.vmap(write_k)(k_cache, k_new, offsets)
-    v_cache = jax.vmap(write_v)(v_cache, v_new, offsets)
+    k_cache = jax.vmap(write)(k_cache, k_new, offsets)
+    v_cache = jax.vmap(write)(v_cache, v_new, offsets)
     return k_cache, v_cache
 
 
@@ -135,20 +129,16 @@ def update_cache_layer(
 
 
 def _write_pages(k_all, v_all, layer, k_new, v_new, offsets):
-    k_new = k_new.transpose(0, 2, 3, 1).astype(k_all.dtype)   # [B, Hkv, D, T]
-    v_new = v_new.transpose(0, 2, 1, 3).astype(v_all.dtype)   # [B, Hkv, T, D]
+    k_new = k_new.transpose(0, 2, 1, 3).astype(k_all.dtype)   # [B, Hkv, T, D]
+    v_new = v_new.transpose(0, 2, 1, 3).astype(v_all.dtype)
 
-    def write_k(cache_lb, new_b, off):      # cache_lb: [L, Hkv, D, S]
-        return jax.lax.dynamic_update_slice(cache_lb, new_b[None],
-                                            (layer, 0, 0, off))
-
-    def write_v(cache_lb, new_b, off):      # cache_lb: [L, Hkv, S, D]
+    def write(cache_lb, new_b, off):        # cache_lb: [L, Hkv, S, D]
         return jax.lax.dynamic_update_slice(cache_lb, new_b[None],
                                             (layer, 0, off, 0))
 
-    k_all = jax.vmap(write_k, in_axes=(1, 0, 0), out_axes=1)(
+    k_all = jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
         k_all, k_new, offsets)
-    v_all = jax.vmap(write_v, in_axes=(1, 0, 0), out_axes=1)(
+    v_all = jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
         v_all, v_new, offsets)
     return k_all, v_all
 

@@ -7,27 +7,34 @@ assigns one CUDA block per (batch, q-head) and loops over cached tokens; on
 TPU the design criteria are DMA size (HBM streaming of KV pages) and keeping
 the per-step compute in a FIXED, small number of MXU ops:
 
-- Grid (B, Hkv/hb): each invocation streams `hb` whole KV head pages —
-  k [hb, D, S] (the cache keeps K transposed, kvcache.py) and v [hb, S, D] —
-  sized so k+v ≈ 2-4 MB: big enough to hit bandwidth, small enough to
-  double-buffer in ~16 MB VMEM.
-- ALL hb heads are folded into ONE dot per tensor via block-diagonal
-  operands (a per-head Python loop would serialize 3·hb tiny MXU ops):
-    scores = blockdiag(q) [hb·G, hb·D] @ k.reshape(hb·D, S)   → [hb·G, S]
-    out    = blockdiag(p) [hb·G, hb·S] @ v.reshape(hb·S, D)   → [hb·G, D]
-  The block-diagonal operands are built in VMEM with an iota mask over a
-  lane-tiled copy — O(hb²·G·D) bytes, negligible. The reshapes are free
-  (merging the leading page dims). The hb× extra MXU work multiplies against
-  idle MXU columns — decode attention is HBM-bound.
-- Softmax runs in f32 over the lane dim (S), masked by `slot <= position`
-  (subsumes causal + current-length masking, the same rule as
-  ops.attention.make_attention_mask). Positions arrive via scalar prefetch;
-  no [B, 1, T, S] mask tensor ever exists.
-- GQA folds the q-head group G into the dot M dimension — the kernel never
+- Grid (B, Hkv/hb): each invocation streams `hb` whole KV head pages
+  k/v [hb, S, D] (natural cache layout — see kvcache.py for why K is NOT
+  stored transposed), sized so k+v give the pipeline enough grid steps to
+  hide DMA latency while staying well within VMEM.
+- ALL hb pages fold into ONE MXU dot per tensor by flattening pages into the
+  contraction/row dims (a per-head Python loop would serialize 3·hb tiny
+  MXU ops):
+    scoresᵀ = K.reshape(hb·S, D) ·ᵀ q.reshape(hb·G, D)   → [hb·S, hb·G]
+              (dot_general contracting D of both — NT form, MXU-native)
+    out     = Pᵀ(hb·S, hb·G) ·ᵀᴺ V.reshape(hb·S, D)      → [hb·G, D]
+              (dot_general contracting the hb·S rows of both — TN form)
+  Cross-head entries (row page ≠ column head) are masked to -inf before the
+  softmax, so they contribute exp(-inf)=0 to the P·V sum — correctness
+  without any block-diagonal data movement. The hb× extra MXU work rides
+  idle MXU columns; decode attention is HBM-bound.
+- Softmax runs in f32 over the hb·S row dim (sublane reductions), masked by
+  `slot <= position` — the same rule as ops.attention.make_attention_mask.
+  Positions arrive via scalar prefetch; no [B, 1, T, S] mask tensor exists.
+- GQA folds the q-head group G into the dot's N dimension — the kernel never
   materializes repeated KV heads (the reference needs a separate repeat_kv
-  gather kernel for prefill, and its decode kernel is MHA-only).
+  gather kernel for prefill; its decode kernel is MHA-only).
+- INT8 KV cache: per-(head, slot) scales fold EXACTLY outside the dots —
+  scoresᵀ rows scale by k_scale, softmaxed P rows scale by v_scale.
+- The layer index rides scalar prefetch so pages are read straight out of
+  the FULL stacked cache (a scan-sliced operand into an opaque Pallas call
+  would be materialized by XLA — an HBM→HBM copy every layer every step).
 
-The new token's k/v are written by ops.kvcache.update_kv_cache BEFORE the
+The new token's k/v are written by ops.kvcache.update_cache_layer BEFORE the
 call (in-place under jit donation), so slot[position] is already valid —
 same ordering as the reference, which appends inside the kernel
 (fused_decoder_self_attention.cu:237-249).
@@ -46,21 +53,12 @@ from llm_inference_tpu.ops.pallas import use_interpret
 
 NEG_INF = -1e30
 
-# Stream ≤ ~4 MB of KV per grid step (k+v), so two buffered steps fit VMEM.
-_KV_BYTES_PER_STEP = 4 * 1024 * 1024
+# Per-grid-step KV bytes: small enough that Hkv/hb gives the pipeline ≥4-8
+# steps to hide DMA latency, big enough for efficient DMA (≥0.5 MB/page set).
+_KV_BYTES_PER_STEP = 1024 * 1024
 # Above this cache length the XLA path is used (needs S-blocked online
 # softmax to go longer; engine buckets keep S at or below this).
 _MAX_S = 8192
-
-
-def _block_diag(x: jnp.ndarray, blocks: int, rows_per_block: int):
-    """[R, C] → [R, blocks·C] with row r's values at column block r//rpb,
-    zero elsewhere. Built as lane-tile + iota mask (VPU only)."""
-    R, C = x.shape
-    tiled = jnp.tile(x, (1, blocks))                       # [R, blocks*C]
-    col = jax.lax.broadcasted_iota(jnp.int32, (R, blocks * C), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, blocks * C), 0)
-    return jnp.where((col // C) == (row // rows_per_block), tiled, 0)
 
 
 def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
@@ -68,34 +66,39 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
     b = pl.program_id(0)
     pos = pos_ref[b]
     _, _, G, D = q_ref.shape
-    S = k_ref.shape[4]
+    S = k_ref.shape[3]
     HG = hb * G
-
-    def per_head_to_rows(s):            # [hb, S] → [HG, S] (repeat over G)
-        return jnp.broadcast_to(s[:, None, :], (hb, G, S)).reshape(HG, S)
+    HS = hb * S
 
     q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
-    qbd = _block_diag(q, hb, G)                            # [HG, hb*D]
-    kb = k_ref[0, 0].reshape(hb * D, S).astype(jnp.bfloat16)
-    scores = jnp.dot(qbd, kb, preferred_element_type=jnp.float32) * scale
+    kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, s)
+    # scores[(h',g), (h,s)] — contract D of both operands (NT form)
+    scores = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
     if quantized:
-        # per-(head, slot) k scales fold EXACTLY into score columns
-        scores = scores * per_head_to_rows(ks_ref[0, 0])
+        # per-(head, slot) k scales fold EXACTLY into score columns;
+        # ks arrives pre-flattened as a [1, hb·S] lane vector (see caller)
+        scores = scores * ks_ref[0, 0, 0]
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
-    slot = jax.lax.broadcasted_iota(jnp.int32, (HG, S), 1)
-    scores = jnp.where(slot <= pos, scores, NEG_INF)
+    row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+    ok = ((col // S) == (row // G)) & ((col % S) <= pos)
+    scores = jnp.where(ok, scores, NEG_INF)
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.max(scores, axis=1, keepdims=True)             # [HG, 1]
     p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)             # [HG, S] f32
+    p = p / jnp.sum(p, axis=1, keepdims=True)              # [HG, HS] f32
 
     if quantized:
         # ... and v scales fold into the probability columns
-        p = p * per_head_to_rows(vs_ref[0, 0])
-    pbd = _block_diag(p.astype(jnp.bfloat16), hb, G)       # [HG, hb*S]
-    vb = v_ref[0, 0].reshape(hb * S, D).astype(jnp.bfloat16)
-    out = jnp.dot(pbd, vb, preferred_element_type=jnp.float32)
+        p = p * vs_ref[0, 0, 0]
+    vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+    # cross-head entries of p are exp(-inf) = 0, so the plain [HG, HS] ×
+    # [HS, D] dot sums each output head only over its own page
+    out = jnp.dot(p.astype(jnp.bfloat16), vb,
+                  preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(hb, G, D).astype(o_ref.dtype)
 
 
@@ -103,10 +106,10 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
 def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
                  scale: float, softcap: float, interpret: bool):
     B, Hkv, G, D = q.shape
-    S = k_all.shape[-1]
+    S = k_all.shape[3]
     quantized = ks_all is not None
     hb = max(1, min(Hkv,
-                    _KV_BYTES_PER_STEP // (2 * S * D * k_all.dtype.itemsize)))
+                    _KV_BYTES_PER_STEP // (S * D * k_all.dtype.itemsize)))
     while Hkv % hb:
         hb -= 1
     grid = (B, Hkv // hb)
@@ -115,29 +118,35 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
     in_specs = [
         pl.BlockSpec((1, hb, G, D),
                      lambda b, g, pos, lyr: (b, g, 0, 0)),
-        # KV pages are read straight out of the FULL stacked cache —
-        # the layer index rides scalar prefetch, so the layer scan
-        # never materializes a per-layer cache slice.
-        pl.BlockSpec((1, 1, hb, D, S),
+        pl.BlockSpec((1, 1, hb, S, D),
                      lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
         pl.BlockSpec((1, 1, hb, S, D),
                      lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
     ]
     operands = [q, k_all, v_all]
     if quantized:
+        # reshape scales [L, B, Hkv, S] → [L, B, Hkv/hb, 1, hb·S] (an XLA
+        # bitcast — the dims are contiguous) so the kernel receives each
+        # grid step's scales as a [1, hb·S] LANE vector: a lanes→sublanes
+        # relayout inside the kernel is an unsupported Mosaic shape cast.
+        L = k_all.shape[0]
+        ks2 = ks_all.reshape(L, B, Hkv // hb, 1, hb * S)
+        vs2 = vs_all.reshape(L, B, Hkv // hb, 1, hb * S)
         in_specs += [
-            pl.BlockSpec((1, 1, hb, S),
-                         lambda b, g, pos, lyr: (lyr[0], b, g, 0)),
-            pl.BlockSpec((1, 1, hb, S),
-                         lambda b, g, pos, lyr: (lyr[0], b, g, 0)),
+            pl.BlockSpec((1, 1, 1, 1, hb * S),
+                         lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, hb * S),
+                         lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
         ]
-        operands += [ks_all, vs_all]
+        operands += [ks2, vs2]
     else:
         # dummy 1-element scale blocks so the kernel arity is fixed
-        dummy = jnp.zeros((1, 1, hb, 128), jnp.float32)
+        dummy = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
         in_specs += [
-            pl.BlockSpec((1, 1, hb, 128), lambda b, g, pos, lyr: (0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, hb, 128), lambda b, g, pos, lyr: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, 128),
+                         lambda b, g, pos, lyr: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, 128),
+                         lambda b, g, pos, lyr: (0, 0, 0, 0, 0)),
         ]
         operands += [dummy, dummy]
     return pl.pallas_call(
@@ -163,7 +172,7 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
 
 def decode_attention(
     q: jnp.ndarray,            # [B, 1, Hq, D] — single new token per sequence
-    k_all: jnp.ndarray,        # [L, B, Hkv, D, S] full cache (token written)
+    k_all: jnp.ndarray,        # [L, B, Hkv, S, D] full cache (token written)
     v_all: jnp.ndarray,        # [L, B, Hkv, S, D]
     layer: jnp.ndarray,        # scalar int32 — which layer's pages to read
     positions: jnp.ndarray,    # [B] or [B, 1] absolute position of the token
@@ -178,7 +187,7 @@ def decode_attention(
     """
     B, T, Hq, D = q.shape
     assert T == 1, "decode kernel is single-step"
-    Hkv, S = k_all.shape[2], k_all.shape[4]
+    Hkv, S = k_all.shape[2], k_all.shape[3]
     G = Hq // Hkv
     if scale is None:
         scale = 1.0 / (D ** 0.5)

@@ -15,8 +15,8 @@ Design:
 - Reads KV pages straight from the FULL stacked cache with the layer index
   via scalar prefetch — same zero-copy pattern as decode_attention (a scan-
   sliced operand into a Pallas call gets materialized by XLA).
-- The transposed K cache layout ([B, Hkv, D, S], kvcache.py) makes the
-  q·Kᵀ block dot MXU-native: [bt, D] @ [D, bs] with no in-kernel transpose.
+- q·Kᵀ runs as an NT dot_general ([bt, D] × [bs, D] contracting D of both) —
+  MXU-native from the natural [B, Hkv, S, D] cache layout, no transposes.
 - GQA: grid runs over Q heads; the index maps divide by the group size to
   pick the KV page (no repeated-KV materialization — the reference needs a
   dedicated repeat_kv.cu gather for this).
@@ -54,12 +54,15 @@ def _kernel(lyr_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, :, 0, :].astype(jnp.bfloat16)              # [bt, D]
-    k = k_ref[0, 0, 0].astype(jnp.bfloat16)                 # [D, bs]
+    q = q_ref[0, 0].astype(jnp.bfloat16)                    # [bt, D]
+    k = k_ref[0, 0, 0].astype(jnp.bfloat16)                 # [bs, D]
     v = v_ref[0, 0, 0].astype(jnp.bfloat16)                 # [bs, D]
     qpos = qpos_ref[0]                                      # [bt] int32
 
-    scores = jnp.dot(q, k, preferred_element_type=jnp.float32) * scale
+    # NT form: contract D of both operands → [bt, bs]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
     bt = scores.shape[0]
@@ -83,15 +86,17 @@ def _kernel(lyr_ref, qpos_ref, q_ref, k_ref, v_ref, o_ref,
         # fully-masked rows (padding tails) produce l=0 → emit zeros
         l = l_ref[:]
         safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, :, 0, :] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "window",
                                              "bt", "bs", "interpret"))
 def _flash(q, k_all, v_all, qpos, lyr, *, scale, softcap, window, bt, bs,
            interpret):
-    B, T, Hq, D = q.shape
-    L, _, Hkv, _, S = k_all.shape
+    # q arrives [B, Hq, T, D] so the q/out block (1, 1, bt, D) satisfies the
+    # Mosaic constraint that the last two block dims tile (8, 128)
+    B, Hq, T, D = q.shape
+    L, _, Hkv, S, _ = k_all.shape
     G = Hq // Hkv
     grid = (B, Hq, T // bt, S // bs)
     kernel = functools.partial(_kernel, scale=scale, softcap=softcap,
@@ -103,24 +108,24 @@ def _flash(q, k_all, v_all, qpos, lyr, *, scale, softcap, window, bt, bs,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, bt), lambda b, h, t, s, lyr: (b, t)),
-                pl.BlockSpec((1, bt, 1, D),
-                             lambda b, h, t, s, lyr: (b, t, h, 0)),
-                pl.BlockSpec((1, 1, 1, D, bs),
+                pl.BlockSpec((1, 1, bt, D),
+                             lambda b, h, t, s, lyr: (b, h, t, 0)),
+                pl.BlockSpec((1, 1, 1, bs, D),
                              lambda b, h, t, s, lyr:
-                             (lyr[0], b, h // G, 0, s)),
+                             (lyr[0], b, h // G, s, 0)),
                 pl.BlockSpec((1, 1, 1, bs, D),
                              lambda b, h, t, s, lyr:
                              (lyr[0], b, h // G, s, 0)),
             ],
-            out_specs=pl.BlockSpec((1, bt, 1, D),
-                                   lambda b, h, t, s, lyr: (b, t, h, 0)),
+            out_specs=pl.BlockSpec((1, 1, bt, D),
+                                   lambda b, h, t, s, lyr: (b, h, t, 0)),
             scratch_shapes=[
                 pltpu.VMEM((bt, D), jnp.float32),
                 pltpu.VMEM((bt, 1), jnp.float32),
                 pltpu.VMEM((bt, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T, Hq, D), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, T, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -135,7 +140,7 @@ def _flash(q, k_all, v_all, qpos, lyr, *, scale, softcap, window, bt, bs,
 
 def flash_attention(
     q: jnp.ndarray,            # [B, T, Hq, D] — T prefill tokens
-    k_all: jnp.ndarray,        # [L, B, Hkv, D, S] full cache (pages written)
+    k_all: jnp.ndarray,        # [L, B, Hkv, S, D] full cache (pages written)
     v_all: jnp.ndarray,        # [L, B, Hkv, S, D]
     layer: jnp.ndarray,        # scalar int32
     positions: jnp.ndarray,    # [B, T] absolute query positions
@@ -147,7 +152,7 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Blockwise masked attention over the cache; returns [B, T, Hq, D]."""
     B, T, Hq, D = q.shape
-    S = k_all.shape[-1]
+    S = k_all.shape[3]
     if scale is None:
         scale = 1.0 / (D ** 0.5)
     bt = min(block_t, T)
@@ -159,9 +164,11 @@ def flash_attention(
         positions = jnp.pad(positions, ((0, 0), (0, pad_t)),
                             constant_values=-1)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
-    out = _flash(q, k_all, v_all, positions.astype(jnp.int32), lyr,
+    out = _flash(q.transpose(0, 2, 1, 3), k_all, v_all,
+                 positions.astype(jnp.int32), lyr,
                  scale=scale, softcap=logit_softcap, window=sliding_window,
                  bt=bt, bs=bs, interpret=use_interpret())
+    out = out.transpose(0, 2, 1, 3)
     if pad_t:
         out = out[:, :T]
     return out.astype(q.dtype)
@@ -169,5 +176,10 @@ def flash_attention(
 
 def supports(q_shape, S: int, quantized: bool) -> bool:
     B, T, Hq, D = q_shape
+    # below ~1M score elements per head the XLA path (which materializes
+    # [B,H,T,S] scores) is faster — the flash grid's per-(head, t-block)
+    # invocation overhead dominates short prefills (measured: T=128, S=512
+    # prefill got 2x slower through this kernel). Flash exists for the long-
+    # context regime where materialized scores blow up memory.
     return (T > 1 and not quantized and D in (64, 128, 256)
-            and S % 128 == 0 and T >= 8)
+            and S % 128 == 0 and T >= 8 and T * S >= (1 << 20))

@@ -12,7 +12,7 @@ from llm_inference_tpu.ops.pallas import flash_attention as FA
 def make(B, T, Hq, Hkv, S, D, seed=0):
     ks = jax.random.split(jax.random.PRNGKey(seed), 4)
     q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
-    k = jax.random.normal(ks[1], (B, Hkv, D, S), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
     v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
     return q, k, v
 
@@ -53,7 +53,7 @@ class TestFlashAttention:
         L, B, T, Hq, S, D = 3, 1, 32, 2, 128, 64
         ks = jax.random.split(jax.random.PRNGKey(7), 3)
         q = jax.random.normal(ks[0], (B, T, Hq, D), jnp.float32)
-        k = jax.random.normal(ks[1], (L, B, Hq, D, S), jnp.float32)
+        k = jax.random.normal(ks[1], (L, B, Hq, S, D), jnp.float32)
         v = jax.random.normal(ks[2], (L, B, Hq, S, D), jnp.float32)
         pos = jnp.arange(T, dtype=jnp.int32)[None]
         mask = attention.make_attention_mask(pos, S)
@@ -65,7 +65,9 @@ class TestFlashAttention:
                                        atol=8e-3, rtol=2e-2)
 
     def test_supports_gating(self):
-        assert FA.supports((1, 128, 4, 128), 256, quantized=False)
-        assert not FA.supports((1, 1, 4, 128), 256, quantized=False)
-        assert not FA.supports((1, 128, 4, 128), 256, quantized=True)
-        assert not FA.supports((1, 128, 4, 32), 256, quantized=False)
+        assert FA.supports((1, 1024, 4, 128), 2048, quantized=False)
+        assert not FA.supports((1, 1, 4, 128), 2048, quantized=False)
+        assert not FA.supports((1, 1024, 4, 128), 2048, quantized=True)
+        assert not FA.supports((1, 1024, 4, 32), 2048, quantized=False)
+        # short prefills stay on the XLA path (flash grid overhead dominates)
+        assert not FA.supports((1, 128, 4, 128), 512, quantized=False)

@@ -30,7 +30,7 @@ def test_update_writes_codes_and_scales():
     c = kvcache.update_cache_layer(c, jnp.int32(1), k_new, v_new,
                                    jnp.array([4], jnp.int32))
     k = np.asarray(c.k); ks = np.asarray(c.k_scale)
-    assert np.all(k[1, 0, :, :, 4:7] == 127)           # 2.5 / (2.5/127)
+    assert np.all(k[1, 0, :, 4:7] == 127)              # 2.5 / (2.5/127)
     np.testing.assert_allclose(ks[1, 0, :, 4:7], 2.5 / 127.0, rtol=1e-6)
     assert np.all(k[0] == 0) and np.all(ks[0] == 0)    # other layer untouched
     v = np.asarray(c.v); vs = np.asarray(c.v_scale)

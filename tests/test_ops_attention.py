@@ -64,8 +64,8 @@ class TestAttend:
         q_pos = np.stack([off + np.arange(T) for off in offsets]).astype(np.int32)
 
         mask = attention.make_attention_mask(jnp.asarray(q_pos), S)
-        kt = jnp.asarray(k).transpose(0, 1, 3, 2)   # cache keeps K as [.., D, S]
-        out = attention.attend(jnp.asarray(q), kt, jnp.asarray(v), mask)
+        out = attention.attend(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                               mask)
         for b in range(B):
             golden = np_attend(q[b], k[b], v[b], q_pos[b])
             np.testing.assert_allclose(np.asarray(out[b]), golden,
@@ -87,8 +87,7 @@ class TestAttend:
         k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
         v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
         pos = np.array([[3], [6]], dtype=np.int32)
-        kt = jnp.asarray(k).transpose(0, 1, 3, 2)
-        out = attention.decode_attend(jnp.asarray(q), kt,
+        out = attention.decode_attend(jnp.asarray(q), jnp.asarray(k),
                                       jnp.asarray(v), jnp.asarray(pos))
         for b in range(B):
             golden = np_attend(q[b], k[b], v[b], pos[b])
@@ -99,7 +98,7 @@ class TestAttend:
 class TestKVCache:
     def test_update_at_offsets(self):
         B, Hkv, S, D, T = 2, 3, 10, 4, 2
-        kc = jnp.zeros((B, Hkv, D, S), jnp.float32)   # transposed K layout
+        kc = jnp.zeros((B, Hkv, S, D), jnp.float32)
         vc = jnp.zeros((B, Hkv, S, D), jnp.float32)
         rng = np.random.default_rng(0)
         k_new = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
@@ -110,16 +109,16 @@ class TestKVCache:
         kc2 = np.asarray(kc2)
         vc2 = np.asarray(vc2)
         # seq 0 written at [0, 2); seq 1 at [5, 7); everything else untouched
-        np.testing.assert_allclose(kc2[0, :, :, 0:2], k_new[0].transpose(1, 2, 0))
-        np.testing.assert_allclose(kc2[1, :, :, 5:7], k_new[1].transpose(1, 2, 0))
-        assert np.all(kc2[0, :, :, 2:] == 0) and np.all(kc2[1, :, :, :5] == 0)
-        assert np.all(kc2[1, :, :, 7:] == 0)
+        np.testing.assert_allclose(kc2[0, :, 0:2], k_new[0].transpose(1, 0, 2))
+        np.testing.assert_allclose(kc2[1, :, 5:7], k_new[1].transpose(1, 0, 2))
+        assert np.all(kc2[0, :, 2:] == 0) and np.all(kc2[1, :, :5] == 0)
+        assert np.all(kc2[1, :, 7:] == 0)
         np.testing.assert_allclose(vc2[0, :, 0:2], v_new[0].transpose(1, 0, 2))
         np.testing.assert_allclose(vc2[1, :, 5:7], v_new[1].transpose(1, 0, 2))
 
     def test_init_cache_shape(self):
         c = kvcache.init_cache(num_layers=2, batch=3, num_kv_heads=4,
                                max_seq=8, head_dim=16, dtype=jnp.float32)
-        assert c.k.shape == (2, 3, 4, 16, 8)   # K transposed: [.., D, S]
+        assert c.k.shape == (2, 3, 4, 8, 16)
         assert c.v.shape == (2, 3, 4, 8, 16)
         assert c.max_seq_len == 8 and c.batch_size == 3

@@ -32,10 +32,9 @@ class TestDecodeAttention:
         v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
         pos = jnp.asarray(
             np.random.default_rng(1).integers(1, S - 1, (B,)), jnp.int32)
-        kt = k.transpose(0, 1, 3, 2)          # cache keeps K as [.., D, S]
         assert DA.supports(q.shape, S)
-        ref = attention.decode_attend(q, kt, v, pos[:, None])
-        out = DA.decode_attention(q, kt[None], v[None], 0, pos)
+        ref = attention.decode_attend(q, k, v, pos[:, None])
+        out = DA.decode_attention(q, k[None], v[None], 0, pos)
         assert out.shape == ref.shape
         # kernel computes the dots on bf16 operands (the production dtype);
         # the f32 golden differs by bf16 rounding
@@ -50,10 +49,9 @@ class TestDecodeAttention:
         k = jax.random.normal(ks[1], (B, Hq, S, D), jnp.float32)
         v = jax.random.normal(ks[2], (B, Hq, S, D), jnp.float32)
         pos = jnp.array([17], jnp.int32)
-        kt = k.transpose(0, 1, 3, 2)
-        out1 = DA.decode_attention(q, kt[None], v[None], 0, pos)
+        out1 = DA.decode_attention(q, k[None], v[None], 0, pos)
         # poison the cache beyond pos — output must be identical
-        k2 = kt.at[:, :, :, 18:].set(1e4)
+        k2 = k.at[:, :, 18:].set(1e4)
         v2 = v.at[:, :, 18:].set(-1e4)
         out2 = DA.decode_attention(q, k2[None], v2[None], 0, pos)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
@@ -66,9 +64,8 @@ class TestDecodeAttention:
         k = jax.random.normal(ks[1], (B, Hq, S, D), jnp.float32)
         v = jax.random.normal(ks[2], (B, Hq, S, D), jnp.float32)
         pos = jnp.array([100], jnp.int32)
-        kt = k.transpose(0, 1, 3, 2)
-        ref = attention.decode_attend(q, kt, v, pos[:, None], logit_softcap=30.0)
-        out = DA.decode_attention(q, kt[None], v[None], 0, pos, logit_softcap=30.0)
+        ref = attention.decode_attend(q, k, v, pos[:, None], logit_softcap=30.0)
+        out = DA.decode_attention(q, k[None], v[None], 0, pos, logit_softcap=30.0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=4e-3, rtol=2e-2)
 
@@ -83,7 +80,7 @@ class TestDecodeAttention:
         L, B, Hq, S, D = 3, 1, 4, 128, 64
         ks = jax.random.split(jax.random.PRNGKey(5), 3)
         q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
-        k = jax.random.normal(ks[1], (L, B, Hq, D, S), jnp.float32)
+        k = jax.random.normal(ks[1], (L, B, Hq, S, D), jnp.float32)
         v = jax.random.normal(ks[2], (L, B, Hq, S, D), jnp.float32)
         pos = jnp.array([60], jnp.int32)
         for l in range(L):
