@@ -111,6 +111,24 @@ def llama3_8b(**kw) -> ModelConfig:
                        rope_theta=500000.0, max_position_embeddings=8192, **kw)
 
 
+def mistral_7b(**kw) -> ModelConfig:
+    """Mistral-7B-v0.1: llama architecture + sliding-window attention."""
+    return ModelConfig(name="mistral-7b", vocab_size=32000, hidden_size=4096,
+                       intermediate_size=14336, num_layers=32, num_heads=32,
+                       num_kv_heads=8, head_dim=128, rms_norm_eps=1e-5,
+                       max_position_embeddings=32768, sliding_window=4096,
+                       **kw)
+
+
+def qwen2_7b(**kw) -> ModelConfig:
+    """Qwen2-7B: llama architecture + qkv biases + large vocab."""
+    return ModelConfig(name="qwen2-7b", vocab_size=152064, hidden_size=3584,
+                       intermediate_size=18944, num_layers=28, num_heads=28,
+                       num_kv_heads=4, head_dim=128, rms_norm_eps=1e-6,
+                       rope_theta=1000000.0, max_position_embeddings=32768,
+                       qkv_bias=True, tie_word_embeddings=False, **kw)
+
+
 def tiny_llama(**kw) -> ModelConfig:
     """Small config for tests — analogous to the reference's tiny example
     configs (reference: examples/cpp/attention/context_attn_example.cpp:7-20)."""
@@ -127,6 +145,8 @@ PRESETS = {
     "llama2-13b": llama2_13b,
     "llama2-70b": llama2_70b,
     "llama3-8b": llama3_8b,
+    "mistral-7b": mistral_7b,
+    "qwen2-7b": qwen2_7b,
     "tiny-llama": tiny_llama,
 }
 

@@ -69,7 +69,7 @@ class ContinuousBatchingScheduler:
         self.B = slots or engine.engine_cfg.max_batch_size
         self.S = engine.engine_cfg.max_seq_len
 
-        self.cache = engine.new_cache(self.B)
+        self.cache = self._make_cache()
         self.token = jnp.zeros((self.B,), jnp.int32)
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
@@ -81,6 +81,9 @@ class ContinuousBatchingScheduler:
         self._insert_jit = jax.jit(self._insert_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
+
+    def _make_cache(self):
+        return self.engine.new_cache(self.B)
 
     @staticmethod
     def _insert_fn(batch_cache, one_cache, token1, pos1, token, pos, slot):
@@ -119,7 +122,7 @@ class ContinuousBatchingScheduler:
 
     # ------------------------------------------------------------------
 
-    def _admit_one(self, slot: int, req: Request) -> None:
+    def _admit_one(self, slot: int, req: Request) -> bool:
         """Prefill `req` alone and insert its pages into `slot`."""
         logits, one_cache = self.engine.prefill([req.prompt_ids],
                                                 cache=self.engine.new_cache(1))
@@ -137,12 +140,14 @@ class ContinuousBatchingScheduler:
             req.finished = tok in self._eos
             req.done_t = time.perf_counter()
             self.slot_req[slot] = None
-            return
+            self._on_retire(slot)
+            return True
         pos1 = jnp.asarray([len(req.prompt_ids)], jnp.int32)
         self.cache, self.token, self.pos = self._insert_jit(
             self.cache, one_cache, first.astype(jnp.int32), pos1,
             self.token, self.pos, jnp.int32(slot))
         self.slot_req[slot] = req
+        return True
 
     def _harvest(self, toks_np: np.ndarray) -> None:
         """Distribute a decode chunk's tokens [B, steps] to the requests."""
@@ -161,19 +166,31 @@ class ContinuousBatchingScheduler:
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
                     req.done_t = now
                     self.slot_req[b] = None
+                    self._on_retire(b)
                     break
+
+    def _on_retire(self, slot: int) -> None:
+        """Hook: a slot's request finished (paged backend frees pages)."""
+
+    def _before_chunk(self, steps: int) -> bool:
+        """Hook: about to decode `steps` for the active slots; return False
+        to skip the chunk (paged backend grows page tables here)."""
+        return True
 
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
         chunk for all active slots. Returns False when fully idle."""
         for b in range(self.B):
             if self.slot_req[b] is None and self.queue:
-                self._admit_one(b, self.queue.popleft())
+                if not self._admit_one(b, self.queue.popleft()):
+                    break                    # backend out of capacity
         active = [r for r in self.slot_req if r is not None]
         if not active:
             return bool(self.queue)
         budget = min(r.max_new_tokens - len(r.output_ids) for r in active)
         steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
+        if not self._before_chunk(steps):
+            return True
         fn = self.engine._get_decode_jit(steps, self.gen)
         self.key, sub = jax.random.split(self.key)
         toks, self.cache, self.token, self.pos, _ = fn(
@@ -195,3 +212,140 @@ class ContinuousBatchingScheduler:
         if dt > 0:
             self.engine.metrics.observe("batch_tokens_per_s", produced / dt)
         return reqs
+
+
+class PagedScheduler(ContinuousBatchingScheduler):
+    """Continuous batching over the PAGED KV cache (ops/paged_kvcache.py).
+
+    Differences from the dense scheduler:
+    - One global page pool instead of a per-slot dense cache; admission
+      prefills STRAIGHT INTO the request's allocated pages (the model's
+      paged branch writes them) — no prefill-insert copy at all.
+    - Pages are allocated incrementally: prompt pages at admission, decode
+      pages just before each chunk (_before_chunk), released at retirement.
+      The pool may be sized well below slots × max_seq — admissions defer
+      when the pool is exhausted (memory oversubscription, vLLM-style).
+    - The page table lives host-side (numpy) and its device copy rides in
+      the cache pytree, refreshed whenever it changes.
+    """
+
+    def __init__(self, engine: InferenceEngine,
+                 gen: Optional[GenerationConfig] = None,
+                 slots: Optional[int] = None,
+                 num_pages: Optional[int] = None,
+                 page_size: Optional[int] = None):
+        from llm_inference_tpu.ops import paged_kvcache as pk
+        self._pk = pk
+        self._paged_opts = (num_pages, page_size)
+        super().__init__(engine, gen, slots)
+        self._prefill_paged = jax.jit(
+            lambda p, i, q, c, last: _paged_prefill(engine.cfg, p, i, q, c,
+                                                    last),
+            donate_argnums=(3,))
+        self._set_tok_pos = jax.jit(
+            lambda t, q, t1, q1, s: (
+                jax.lax.dynamic_update_slice(t, t1, (s,)),
+                jax.lax.dynamic_update_slice(q, q1, (s,))),
+            donate_argnums=(0, 1))
+
+    def _make_cache(self):
+        num_pages, page_size = self._paged_opts
+        cfg = self.engine.cfg
+        self.ps = page_size or self.engine.engine_cfg.page_size or 128
+        if self.S % self.ps:
+            raise ValueError(f"max_seq_len {self.S} not a multiple of "
+                             f"page_size {self.ps}")
+        self.nb = self.S // self.ps
+        pool = num_pages or (self.B * self.nb + 1)
+        self.alloc = self._pk.PageAllocator(pool, reserve=1)  # 0 = null page
+        self.pt_host = np.zeros((self.B, self.nb), np.int32)
+        self.slot_pages = [[] for _ in range(self.B)]
+        self.pos_host = np.zeros((self.B,), np.int64)
+        dtype = (jnp.bfloat16 if self.engine.cache_dtype in ("int8",)
+                 else self.engine.cache_dtype)
+        return self._pk.init_paged_cache(
+            cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
+            self.B, self.nb, dtype)
+
+    def _ensure_blocks(self, slot: int, tokens_needed: int) -> bool:
+        """Grow `slot`'s page table to cover tokens_needed positions."""
+        need = (tokens_needed + self.ps - 1) // self.ps
+        have = len(self.slot_pages[slot])
+        if need <= have:
+            return True
+        try:
+            new = self.alloc.allocate(need - have)
+        except MemoryError:
+            return False
+        self.slot_pages[slot].extend(new)
+        self.pt_host[slot, have:need] = new
+        return True
+
+    def _sync_table(self) -> None:
+        self.cache = self.cache.replace(
+            page_table=jnp.asarray(self.pt_host))
+
+    def _on_retire(self, slot: int) -> None:
+        self.alloc.release(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.pt_host[slot] = 0          # null page
+
+    def _before_chunk(self, steps: int) -> bool:
+        grew = False
+        for b, req in enumerate(self.slot_req):
+            if req is None:
+                continue
+            if not self._ensure_blocks(b, int(self.pos_host[b]) + steps + 1):
+                return False            # pool exhausted: wait for retires
+            grew = True
+        if grew:
+            self._sync_table()
+        for b, req in enumerate(self.slot_req):
+            if req is not None:
+                self.pos_host[b] += steps
+        return True
+
+    def _admit_one(self, slot: int, req: Request) -> bool:
+        plen = len(req.prompt_ids)
+        bucket = self.engine._bucket(plen)
+        bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
+        if not self._ensure_blocks(slot, bucket):
+            self.queue.appendleft(req)   # retry when pages free up
+            return False
+        self._sync_table()
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :plen] = req.prompt_ids
+        pos = np.arange(bucket, dtype=np.int32)[None]
+        cache1 = self.cache.replace(
+            page_table=jnp.asarray(self.pt_host[slot:slot + 1]))
+        logits, cache1 = self._prefill_paged(
+            self.engine.params, jnp.asarray(ids), jnp.asarray(pos), cache1,
+            jnp.asarray([plen - 1], jnp.int32))
+        self.cache = cache1.replace(page_table=jnp.asarray(self.pt_host))
+        self.key, sub = jax.random.split(self.key)
+        first = sampling.sample(logits, sub, temperature=self.gen.temperature,
+                                top_k=self.gen.top_k, top_p=self.gen.top_p,
+                                greedy=self.gen.greedy)
+        req.first_token_t = time.perf_counter()
+        tok = int(np.asarray(first)[0])
+        req.output_ids.append(tok)
+        if req.stream:
+            req.stream(req.req_id, tok)
+        self.engine.metrics.observe("ttft_s", req.ttft_s)
+        if tok in self._eos or len(req.output_ids) >= req.max_new_tokens:
+            req.finished = tok in self._eos
+            req.done_t = time.perf_counter()
+            self._on_retire(slot)
+            return True
+        self.token, self.pos = self._set_tok_pos(
+            self.token, self.pos, first.astype(jnp.int32),
+            jnp.asarray([plen], jnp.int32), jnp.int32(slot))
+        self.pos_host[slot] = plen
+        self.slot_req[slot] = req
+        return True
+
+
+def _paged_prefill(cfg, params, ids, pos, cache, last_idx):
+    from llm_inference_tpu.models import llama
+    return llama.forward(cfg, params, ids, pos, cache,
+                         logits_mode="last", last_idx=last_idx)

@@ -52,11 +52,13 @@ import jax
 import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig, QuantConfig
-from llm_inference_tpu.ops import activations, attention, embedding, kvcache, norms, rope
+from llm_inference_tpu.ops import (activations, attention, embedding,
+                                   kvcache, norms, paged_kvcache, rope)
 from llm_inference_tpu.utils import debug
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
 from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
+from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
 from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
                                                 quantize, to_blocked)
 
@@ -430,6 +432,52 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     v = v.reshape(B, T, -1, D)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
+
+    if isinstance(cache, paged_kvcache.PagedKVCache):
+        # ---- paged path (vLLM-style pool; see ops/paged_kvcache.py) ----
+        if T == 1:
+            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
+                                              positions[:, 0])
+            if pallas_paged.supports(q.shape, cache.page_size):
+                attn = pallas_paged.paged_decode_attention(
+                    q, cache.k_pages, cache.v_pages, cache.page_table,
+                    layer_idx, positions[:, -1],
+                    logit_softcap=cfg.attn_logit_softcap)
+            else:
+                # gather-based fallback (unsupported head_dim): materialize
+                # the sequences' pages densely, then the XLA path
+                nb_, ps_ = cache.max_blocks, cache.page_size
+                kd = cache.k_pages[layer_idx][cache.page_table]
+                vd = cache.v_pages[layer_idx][cache.page_table]
+                # [B, NB, Hkv, ps, D] → [B, Hkv, NB·ps, D]
+                kd = kd.transpose(0, 2, 1, 3, 4).reshape(
+                    B, kd.shape[2], nb_ * ps_, -1)
+                vd = vd.transpose(0, 2, 1, 3, 4).reshape(
+                    B, vd.shape[2], nb_ * ps_, -1)
+                dmask = attention.make_attention_mask(positions, nb_ * ps_,
+                                                      cfg.sliding_window)
+                attn = attention.attend(q, kd, vd, dmask,
+                                        logit_softcap=cfg.attn_logit_softcap)
+        else:
+            # prefill: sequences start at position 0 (scheduler invariant),
+            # so attention is causal over the fresh tokens only
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k, v, T // cache.page_size)
+            attn = attention.attend(q, k.transpose(0, 2, 1, 3),
+                                    v.transpose(0, 2, 1, 3), mask,
+                                    logit_softcap=cfg.attn_logit_softcap)
+        attn = mm("wo", attn.reshape(B, T, -1))
+        h = h + _psum(attn, tp_axis)
+        normed = norms.rms_norm(h, lp["ffn_norm"], eps)
+        if "w_gateup" in qw or "w_gateup" in lp:
+            gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
+            act = activations.swiglu_split(gate, up)
+        else:
+            act = activations.swiglu_split(mm("w_gate", normed),
+                                           mm("w_up", normed))
+        h = h + _psum(mm("w_down", act), tp_axis)
+        return h, cache
+
     cache = kvcache.update_cache_layer(cache, layer_idx, k, v, write_offsets)
     S = cache.max_seq_len
     if T == 1 and pallas_decode.supports(q.shape, S):
@@ -484,7 +532,10 @@ def forward(
     "all" (perplexity scoring), None for "none" (cache warm-up).
     """
     B, T = ids.shape
-    S = cache.max_seq_len
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
+    # paged prefill attends over the fresh tokens only (sequences start at
+    # position 0 there — scheduler invariant); dense attends over cache slots
+    S = T if paged else cache.max_seq_len
     dtype = _act_dtype(cfg)
 
     h = _sharded_embedding_lookup(params["embed"], ids, tp_axis).astype(dtype)
@@ -548,4 +599,7 @@ import sys as _sys  # noqa: E402
 _registry.register_model("llama", _sys.modules[__name__])
 _registry.register_model("llama2", _sys.modules[__name__])
 _registry.register_model("llama3", _sys.modules[__name__])
+# same decoder family, differing only by config (sliding window / qkv bias)
+_registry.register_model("mistral", _sys.modules[__name__])
+_registry.register_model("qwen2", _sys.modules[__name__])
 _registry.register_model("tiny", _sys.modules[__name__])

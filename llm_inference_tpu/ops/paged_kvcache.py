@@ -1,0 +1,174 @@
+"""Paged KV cache: fixed-size token pages + per-sequence page tables.
+
+No reference analogue (the reference preallocates a dense
+[layers, bs, kv_heads, max_seq, hs] cache, src/models/llama/llama.cpp:77-78);
+this is the vLLM-style memory model the north star asks for, laid out for
+TPU:
+
+- One global page pool per cache tensor: [L, P, Hkv, page_size, D] — a page
+  holds `page_size` consecutive tokens of ONE sequence for ALL kv heads, so
+  the attention kernel's per-(page, head-group) DMA [hb, ps, D] is a
+  contiguous chunk, exactly like a dense-cache slice.
+- A page table [B, max_blocks] int32 maps each sequence's token blocks to
+  pool pages. It rides scalar prefetch into the Pallas kernel
+  (ops/pallas/paged_attention.py), which resolves the indirection in its
+  BlockSpec index_map — pages are never gathered into contiguous storage.
+- Allocation is host-side (PageAllocator): a free-list stack; the scheduler
+  grabs pages at admission (prompt) and ahead of each decode chunk, and
+  returns them at retirement. Fragmentation is zero by construction (all
+  pages equal size) — memory waste is bounded by < 1 page per sequence,
+  vs a dense cache's (max_seq − actual_len) per sequence.
+
+Writes go through jnp scatter updates on the pool (in place under jit
+donation / scan-carry aliasing, like the dense cache).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class PagedKVCache:
+    """k/v page pools + page table.
+
+    k_pages, v_pages: [L, P, Hkv, page_size, D]
+    page_table:       [B, max_blocks] int32 (pool page id per token block;
+                      unallocated entries may hold any valid page id — reads
+                      beyond a sequence's length are masked by position)
+    """
+    k_pages: jnp.ndarray
+    v_pages: jnp.ndarray
+    page_table: jnp.ndarray
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+    @property
+    def max_blocks(self) -> int:
+        return self.page_table.shape[1]
+
+
+def init_paged_cache(num_layers: int, num_pages: int, num_kv_heads: int,
+                     page_size: int, head_dim: int, batch: int,
+                     max_blocks: int, dtype=jnp.bfloat16) -> PagedKVCache:
+    shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_table=jnp.zeros((batch, max_blocks), jnp.int32))
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (one per pool).
+
+    `reserve` pages at the front are never handed out — the engine reserves
+    page 0 as the null page that unallocated page-table entries point at
+    (reads of it are always masked; nothing ever writes it)."""
+
+    def __init__(self, num_pages: int, reserve: int = 0):
+        self._free: List[int] = list(range(num_pages - 1, reserve - 1, -1))
+        self.num_pages = num_pages
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def allocate(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"page pool exhausted: want {n}, have {len(self._free)}")
+        return [self._free.pop() for _ in range(n)]
+
+    def release(self, pages: Sequence[int]) -> None:
+        self._free.extend(int(p) for p in pages)
+
+
+def write_token(cache: PagedKVCache, layer: jnp.ndarray,
+                k_new: jnp.ndarray, v_new: jnp.ndarray,
+                positions: jnp.ndarray) -> PagedKVCache:
+    """Decode-step write: one new token per sequence.
+
+    k_new/v_new: [B, 1, Hkv, D]; positions: [B] absolute token index. The
+    target page comes from the (device-resident) page table.
+    """
+    B = k_new.shape[0]
+    ps = cache.page_size
+    block = positions // ps
+    row = positions % ps
+    pages = jnp.take_along_axis(cache.page_table, block[:, None],
+                                axis=1)[:, 0]                    # [B]
+    k_rows = k_new[:, 0].astype(cache.k_pages.dtype)             # [B, Hkv, D]
+    v_rows = v_new[:, 0].astype(cache.v_pages.dtype)
+    # scatter one row into each sequence's page (distinct pages by allocator
+    # invariant, so the batched scatter has no collisions)
+    idx_l = jnp.broadcast_to(layer, (B,))
+    k_pages = cache.k_pages.at[idx_l, pages, :, row].set(k_rows)
+    v_pages = cache.v_pages.at[idx_l, pages, :, row].set(v_rows)
+    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
+                        page_table=cache.page_table)
+
+
+def write_prompt(cache: PagedKVCache, layer: jnp.ndarray, seq: int,
+                 k_seq: jnp.ndarray, v_seq: jnp.ndarray) -> PagedKVCache:
+    """Prefill insert: write T tokens of sequence `seq` starting at pos 0.
+
+    k_seq/v_seq: [T, Hkv, D] with T a multiple of page_size (pad upstream).
+    """
+    ps = cache.page_size
+    T = k_seq.shape[0]
+    nb = T // ps
+    kb = k_seq.reshape(nb, ps, -1, k_seq.shape[-1]).transpose(0, 2, 1, 3)
+    vb = v_seq.reshape(nb, ps, -1, v_seq.shape[-1]).transpose(0, 2, 1, 3)
+    pages = cache.page_table[seq, :nb]                           # [nb]
+    idx_l = jnp.broadcast_to(layer, (nb,))
+    k_pages = cache.k_pages.at[idx_l, pages].set(
+        kb.astype(cache.k_pages.dtype))
+    v_pages = cache.v_pages.at[idx_l, pages].set(
+        vb.astype(cache.v_pages.dtype))
+    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
+                        page_table=cache.page_table)
+
+
+def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
+                       k_new: jnp.ndarray, v_new: jnp.ndarray,
+                       num_blocks: int) -> PagedKVCache:
+    """Prefill write for a whole batch starting at position 0.
+
+    k_new/v_new: [B, T, Hkv, D] with T = num_blocks · page_size. Each
+    sequence's first `num_blocks` page-table entries must be allocated."""
+    B, T, H, D = k_new.shape
+    ps = cache.page_size
+    kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
+    vb = v_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
+    pages = cache.page_table[:, :num_blocks]                  # [B, nb]
+    idx_l = jnp.broadcast_to(layer, (B, num_blocks))
+    k_pages = cache.k_pages.at[idx_l, pages].set(
+        kb.astype(cache.k_pages.dtype))
+    v_pages = cache.v_pages.at[idx_l, pages].set(
+        vb.astype(cache.v_pages.dtype))
+    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
+                        page_table=cache.page_table)
+
+
+def gather_dense(cache: PagedKVCache, layer: int,
+                 seq: int, length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Golden/debug helper: materialize a sequence's pages as dense
+    [Hkv, length, D] arrays."""
+    ps = cache.page_size
+    nb = (length + ps - 1) // ps
+    pages = cache.page_table[seq, :nb]
+    k = cache.k_pages[layer, pages]            # [nb, Hkv, ps, D]
+    v = cache.v_pages[layer, pages]
+    k = k.transpose(1, 0, 2, 3).reshape(k.shape[1], nb * ps, -1)
+    v = v.transpose(1, 0, 2, 3).reshape(v.shape[1], nb * ps, -1)
+    return k[:, :length], v[:, :length]

@@ -1,0 +1,154 @@
+"""Paged decode attention — Pallas TPU kernel over a page-table-indexed pool.
+
+The paged twin of decode_attention.py (see there for the head-batching and
+masking design; reference analogue launchDecoderMaskedMHA, which only knows
+the dense contiguous cache). The difference: KV pages live anywhere in a
+global pool (ops/paged_kvcache.py) and the PAGE TABLE rides scalar prefetch,
+so each grid step's BlockSpec index_map resolves `page_table[b, j]` to pick
+the next [hb, ps, D] chunk to DMA — the vLLM PagedAttention indirection,
+expressed as data-dependent block indices instead of pointer chasing.
+
+Grid (B, Hkv/hb, max_blocks) with the classic online-softmax recurrence over
+the page-block axis (running max / sum / [HG, D] accumulator in VMEM
+scratch); output written once on the last block. Unallocated tail blocks
+alias page 0 and are fully masked by `token <= position`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_tpu.ops.pallas import use_interpret
+
+NEG_INF = -1e30
+
+
+def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
+            acc_ref, m_ref, l_ref, *, hb: int, nb: int, scale: float,
+            softcap: float):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    pos = pos_ref[b]
+    _, _, G, D = q_ref.shape
+    ps = k_ref.shape[3]
+    HG = hb * G
+    HS = hb * ps
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
+    kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, t)
+    scores = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if softcap > 0.0:
+        scores = jnp.tanh(scores / softcap) * softcap
+    row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+    token = j * ps + col % ps
+    ok = ((col // ps) == (row // G)) & (token <= pos)
+    scores = jnp.where(ok, scores, NEG_INF)
+
+    m_prev = m_ref[:]                                      # [HG, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)                            # [HG, HS]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:] = m_new
+    vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hb, G, D
+                                                   ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
+def _paged_attn(q, k_pages, v_pages, pt, pos, layer, *, scale, softcap,
+                interpret):
+    B, Hkv, G, D = q.shape
+    L, P, _, ps, _ = k_pages.shape
+    NB = pt.shape[0] // B
+    hb = max(1, min(Hkv, (512 * 1024) // (ps * D * k_pages.dtype.itemsize)))
+    while Hkv % hb:
+        hb -= 1
+    grid = (B, Hkv // hb, NB)
+    kernel = functools.partial(_kernel, hb=hb, nb=NB, scale=scale,
+                               softcap=softcap)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, hb, G, D),
+                             lambda b, g, j, pos, lyr, pt: (b, g, 0, 0)),
+                # the page-table indirection: block index = pool page id
+                pl.BlockSpec((1, 1, hb, ps, D),
+                             lambda b, g, j, pos, lyr, pt:
+                             (lyr[0], pt[b * NB + j], g, 0, 0)),
+                pl.BlockSpec((1, 1, hb, ps, D),
+                             lambda b, g, j, pos, lyr, pt:
+                             (lyr[0], pt[b * NB + j], g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, hb, G, D),
+                                   lambda b, g, j, pos, lyr, pt:
+                                   (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((hb * G, D), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * NB * ps * D,
+            bytes_accessed=2 * B * Hkv * NB * ps * D
+            * k_pages.dtype.itemsize,
+            transcendentals=B * Hkv * G * NB * ps),
+        interpret=interpret,
+    )(pos, layer, pt, q, k_pages, v_pages)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,            # [B, 1, Hq, D] — single new token per sequence
+    k_pages: jnp.ndarray,      # [L, P, Hkv, ps, D] page pool (token written)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,   # [B, max_blocks] int32
+    layer: jnp.ndarray,        # scalar int32
+    positions: jnp.ndarray,    # [B] absolute position of the new token
+    scale: float | None = None,
+    logit_softcap: float = 0.0,
+) -> jnp.ndarray:
+    """Fused decode attention over paged KV; returns [B, 1, Hq, D]."""
+    B, T, Hq, D = q.shape
+    assert T == 1, "decode kernel is single-step"
+    Hkv, ps = k_pages.shape[2], k_pages.shape[3]
+    G = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    qg = q.reshape(B, Hkv, G, D)
+    pos = positions.reshape(B).astype(jnp.int32)
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    pt = page_table.reshape(-1).astype(jnp.int32)
+    out = _paged_attn(qg, k_pages, v_pages, pt, pos, lyr, scale=scale,
+                      softcap=logit_softcap, interpret=use_interpret())
+    return out.reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+def supports(q_shape, page_size: int) -> bool:
+    B, T, Hq, D = q_shape
+    return T == 1 and D in (64, 128, 256) and page_size % 8 == 0

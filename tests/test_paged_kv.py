@@ -1,0 +1,111 @@
+"""Paged KV cache + paged decode attention vs the dense golden path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.ops import attention, paged_kvcache as pk
+from llm_inference_tpu.ops.pallas import paged_attention as PA
+
+
+class TestAllocator:
+    def test_allocate_release(self):
+        a = pk.PageAllocator(8)
+        p1 = a.allocate(3)
+        assert len(set(p1)) == 3 and a.free_pages == 5
+        a.release(p1[:2])
+        assert a.free_pages == 7
+        with pytest.raises(MemoryError):
+            a.allocate(8)
+
+
+class TestPagedWrites:
+    def test_prompt_then_tokens_roundtrip(self):
+        L, P, H, ps, D, B, NB = 2, 16, 4, 8, 32, 2, 4
+        cache = pk.init_paged_cache(L, P, H, ps, D, B, NB, jnp.float32)
+        alloc = pk.PageAllocator(P)
+        pt = np.zeros((B, NB), np.int32)
+        pt[0, :2] = alloc.allocate(2)       # seq 0: 2 pages for 10 tokens
+        pt[1, :1] = alloc.allocate(1)
+        cache = cache.replace(page_table=jnp.asarray(pt))
+
+        rng = np.random.default_rng(0)
+        k_seq = rng.standard_normal((2 * ps, H, D)).astype(np.float32)
+        v_seq = rng.standard_normal((2 * ps, H, D)).astype(np.float32)
+        for layer in range(L):
+            cache = pk.write_prompt(cache, jnp.int32(layer), 0,
+                                    jnp.asarray(k_seq) + layer,
+                                    jnp.asarray(v_seq) + layer)
+        k_d, v_d = pk.gather_dense(cache, 1, 0, 2 * ps)
+        np.testing.assert_allclose(np.asarray(k_d),
+                                   (k_seq + 1).transpose(1, 0, 2))
+
+        # decode-step write at position 10 of seq 1 (block 1 → need a page)
+        pt[1, 1] = alloc.allocate(1)[0]
+        cache = cache.replace(page_table=jnp.asarray(pt))
+        k_new = rng.standard_normal((B, 1, H, D)).astype(np.float32)
+        v_new = rng.standard_normal((B, 1, H, D)).astype(np.float32)
+        pos = jnp.array([2 * ps, 10], jnp.int32)
+        cache = pk.write_token(cache, jnp.int32(0), jnp.asarray(k_new),
+                               jnp.asarray(v_new), pos)
+        k_d, _ = pk.gather_dense(cache, 0, 1, 16)
+        np.testing.assert_allclose(np.asarray(k_d)[:, 10], k_new[1, 0])
+
+
+class TestPagedAttention:
+    @pytest.mark.parametrize("B,Hq,Hkv,ps,NB,D", [
+        (1, 8, 8, 128, 4, 128),
+        (2, 8, 2, 128, 2, 128),
+        (2, 4, 4, 64, 3, 64),
+    ])
+    def test_matches_dense_golden(self, B, Hq, Hkv, ps, NB, D):
+        L, P = 2, B * NB + 2
+        rng = np.random.default_rng(1)
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        # build a scrambled page table so page ids ≠ block order
+        alloc = pk.PageAllocator(P)
+        pt = np.zeros((B, NB), np.int32)
+        for bb in range(B):
+            pt[bb] = alloc.allocate(NB)
+        rng.shuffle(pt.reshape(-1))
+        cache = pk.init_paged_cache(L, P, Hkv, ps, D, B, NB, jnp.float32)
+        cache = cache.replace(page_table=jnp.asarray(pt))
+        S = NB * ps
+        k_seq = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+        layer = 1
+        for bb in range(B):
+            cache = pk.write_prompt(cache, jnp.int32(layer), bb,
+                                    k_seq[bb], v_seq[bb])
+        pos = jnp.asarray(rng.integers(ps, S - 1, (B,)), jnp.int32)
+
+        out = PA.paged_decode_attention(q, cache.k_pages, cache.v_pages,
+                                        cache.page_table, layer, pos)
+        # dense golden from the same data
+        k_dense = k_seq.transpose(0, 2, 1, 3)     # [B, Hkv, S, D]
+        v_dense = v_seq.transpose(0, 2, 1, 3)
+        ref = attention.decode_attend(q, k_dense, v_dense, pos[:, None])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-3, rtol=2e-2)
+
+    def test_garbage_beyond_position_ignored(self):
+        B, H, ps, NB, D = 1, 4, 64, 2, 64
+        cache = pk.init_paged_cache(1, NB + 1, H, ps, D, B, NB, jnp.float32)
+        pt = jnp.asarray([[1, 2]], jnp.int32)
+        cache = cache.replace(page_table=pt)
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (B, 1, H, D), jnp.float32)
+        k_seq = jax.random.normal(ks[1], (B, 2 * ps, H, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, 2 * ps, H, D), jnp.float32)
+        cache = pk.write_prompt(cache, jnp.int32(0), 0, k_seq[0], v_seq[0])
+        pos = jnp.array([40], jnp.int32)
+        out1 = PA.paged_decode_attention(q, cache.k_pages, cache.v_pages,
+                                         pt, 0, pos)
+        # poison everything beyond pos (rest of page 1 + all of page 2)
+        kp = cache.k_pages.at[:, 2].set(1e4).at[:, 1, :, 41:].set(1e4)
+        vp = cache.v_pages.at[:, 2].set(-1e4).at[:, 1, :, 41:].set(-1e4)
+        out2 = PA.paged_decode_attention(q, kp, vp, pt, 0, pos)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
