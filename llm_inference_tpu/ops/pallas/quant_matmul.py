@@ -48,8 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 from llm_inference_tpu.ops.pallas import use_interpret
 from llm_inference_tpu.ops.quantization import QTensor, qmatmul_ref
 
-# Above this many rows the XLA dense path wins (MXU-bound regime).
-_PALLAS_MAX_M = 64
+# Above this many rows the XLA dense path wins (MXU-bound regime). 128 keeps
+# the default prefill bucket on the kernel path — critical for INT4, where
+# the XLA fallback re-unpacks nibbles elementwise and multiplies TTFT ~5x.
+_PALLAS_MAX_M = 128
 # Static row-chunk for in-VMEM dequant intermediates (int8 rows / packed rows).
 _ROW_CHUNK = 2048
 
