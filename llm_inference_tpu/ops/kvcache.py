@@ -85,14 +85,14 @@ def update_kv_cache(
     offsets: jnp.ndarray,   # [B] int32 — write position per sequence
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Write T new tokens per sequence into the cache at per-seq offsets."""
+    B = k_new.shape[0]
     k_new = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, Hkv, T, D]
     v_new = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
-
-    def write(cache_b, new_b, off):
-        return jax.lax.dynamic_update_slice(cache_b, new_b, (0, off, 0))
-
-    k_cache = jax.vmap(write)(k_cache, k_new, offsets)
-    v_cache = jax.vmap(write)(v_cache, v_new, offsets)
+    zero = jnp.int32(0)
+    for b in range(B):
+        idx = (jnp.int32(b), zero, offsets[b], zero)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[b][None], idx)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[b][None], idx)
     return k_cache, v_cache
 
 
@@ -129,30 +129,36 @@ def update_cache_layer(
 
 
 def _write_pages(k_all, v_all, layer, k_new, v_new, offsets):
+    """Per-sequence chain of dynamic_update_slice (B is static and small).
+
+    NOT a vmapped DUS over the batch axis — vmap(in_axes=1) physically
+    transposes the whole cache to [B, L, ...] and back EVERY LAYER (measured
+    4 × 2.1 GB of copies per layer-step at B=8 on a 7B cache). NOT a batched
+    advanced-index scatter either — XLA assigns the scatter a non-default
+    operand layout, forcing two full-cache layout copies per layer at the
+    Pallas-call boundary. A chain of plain DUS ops keeps the carry aliased
+    in place (verified: zero cache copies in the trace)."""
+    B = k_new.shape[0]
     k_new = k_new.transpose(0, 2, 1, 3).astype(k_all.dtype)   # [B, Hkv, T, D]
     v_new = v_new.transpose(0, 2, 1, 3).astype(v_all.dtype)
-
-    def write(cache_lb, new_b, off):        # cache_lb: [L, Hkv, S, D]
-        return jax.lax.dynamic_update_slice(cache_lb, new_b[None],
-                                            (layer, 0, off, 0))
-
-    k_all = jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
-        k_all, k_new, offsets)
-    v_all = jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
-        v_all, v_new, offsets)
+    zero = jnp.int32(0)
+    for b in range(B):
+        idx = (layer, jnp.int32(b), zero, offsets[b], zero)
+        k_all = jax.lax.dynamic_update_slice(k_all, k_new[b][None, None], idx)
+        v_all = jax.lax.dynamic_update_slice(v_all, v_new[b][None, None], idx)
     return k_all, v_all
 
 
 def _write_scales(s_all, layer, s_new, offsets):
     """s_all: [L, B, Hkv, S]; s_new: [B, T, Hkv]."""
+    B = s_new.shape[0]
     s_new = s_new.transpose(0, 2, 1).astype(s_all.dtype)      # [B, Hkv, T]
-
-    def write(cache_lb, new_b, off):        # cache_lb: [L, Hkv, S]
-        return jax.lax.dynamic_update_slice(cache_lb, new_b[None],
-                                            (layer, 0, off))
-
-    return jax.vmap(write, in_axes=(1, 0, 0), out_axes=1)(
-        s_all, s_new, offsets)
+    zero = jnp.int32(0)
+    for b in range(B):
+        s_all = jax.lax.dynamic_update_slice(
+            s_all, s_new[b][None, None], (layer, jnp.int32(b), zero,
+                                          offsets[b]))
+    return s_all
 
 
 def update_kv_cache_layer(k_all, v_all, layer, k_new, v_new, offsets):
