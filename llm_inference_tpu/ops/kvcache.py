@@ -13,10 +13,11 @@ natural-layout write; the attention kernels instead use TN/NT dot_general
 forms that contract head_dim directly from the natural layout with no
 in-kernel transposes).
 
-Updates are vmapped `lax.dynamic_update_slice` (per-sequence offsets), which
-XLA lowers to an in-place scatter thanks to jit donation — no cache copy.
-Unlike the reference (batch=1, shared history offset), offsets are
-per-sequence so continuous batching can mix requests at different positions.
+Updates are chains of per-sequence `lax.dynamic_update_slice` ops (see
+_write_pages for why neither vmap nor a batched scatter works), kept fully
+in place by jit donation / while-carry aliasing. Unlike the reference
+(batch=1, shared history offset), offsets are per-sequence so continuous
+batching can mix requests at different positions.
 """
 
 from __future__ import annotations

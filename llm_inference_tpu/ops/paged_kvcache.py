@@ -109,11 +109,17 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
                                 axis=1)[:, 0]                    # [B]
     k_rows = k_new[:, 0].astype(cache.k_pages.dtype)             # [B, Hkv, D]
     v_rows = v_new[:, 0].astype(cache.v_pages.dtype)
-    # scatter one row into each sequence's page (distinct pages by allocator
-    # invariant, so the batched scatter has no collisions)
-    idx_l = jnp.broadcast_to(layer, (B,))
-    k_pages = cache.k_pages.at[idx_l, pages, :, row].set(k_rows)
-    v_pages = cache.v_pages.at[idx_l, pages, :, row].set(v_rows)
+    # per-sequence chain of dynamic_update_slice — the batched-scatter and
+    # vmapped forms force full-pool copies inside the decode scan (see
+    # kvcache._write_pages for the measurements)
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    zero = jnp.int32(0)
+    for b in range(B):
+        idx = (layer, pages[b], zero, row[b], zero)
+        k_pages = jax.lax.dynamic_update_slice(
+            k_pages, k_rows[b][None, None, :, None], idx)
+        v_pages = jax.lax.dynamic_update_slice(
+            v_pages, v_rows[b][None, None, :, None], idx)
     return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
                         page_table=cache.page_table)
 
