@@ -12,8 +12,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import sys
-
 import jax
 import jax.numpy as jnp
 

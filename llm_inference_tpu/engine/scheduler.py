@@ -29,7 +29,7 @@ import dataclasses
 import itertools
 import time
 from collections import deque
-from typing import Callable, Dict, List, Optional, Sequence, Union
+from typing import Callable, List, Optional, Sequence, Union
 
 import numpy as np
 import jax

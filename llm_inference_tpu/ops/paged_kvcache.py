@@ -25,7 +25,7 @@ donation / scan-carry aliasing, like the dense cache).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

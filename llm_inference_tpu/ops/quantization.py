@@ -16,9 +16,8 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
