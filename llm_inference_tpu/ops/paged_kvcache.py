@@ -71,11 +71,14 @@ def init_paged_cache(num_layers: int, num_pages: int, num_kv_heads: int,
 class PageAllocator:
     """Host-side free-list page allocator (one per pool).
 
-    `reserve` pages at the front are never handed out — the engine reserves
-    page 0 as the null page that unallocated page-table entries point at
-    (reads of it are always masked; nothing ever writes it)."""
+    `reserve` pages at the front are never handed out (default 1): page 0 is
+    the null page that unallocated page-table entries point at. It absorbs
+    garbage writes from retired-but-not-yet-reused decode slots (whose
+    outputs the scheduler discards host-side); live sequences only read it
+    through their position-masked tail blocks, and write_token sanitizes
+    non-finite values so those masked reads can never produce 0·Inf = NaN."""
 
-    def __init__(self, num_pages: int, reserve: int = 0):
+    def __init__(self, num_pages: int, reserve: int = 1):
         self._free: List[int] = list(range(num_pages - 1, reserve - 1, -1))
         self.num_pages = num_pages
 
@@ -103,12 +106,19 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
     """
     B = k_new.shape[0]
     ps = cache.page_size
-    block = positions // ps
+    # clamp: retired slots keep decoding garbage with growing positions;
+    # their table rows point at the reserved null page, which absorbs the
+    # writes (it is never allocated, and reads of it are position-masked)
+    block = jnp.minimum(positions // ps, cache.max_blocks - 1)
     row = positions % ps
     pages = jnp.take_along_axis(cache.page_table, block[:, None],
                                 axis=1)[:, 0]                    # [B]
-    k_rows = k_new[:, 0].astype(cache.k_pages.dtype)             # [B, Hkv, D]
-    v_rows = v_new[:, 0].astype(cache.v_pages.dtype)
+    # retired slots write garbage into the shared null page, whose masked
+    # reads multiply by exactly-zero probabilities — sanitize non-finite
+    # garbage (overflowed bf16 activations) or 0 x Inf would NaN-poison
+    # every live sequence whose tail blocks alias the null page
+    k_rows = jnp.nan_to_num(k_new[:, 0]).astype(cache.k_pages.dtype)
+    v_rows = jnp.nan_to_num(v_new[:, 0]).astype(cache.v_pages.dtype)
     # per-sequence chain of dynamic_update_slice — the batched-scatter and
     # vmapped forms force full-pool copies inside the decode scan (see
     # kvcache._write_pages for the measurements)

@@ -11,13 +11,15 @@ from llm_inference_tpu.ops.pallas import paged_attention as PA
 
 class TestAllocator:
     def test_allocate_release(self):
-        a = pk.PageAllocator(8)
+        a = pk.PageAllocator(8)            # default reserve=1: page 0 held
         p1 = a.allocate(3)
-        assert len(set(p1)) == 3 and a.free_pages == 5
+        assert len(set(p1)) == 3 and 0 not in p1
+        assert a.free_pages == 4
         a.release(p1[:2])
-        assert a.free_pages == 7
+        assert a.free_pages == 6
         with pytest.raises(MemoryError):
-            a.allocate(8)
+            a.allocate(7)
+        assert pk.PageAllocator(8, reserve=0).free_pages == 8
 
 
 class TestPagedWrites:
