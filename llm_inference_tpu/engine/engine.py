@@ -161,6 +161,13 @@ class InferenceEngine:
         existing cache at per-sequence offsets). Returns (logits, cache)."""
         B = len(token_lists)
         starts = list(start_positions or [0] * B)
+        longest = max(len(t) + s for t, s in zip(token_lists, starts))
+        if longest > self.engine_cfg.max_seq_len:
+            raise ValueError(
+                f"prompt needs {longest} cache slots but max_seq_len is "
+                f"{self.engine_cfg.max_seq_len} — raise EngineConfig."
+                f"max_seq_len (a dynamic_update_slice would silently clamp "
+                f"and corrupt the cache tail)")
         T = self._bucket(max(len(t) for t in token_lists))
         ids = np.zeros((B, T), np.int32)
         pos = np.zeros((B, T), np.int32)
