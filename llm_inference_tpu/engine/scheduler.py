@@ -198,6 +198,26 @@ class ContinuousBatchingScheduler:
         self._harvest(np.asarray(toks))
         return True
 
+    def drain_inflight(self) -> List[Request]:
+        """Failure/elastic-recovery hook (parallel/multihost.py): pull every
+        in-flight request out of its slot and put it back at the FRONT of
+        the queue with generation state reset, so a restarted worker (fresh
+        cache) replays them from the prompt. Returns the drained requests."""
+        drained = []
+        for b in range(self.B):
+            req = self.slot_req[b]
+            if req is None:
+                continue
+            self.slot_req[b] = None
+            self._on_retire(b)
+            req.output_ids = []
+            req.first_token_t = 0.0
+            req.finished = False
+            drained.append(req)
+        for req in reversed(drained):
+            self.queue.appendleft(req)
+        return drained
+
     def run(self, requests: Sequence[Union[str, Sequence[int]]],
             max_new_tokens: Optional[int] = None) -> List[Request]:
         """Convenience: submit everything, run to completion, return in

@@ -78,3 +78,23 @@ class TestScheduler:
         sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
         with pytest.raises(ValueError):
             sched.submit(list(range(2, 62)), max_new_tokens=10)
+
+
+class TestRecovery:
+    def test_drain_inflight_replays_requests(self, engine):
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        golden = [r.output_ids for r in
+                  ContinuousBatchingScheduler(engine, GEN, slots=2).run(
+                      [[5, 6, 7], [9, 10, 11]], max_new_tokens=6)]
+        # start, decode one chunk, then simulate a failure mid-flight
+        for p in ([5, 6, 7], [9, 10, 11]):
+            sched.submit(list(p), max_new_tokens=6)
+        sched.step()
+        drained = sched.drain_inflight()
+        assert len(drained) == 2 and all(r.output_ids == [] for r in drained)
+        # fresh cache (restart), same scheduler object replays from prompts
+        sched.cache = sched._make_cache()
+        while sched.step():
+            pass
+        got = [r.output_ids for r in drained]
+        assert got == golden
