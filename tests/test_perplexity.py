@@ -65,3 +65,15 @@ class TestQuantGate:
             donate=False)
         qppl = perplexity(cfg, q, ids, window=64, stride=32)
         assert abs(qppl - base) / base < 0.02
+
+    def test_int4_delta_ppl_bounded(self):
+        """INT4 gate (BASELINE: Δppl ≤ 0.5 on real checkpoints); the tiny
+        random model has no outlier structure, so the bound here is a loose
+        relative one — the point is the measurement plumbing."""
+        base = perplexity(cfg, params, ids, window=64, stride=32)
+        q = llama.prepare_params(
+            llama.quantize_params(params, QuantConfig(weights="int4",
+                                                      group_size=32)),
+            donate=False)
+        qppl = perplexity(cfg, q, ids, window=64, stride=32)
+        assert abs(qppl - base) / base < 0.10
