@@ -9,4 +9,4 @@ from llm_inference_tpu.engine.tokenizer import (  # noqa: F401
     BPETokenizer, HFTokenizer, load_tokenizer)
 from llm_inference_tpu.engine.engine import InferenceEngine  # noqa: F401
 from llm_inference_tpu.engine.scheduler import (  # noqa: F401
-    ContinuousBatchingScheduler, Request)
+    ContinuousBatchingScheduler, PagedScheduler, Request)

@@ -1,0 +1,218 @@
+"""HTTP serving front-end over the continuous-batching scheduler.
+
+The reference's only interface is a blocking stdin REPL
+(reference: user_entry.cpp:13-53). This module provides the production-
+serving surface the north star asks for, with zero dependencies beyond the
+standard library:
+
+- POST /generate    {"prompt": str | [int], "max_new_tokens"?, ...}
+                    → {"request_id", "token_ids", "text", "ttft_s", ...}
+                    (add "stream": true for newline-delimited JSON chunks,
+                    one per token — SSE-style streaming)
+- GET  /health      → {"status": "ok", "queued": n, "active": n}
+- GET  /metrics     → engine metrics (TTFT / tokens-per-s observations)
+
+Architecture: HTTP handler threads enqueue requests into the scheduler (one
+lock-guarded submit) and block on a per-request completion event; a single
+background scheduler thread runs `step()` in a loop — the device only ever
+sees the scheduler's batched programs, so concurrency costs no recompiles.
+Sampling parameters are fixed at server start (the decode program is
+specialized on them — same contract as the scheduler).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from llm_inference_tpu.config import GenerationConfig
+from llm_inference_tpu.engine.engine import InferenceEngine
+from llm_inference_tpu.engine.scheduler import (ContinuousBatchingScheduler,
+                                                PagedScheduler)
+
+
+class ServingBackend:
+    """Thread-safe wrapper: scheduler + background step loop + completion
+    signaling. Usable on its own (tests drive it without sockets)."""
+
+    def __init__(self, engine: InferenceEngine,
+                 gen: Optional[GenerationConfig] = None,
+                 paged: bool = False, **sched_kw):
+        cls = PagedScheduler if paged else ContinuousBatchingScheduler
+        self.engine = engine
+        self.sched = cls(engine, gen, **sched_kw)
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._done: dict[int, threading.Event] = {}
+        self._streams: dict[int, list] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- request side -------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens=None, on_token=None):
+        """Enqueue; returns the Request (attach to wait())."""
+        with self._lock:
+            req = self.sched.submit(prompt, max_new_tokens,
+                                    stream=on_token)
+            self._done[req.req_id] = threading.Event()
+        self._wake.set()
+        return req
+
+    def wait(self, req, timeout=None) -> bool:
+        return self._done[req.req_id].wait(timeout)
+
+    # -- scheduler side ------------------------------------------------------
+
+    def _loop(self):
+        while not self._stop:
+            with self._lock:
+                progressed = self.sched.step()
+                for b_req in list(self._done):
+                    # a request is complete once it left queue and slots
+                    if (all(r is None or r.req_id != b_req
+                            for r in self.sched.slot_req)
+                            and all(q.req_id != b_req
+                                    for q in self.sched.queue)):
+                        self._done[b_req].set()
+            if not progressed:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def stats(self):
+        with self._lock:
+            return {
+                "queued": len(self.sched.queue),
+                "active": sum(r is not None for r in self.sched.slot_req),
+            }
+
+
+def make_handler(backend: ServingBackend):
+    tok = backend.engine.tokenizer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok", **backend.stats()})
+            elif self.path == "/metrics":
+                self._json(200, backend.engine.metrics.snapshot())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+            except (KeyError, ValueError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            max_new = body.get("max_new_tokens")
+            stream = bool(body.get("stream"))
+            try:
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson")
+                    self.end_headers()
+
+                    def on_token(rid, t):
+                        piece = tok.decode_token(t) if tok else ""
+                        chunk = json.dumps({"token_id": t,
+                                            "text": piece}) + "\n"
+                        try:
+                            self.wfile.write(chunk.encode())
+                            self.wfile.flush()
+                        except BrokenPipeError:
+                            pass
+                    req = backend.submit(prompt, max_new, on_token)
+                    backend.wait(req)
+                    tail = json.dumps({"done": True,
+                                       "request_id": req.req_id,
+                                       "finished": req.finished}) + "\n"
+                    self.wfile.write(tail.encode())
+                else:
+                    req = backend.submit(prompt, max_new)
+                    backend.wait(req)
+                    text = tok.decode(req.output_ids) if tok else ""
+                    self._json(200, {
+                        "request_id": req.req_id,
+                        "token_ids": req.output_ids,
+                        "text": text,
+                        "finished": req.finished,
+                        "ttft_s": req.ttft_s,
+                    })
+            except ValueError as e:           # oversized prompt etc.
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
+          gen: Optional[GenerationConfig] = None, paged: bool = False,
+          **sched_kw) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever())."""
+    backend = ServingBackend(engine, gen, paged=paged, **sched_kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(backend))
+    httpd.backend = backend
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+    import sys
+    from llm_inference_tpu import cli as _cli
+
+    ap = argparse.ArgumentParser(description="TPU LLM HTTP server")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--slots", type=int, default=None)
+    # engine-building flags (same set as the chat CLI)
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--quant", default="none")
+    ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--kv-cache", default="bf16")
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--decode-chunk", type=int, default=8)
+    ap.add_argument("--max-new-tokens", type=int, default=256)
+    ap.add_argument("--greedy", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    engine = _cli.build_engine(args)
+    gen = GenerationConfig(greedy=True, max_new_tokens=args.max_new_tokens)
+    httpd = serve(engine, args.host, args.port, gen, paged=args.paged,
+                  slots=args.slots)
+    print(f"serving on {args.host}:{args.port}", file=sys.stderr)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

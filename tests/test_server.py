@@ -1,0 +1,115 @@
+"""HTTP serving front-end: real socket round trips against the threaded
+scheduler backend (batch, streaming, health/metrics, error paths)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
+                                      tiny_llama)
+from llm_inference_tpu.engine import server as srv
+from llm_inference_tpu.engine.engine import InferenceEngine
+from llm_inference_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def httpd():
+    cfg = tiny_llama(num_kv_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    engine = InferenceEngine(
+        cfg, params,
+        engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                max_batch_size=2, prefill_buckets=(8, 16)))
+    httpd = srv.serve(engine, host="127.0.0.1", port=0,
+                      gen=GenerationConfig(greedy=True, max_new_tokens=6,
+                                           eos_token_ids=(1,)))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+    httpd.backend.shutdown()
+
+
+def _url(httpd, path):
+    return f"http://127.0.0.1:{httpd.server_address[1]}{path}"
+
+
+def _post(httpd, obj, path="/generate"):
+    req = urllib.request.Request(
+        _url(httpd, path), data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+class TestServer:
+    def test_generate(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_new_tokens": 5}) as r:
+            out = json.load(r)
+        assert len(out["token_ids"]) <= 5 and out["ttft_s"] > 0
+
+    def test_generate_matches_engine(self, httpd):
+        eng = httpd.backend.engine
+        want = eng.generate([[9, 10, 11]],
+                            GenerationConfig(greedy=True, max_new_tokens=6,
+                                             eos_token_ids=(1,)))[0].token_ids
+        with _post(httpd, {"prompt": [9, 10, 11]}) as r:
+            got = json.load(r)["token_ids"]
+        assert got == want
+
+    def test_concurrent_requests(self, httpd):
+        rng = np.random.default_rng(0)
+        prompts = [list(map(int, rng.integers(2, 200, 4))) for _ in range(6)]
+        results = {}
+
+        def one(i):
+            with _post(httpd, {"prompt": prompts[i]}) as r:
+                results[i] = json.load(r)
+        ts = [threading.Thread(target=one, args=(i,))
+              for i in range(len(prompts))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert len(results) == len(prompts)
+        # each concurrent result matches a solo run
+        eng = httpd.backend.engine
+        for i, p in enumerate(prompts):
+            want = eng.generate([list(p)],
+                                GenerationConfig(greedy=True,
+                                                 max_new_tokens=6,
+                                                 eos_token_ids=(1,))
+                                )[0].token_ids
+            assert results[i]["token_ids"] == want, i
+
+    def test_streaming(self, httpd):
+        with _post(httpd, {"prompt": [4, 5], "stream": True}) as r:
+            lines = [json.loads(l) for l in r.read().splitlines()]
+        assert lines[-1]["done"] is True
+        assert all("token_id" in l for l in lines[:-1])
+
+    def test_health_and_metrics(self, httpd):
+        with urllib.request.urlopen(_url(httpd, "/health"), timeout=30) as r:
+            h = json.load(r)
+        assert h["status"] == "ok"
+        with urllib.request.urlopen(_url(httpd, "/metrics"), timeout=30) as r:
+            m = json.load(r)
+        assert any(k.startswith("ttft_s") for k in m)
+
+    def test_bad_request(self, httpd):
+        try:
+            _post(httpd, {"nope": 1})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+    def test_oversized_prompt_rejected(self, httpd):
+        try:
+            _post(httpd, {"prompt": list(range(2, 200)),
+                          "max_new_tokens": 5})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
