@@ -126,6 +126,14 @@ class InferenceEngine:
     # helpers
     # ------------------------------------------------------------------
 
+    @property
+    def data_parallel(self) -> int:
+        """Data-axis size of the mesh (1 when unsharded) — batch dimensions
+        fed to this engine must be divisible by it."""
+        if self.mesh is not None and "data" in self.mesh.shape:
+            return self.mesh.shape["data"]
+        return 1
+
     def new_cache(self, batch: int, max_seq: Optional[int] = None):
         cache = kvcache.init_cache(
             self.cfg.num_layers, batch, self.cfg.num_kv_heads,

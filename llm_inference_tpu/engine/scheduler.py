@@ -90,6 +90,7 @@ class ContinuousBatchingScheduler:
         def put(dst, src):
             if dst is None:
                 return None
+            src = src[:, :1]     # row 0 (prefill may carry dp replicas)
             zeros = (jnp.int32(0),) * (dst.ndim - 2)
             return jax.lax.dynamic_update_slice(
                 dst, src, (jnp.int32(0), slot) + zeros)
@@ -123,9 +124,14 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------------------
 
     def _admit_one(self, slot: int, req: Request) -> bool:
-        """Prefill `req` alone and insert its pages into `slot`."""
-        logits, one_cache = self.engine.prefill([req.prompt_ids],
-                                                cache=self.engine.new_cache(1))
+        """Prefill `req` alone and insert its pages into `slot`.
+
+        Under a data-sharded mesh the prompt is replicated across the data
+        axis (a batch-1 prefill can't shard over dp>1); row 0 is inserted."""
+        dp = self.engine.data_parallel
+        logits, one_cache = self.engine.prefill(
+            [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
+        logits = logits[:1]
         self.key, sub = jax.random.split(self.key)
         first = sampling.sample(logits, sub, temperature=self.gen.temperature,
                                 top_k=self.gen.top_k, top_p=self.gen.top_p,

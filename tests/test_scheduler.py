@@ -98,3 +98,31 @@ class TestRecovery:
             pass
         got = [r.output_ids for r in drained]
         assert got == golden
+
+
+class TestShardedScheduler:
+    def test_scheduler_over_mesh(self):
+        """Continuous batching over a (dp=2, tp=2) mesh must produce the
+        same greedy tokens as the single-device scheduler."""
+        from llm_inference_tpu.config import ShardingConfig, tiny_llama
+        from llm_inference_tpu.parallel import make_mesh
+
+        cfg = tiny_llama(num_kv_heads=4)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=64, decode_chunk=4, max_batch_size=2,
+                            prefill_buckets=(8, 16))
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=(1,))
+        prompts = [[5, 6, 7], [9, 10, 11], [2, 3]]
+
+        solo = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        want = [r.output_ids for r in
+                ContinuousBatchingScheduler(solo, gen, slots=2).run(
+                    [list(p) for p in prompts])]
+
+        mesh = make_mesh(ShardingConfig(data=2, tensor=2))
+        eng = InferenceEngine(cfg, params, engine_cfg=ecfg, mesh=mesh)
+        got = [r.output_ids for r in
+               ContinuousBatchingScheduler(eng, gen, slots=2).run(
+                   [list(p) for p in prompts])]
+        assert got == want
