@@ -176,19 +176,43 @@ class InferenceEngine:
                 f"{self.engine_cfg.max_seq_len} — raise EngineConfig."
                 f"max_seq_len (a dynamic_update_slice would silently clamp "
                 f"and corrupt the cache tail)")
-        T = self._bucket(max(len(t) for t in token_lists))
-        ids = np.zeros((B, T), np.int32)
-        pos = np.zeros((B, T), np.int32)
-        last = np.zeros((B,), np.int32)
-        for i, toks in enumerate(token_lists):
-            ids[i, :len(toks)] = toks
-            pos[i] = starts[i] + np.arange(T)
-            last[i] = len(toks) - 1
         if cache is None:
             cache = self.new_cache(B)
-        logits, cache = self._prefill_jit(self.params, jnp.asarray(ids),
-                                          jnp.asarray(pos), cache,
-                                          jnp.asarray(last))
+
+        # prompts longer than the largest bucket run as a SEQUENCE of
+        # largest-bucket chunks continuing the same cache (the forward's
+        # absolute-position masks make history attendance automatic) — this
+        # bounds both the jit-compile set and prefill peak memory for
+        # arbitrarily long prompts (the reference has no such path at all:
+        # its buffers are hard-sized, llama.cpp:27).
+        chunk = max(b for b in self.engine_cfg.prefill_buckets
+                    if b <= self.engine_cfg.max_seq_len)
+        n_chunks = (max(len(t) for t in token_lists) + chunk - 1) // chunk
+        final_np = None                        # multi-chunk: per-row logits
+        for c in range(n_chunks):
+            o = c * chunk
+            part = [t[o:o + chunk] for t in token_lists]
+            T = self._bucket(max(max(len(p) for p in part), 1))
+            ids = np.zeros((B, T), np.int32)
+            pos = np.zeros((B, T), np.int32)
+            last = np.zeros((B,), np.int32)
+            for i, toks in enumerate(part):
+                ids[i, :len(toks)] = toks
+                pos[i] = starts[i] + o + np.arange(T)
+                last[i] = max(len(toks) - 1, 0)
+            logits, cache = self._prefill_jit(self.params, jnp.asarray(ids),
+                                              jnp.asarray(pos), cache,
+                                              jnp.asarray(last))
+            if n_chunks > 1:
+                # capture logits for rows whose prompt ENDED in this chunk
+                lg = np.asarray(logits)
+                if final_np is None:
+                    final_np = lg.copy()
+                for i, t in enumerate(token_lists):
+                    if o < len(t) <= o + chunk:
+                        final_np[i] = lg[i]
+        if final_np is not None:
+            logits = jnp.asarray(final_np)
         return logits, cache
 
     def generate(self,

@@ -192,3 +192,49 @@ class TestTokenizer:
         assert t.encode("Hello, world!") == [1, 15043, 29892, 3186, 29991]
         s = "The quick brown fox."
         assert t.decode(t.encode(s, add_bos=False)) == s
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_chunks_match_single_shot(self):
+        """A prompt longer than every bucket runs as chunked prefill and
+        must produce the same logits + decode behavior as a single forward
+        over the whole prompt."""
+        import numpy as np
+        from llm_inference_tpu.config import EngineConfig, GenerationConfig
+        from llm_inference_tpu.ops import kvcache as kvc
+
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=2,
+                                    prefill_buckets=(8,)))   # chunk = 8
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(2, 200, 21)),   # 3 chunks (8+8+5)
+                   list(rng.integers(2, 200, 6))]    # ends in chunk 1
+        logits, cache = eng.prefill([list(p) for p in prompts])
+
+        # golden: one unchunked forward per prompt
+        for i, p in enumerate(prompts):
+            c0 = kvc.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64,
+                                cfg.head_dim, jnp.bfloat16)
+            ids = jnp.asarray([p], jnp.int32)
+            pos = jnp.arange(len(p), dtype=jnp.int32)[None]
+            want, _ = llama.forward(cfg, params, ids, pos, c0)
+            np.testing.assert_allclose(np.asarray(logits[i]),
+                                       np.asarray(want[0]),
+                                       atol=2e-2, rtol=2e-2)
+
+        # end-to-end: generate with the chunked path = generate with big
+        # buckets (single-shot prefill)
+        gen = GenerationConfig(greedy=True, max_new_tokens=5,
+                               eos_token_ids=(1,))
+        got = [r.token_ids for r in eng.generate(
+            [list(p) for p in prompts], gen)]
+        eng2 = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=2,
+                                    prefill_buckets=(32,)))
+        want = [r.token_ids for r in eng2.generate(
+            [list(p) for p in prompts], gen)]
+        assert got == want
