@@ -156,7 +156,29 @@ def kern_outscale(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-bench(kern_current, "i32-shift + group dequant")
-bench(kern_float, "f32 extract + group dequant")
-bench(kern_pc, "i32-shift, per-channel   ")
+def kern_and_offset(x_ref, w_ref, s_ref, o_ref):
+    """offset-lo packing: lo_u = w & 0xF (i8 AND, cheap); hi = floor(f/16)
+    via one f32 convert; -8 offset folded via a per-group correction dot."""
+    x = x_ref[:]
+    w = w_ref[0]
+    acc = jnp.zeros((M, bn), jnp.float32)
+    for c0 in range(0, Kp, CH):          # CH == gsize
+        g = c0 // gsize
+        wb = w[c0:c0+CH]
+        lo_u = (wb & 0xF).astype(jnp.bfloat16)          # unsigned nibble
+        f = wb.astype(jnp.float32)
+        hi = jnp.floor(f * 0.0625).astype(jnp.bfloat16)  # signed nibble
+        s_lo = s_ref[0][g]
+        s_hi = s_ref[0][Kp // gsize + g]
+        x_lo = x[:, c0:c0+CH]
+        x_hi = x[:, Kp+c0:Kp+c0+CH]
+        d_lo = jnp.dot(x_lo, lo_u, preferred_element_type=jnp.float32)
+        d_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+        # -8 offset on lo: subtract 8*rowsum(x_lo)*s_lo per column
+        xsum = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        acc += (d_lo - 8.0 * xsum) * s_lo[None, :] + d_hi * s_hi[None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 bench(kern_outscale, "i32-shift, output-scaled ")
+bench(kern_and_offset, "AND-lo/f32-hi, offset    ")

@@ -1,0 +1,108 @@
+"""Compiled-mode kernel smoke: every Pallas kernel vs its jnp golden ON THE
+CHIP at production-like shapes.
+
+CPU CI runs the kernels in interpret mode, which does NOT catch Mosaic
+lowering failures (unsupported shape casts, block-tiling constraints, vmem
+budget) — each of those bit this project at least once. Run this after any
+kernel change:
+
+    env PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_smoke.py
+"""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def check(name, got, want, tol=3e-2):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    status = "OK " if rel < tol else "FAIL"
+    log(f"[{status}] {name}: rel={rel:.2e}")
+    return rel < tol
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on the chip"
+    from llm_inference_tpu.ops import attention, quantization as Q
+    from llm_inference_tpu.ops.pallas import (decode_attention as DA,
+                                              flash_attention as FA,
+                                              paged_attention as PA,
+                                              quant_matmul as QM)
+    ok = True
+    key = jax.random.PRNGKey(0)
+
+    # ---- quant matmul, every mode, decode + prefill M ----
+    for bits, gs in [(8, 0), (8, 128), (4, 0), (4, 128)]:
+        w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
+        qt = Q.to_blocked(Q.quantize(w, bits, gs), 768)
+        for M in (1, 8, 128):
+            x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
+            got = QM.quant_matmul(x, qt)
+            want = Q.qmatmul_ref(x, qt)
+            ok &= check(f"quant_matmul bits={bits} gs={gs} M={M}", got, want)
+
+    # ---- decode attention: MHA / GQA / int8 KV ----
+    for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (2, 1, Hq, 128), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (4, 2, Hkv, S, 128), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (4, 2, Hkv, S, 128), jnp.bfloat16)
+        pos = jnp.array([S // 2, S - 2], jnp.int32)
+        got = DA.decode_attention(q, k, v, 2, pos)
+        want = attention.decode_attend(q, k[2], v[2], pos[:, None])
+        ok &= check(f"decode_attn Hq={Hq} Hkv={Hkv} S={S}", got, want)
+
+    kq = (jax.random.normal(key, (2, 1, 8, S, 128)) * 20).astype(jnp.int8)
+    kscale = jnp.full((2, 1, 8, S), 0.05, jnp.float32)
+    q1 = jax.random.normal(key, (1, 1, 32, 128), jnp.bfloat16)
+    got = DA.decode_attention(q1, kq, kq, 1, jnp.array([300], jnp.int32),
+                              k_scale=kscale, v_scale=kscale)
+    want = attention.attend(
+        q1, kq[1], kq[1],
+        attention.make_attention_mask(jnp.array([[300]], jnp.int32), S),
+        k_scale=kscale[1], v_scale=kscale[1])
+    ok &= check("decode_attn int8 KV", got, want)
+
+    # ---- flash prefill (long-context gate shapes) ----
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (1, 1024, 32, 128), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (2, 1, 8, 2048, 128), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (2, 1, 8, 2048, 128), jnp.bfloat16)
+    pos = (512 + jnp.arange(1024, dtype=jnp.int32))[None]
+    got = FA.flash_attention(q, k, v, 1, pos)
+    want = attention.attend(q, k[1], v[1],
+                            attention.make_attention_mask(pos, 2048))
+    ok &= check("flash_attention T=1024 S=2048 GQA", got, want)
+
+    # ---- paged decode attention ----
+    from llm_inference_tpu.ops import paged_kvcache as pk
+    B, H, ps, NB = 2, 32, 128, 4
+    cache = pk.init_paged_cache(2, B * NB + 1, H, ps, 128, B, NB,
+                                jnp.bfloat16)
+    pt = (jnp.arange(B * NB, dtype=jnp.int32).reshape(B, NB) + 1)
+    cache = cache.replace(page_table=pt)
+    Sp = NB * ps
+    kseq = jax.random.normal(ks[1], (B, Sp, H, 128), jnp.bfloat16)
+    vseq = jax.random.normal(ks[2], (B, Sp, H, 128), jnp.bfloat16)
+    for b in range(B):
+        cache = pk.write_prompt(cache, jnp.int32(1), b, kseq[b], vseq[b])
+    qp = jax.random.normal(ks[0], (B, 1, H, 128), jnp.bfloat16)
+    pos = jnp.array([Sp // 2, Sp - 2], jnp.int32)
+    got = PA.paged_decode_attention(qp, cache.k_pages, cache.v_pages,
+                                    cache.page_table, 1, pos)
+    want = attention.decode_attend(qp, kseq.transpose(0, 2, 1, 3),
+                                   vseq.transpose(0, 2, 1, 3), pos[:, None])
+    ok &= check("paged_decode_attention", got, want)
+
+    log("ALL OK" if ok else "FAILURES — see above")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
