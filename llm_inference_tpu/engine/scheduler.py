@@ -287,11 +287,9 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.pt_host = np.zeros((self.B, self.nb), np.int32)
         self.slot_pages = [[] for _ in range(self.B)]
         self.pos_host = np.zeros((self.B,), np.int64)
-        dtype = (jnp.bfloat16 if self.engine.cache_dtype in ("int8",)
-                 else self.engine.cache_dtype)
         return self._pk.init_paged_cache(
             cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
-            self.B, self.nb, dtype)
+            self.B, self.nb, self.engine.cache_dtype)
 
     def _ensure_blocks(self, slot: int, tokens_needed: int) -> bool:
         """Grow `slot`'s page table to cover tokens_needed positions."""

@@ -442,22 +442,28 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                 attn = pallas_paged.paged_decode_attention(
                     q, cache.k_pages, cache.v_pages, cache.page_table,
                     layer_idx, positions[:, -1],
-                    logit_softcap=cfg.attn_logit_softcap)
+                    logit_softcap=cfg.attn_logit_softcap,
+                    k_scale=cache.k_scale, v_scale=cache.v_scale)
             else:
                 # gather-based fallback (unsupported head_dim): materialize
                 # the sequences' pages densely, then the XLA path
                 nb_, ps_ = cache.max_blocks, cache.page_size
-                kd = cache.k_pages[layer_idx][cache.page_table]
-                vd = cache.v_pages[layer_idx][cache.page_table]
-                # [B, NB, Hkv, ps, D] → [B, Hkv, NB·ps, D]
-                kd = kd.transpose(0, 2, 1, 3, 4).reshape(
-                    B, kd.shape[2], nb_ * ps_, -1)
-                vd = vd.transpose(0, 2, 1, 3, 4).reshape(
-                    B, vd.shape[2], nb_ * ps_, -1)
+
+                def gather(pages):
+                    g = pages[layer_idx][cache.page_table]
+                    # [B, NB, Hkv, ps(, D)] → [B, Hkv, NB·ps(, D)]
+                    perm = (0, 2, 1, 3) if g.ndim == 4 else (0, 2, 1, 3, 4)
+                    g = g.transpose(perm)
+                    return g.reshape(B, g.shape[1], nb_ * ps_, *g.shape[4:])
+                kd, vd = gather(cache.k_pages), gather(cache.v_pages)
+                ksd = vsd = None
+                if cache.quantized:
+                    ksd, vsd = gather(cache.k_scale), gather(cache.v_scale)
                 dmask = attention.make_attention_mask(positions, nb_ * ps_,
                                                       cfg.sliding_window)
                 attn = attention.attend(q, kd, vd, dmask,
-                                        logit_softcap=cfg.attn_logit_softcap)
+                                        logit_softcap=cfg.attn_logit_softcap,
+                                        k_scale=ksd, v_scale=vsd)
         else:
             # prefill: sequences start at position 0 (scheduler invariant),
             # so attention is causal over the fresh tokens only

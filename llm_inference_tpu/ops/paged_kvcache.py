@@ -40,10 +40,20 @@ class PagedKVCache:
     page_table:       [B, max_blocks] int32 (pool page id per token block;
                       unallocated entries may hold any valid page id — reads
                       beyond a sequence's length are masked by position)
+
+    INT8 mode: pages hold int8 codes and k_scale/v_scale hold per-(head,
+    row) float32 scales [L, P, Hkv, page_size] — the same exact outside-the-
+    dot scale folding as the dense int8 cache (ops/kvcache.py).
     """
     k_pages: jnp.ndarray
     v_pages: jnp.ndarray
     page_table: jnp.ndarray
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def page_size(self) -> int:
@@ -62,10 +72,16 @@ def init_paged_cache(num_layers: int, num_pages: int, num_kv_heads: int,
                      page_size: int, head_dim: int, batch: int,
                      max_blocks: int, dtype=jnp.bfloat16) -> PagedKVCache:
     shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
-    return PagedKVCache(
-        k_pages=jnp.zeros(shape, dtype),
-        v_pages=jnp.zeros(shape, dtype),
-        page_table=jnp.zeros((batch, max_blocks), jnp.int32))
+    pt = jnp.zeros((batch, max_blocks), jnp.int32)
+    if dtype == jnp.int8 or dtype == "int8":
+        sshape = shape[:-1]
+        return PagedKVCache(k_pages=jnp.zeros(shape, jnp.int8),
+                            v_pages=jnp.zeros(shape, jnp.int8),
+                            page_table=pt,
+                            k_scale=jnp.zeros(sshape, jnp.float32),
+                            v_scale=jnp.zeros(sshape, jnp.float32))
+    return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
+                        v_pages=jnp.zeros(shape, dtype), page_table=pt)
 
 
 class PageAllocator:
@@ -117,12 +133,20 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
     # reads multiply by exactly-zero probabilities — sanitize non-finite
     # garbage (overflowed bf16 activations) or 0 x Inf would NaN-poison
     # every live sequence whose tail blocks alias the null page
-    k_rows = jnp.nan_to_num(k_new[:, 0]).astype(cache.k_pages.dtype)
-    v_rows = jnp.nan_to_num(v_new[:, 0]).astype(cache.v_pages.dtype)
+    k_in, v_in = k_new[:, 0], v_new[:, 0]
+    ks_rows = vs_rows = None
+    if cache.quantized:
+        from llm_inference_tpu.ops.quantization import quantize_kv
+        k_in, ks = quantize_kv(k_in)            # int8, scale [B, Hkv, 1]
+        v_in, vs = quantize_kv(v_in)
+        ks_rows, vs_rows = ks[..., 0], vs[..., 0]
+    k_rows = jnp.nan_to_num(k_in).astype(cache.k_pages.dtype)
+    v_rows = jnp.nan_to_num(v_in).astype(cache.v_pages.dtype)
     # per-sequence chain of dynamic_update_slice — the batched-scatter and
     # vmapped forms force full-pool copies inside the decode scan (see
     # kvcache._write_pages for the measurements)
     k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_sc, v_sc = cache.k_scale, cache.v_scale
     zero = jnp.int32(0)
     for b in range(B):
         idx = (layer, pages[b], zero, row[b], zero)
@@ -130,29 +154,26 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
             k_pages, k_rows[b][None, None, :, None], idx)
         v_pages = jax.lax.dynamic_update_slice(
             v_pages, v_rows[b][None, None, :, None], idx)
+        if cache.quantized:
+            sidx = (layer, pages[b], zero, row[b])
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, ks_rows[b][None, None, :, None], sidx)
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, vs_rows[b][None, None, :, None], sidx)
     return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
-                        page_table=cache.page_table)
+                        page_table=cache.page_table,
+                        k_scale=k_sc, v_scale=v_sc)
 
 
 def write_prompt(cache: PagedKVCache, layer: jnp.ndarray, seq: int,
                  k_seq: jnp.ndarray, v_seq: jnp.ndarray) -> PagedKVCache:
-    """Prefill insert: write T tokens of sequence `seq` starting at pos 0.
-
-    k_seq/v_seq: [T, Hkv, D] with T a multiple of page_size (pad upstream).
-    """
+    """Prefill insert for ONE sequence starting at pos 0 (single-seq
+    convenience over write_prompt_batch; same semantics)."""
     ps = cache.page_size
-    T = k_seq.shape[0]
-    nb = T // ps
-    kb = k_seq.reshape(nb, ps, -1, k_seq.shape[-1]).transpose(0, 2, 1, 3)
-    vb = v_seq.reshape(nb, ps, -1, v_seq.shape[-1]).transpose(0, 2, 1, 3)
-    pages = cache.page_table[seq, :nb]                           # [nb]
-    idx_l = jnp.broadcast_to(layer, (nb,))
-    k_pages = cache.k_pages.at[idx_l, pages].set(
-        kb.astype(cache.k_pages.dtype))
-    v_pages = cache.v_pages.at[idx_l, pages].set(
-        vb.astype(cache.v_pages.dtype))
-    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
-                        page_table=cache.page_table)
+    nb = k_seq.shape[0] // ps
+    one = cache.replace(page_table=cache.page_table[seq:seq + 1])
+    out = write_prompt_batch(one, layer, k_seq[None], v_seq[None], nb)
+    return out.replace(page_table=cache.page_table)
 
 
 def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
@@ -164,6 +185,13 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
     sequence's first `num_blocks` page-table entries must be allocated."""
     B, T, H, D = k_new.shape
     ps = cache.page_size
+    k_sc, v_sc = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        from llm_inference_tpu.ops.quantization import quantize_kv
+        k_new, ks = quantize_kv(k_new)          # [B, T, H, D], [B, T, H, 1]
+        v_new, vs = quantize_kv(v_new)
+        sb = ks[..., 0].reshape(B, num_blocks, ps, H).transpose(0, 1, 3, 2)
+        vb_s = vs[..., 0].reshape(B, num_blocks, ps, H).transpose(0, 1, 3, 2)
     kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
     vb = v_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
     pages = cache.page_table[:, :num_blocks]                  # [B, nb]
@@ -172,8 +200,12 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
         kb.astype(cache.k_pages.dtype))
     v_pages = cache.v_pages.at[idx_l, pages].set(
         vb.astype(cache.v_pages.dtype))
+    if cache.quantized:
+        k_sc = k_sc.at[idx_l, pages].set(sb)
+        v_sc = v_sc.at[idx_l, pages].set(vb_s)
     return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
-                        page_table=cache.page_table)
+                        page_table=cache.page_table,
+                        k_scale=k_sc, v_scale=v_sc)
 
 
 def gather_dense(cache: PagedKVCache, layer: int,

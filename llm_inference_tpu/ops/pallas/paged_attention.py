@@ -28,9 +28,9 @@ from llm_inference_tpu.ops.pallas import use_interpret
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, hb: int, nb: int, scale: float,
-            softcap: float):
+def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref,
+            vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int, nb: int,
+            scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
@@ -50,6 +50,10 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
     scores = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
+    if quantized:
+        # per-(head, row) k scales arrive pre-flattened as a [1, hb·ps]
+        # lane vector (see caller) — exact outside-the-dot folding
+        scores = scores * ks_ref[0, 0, 0]
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
     row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
@@ -64,6 +68,8 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
     p = jnp.exp(scores - m_new)                            # [HG, HS]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_ref[:] = m_new
+    if quantized:
+        p = p * vs_ref[0, 0, 0]
     vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
         p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
@@ -75,33 +81,59 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _paged_attn(q, k_pages, v_pages, pt, pos, layer, *, scale, softcap,
-                interpret):
+def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer, *,
+                scale, softcap, interpret):
     B, Hkv, G, D = q.shape
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
+    quantized = ks_pages is not None
     hb = max(1, min(Hkv, (512 * 1024) // (ps * D * k_pages.dtype.itemsize)))
     while Hkv % hb:
         hb -= 1
     grid = (B, Hkv // hb, NB)
     kernel = functools.partial(_kernel, hb=hb, nb=NB, scale=scale,
-                               softcap=softcap)
+                               softcap=softcap, quantized=quantized)
+    in_specs = [
+        pl.BlockSpec((1, hb, G, D),
+                     lambda b, g, j, pos, lyr, pt: (b, g, 0, 0)),
+        # the page-table indirection: block index = pool page id
+        pl.BlockSpec((1, 1, hb, ps, D),
+                     lambda b, g, j, pos, lyr, pt:
+                     (lyr[0], pt[b * NB + j], g, 0, 0)),
+        pl.BlockSpec((1, 1, hb, ps, D),
+                     lambda b, g, j, pos, lyr, pt:
+                     (lyr[0], pt[b * NB + j], g, 0, 0)),
+    ]
+    if quantized:
+        # scales [L, P, Hkv, ps] → [L, P, Hkv/hb, 1, hb·ps] (contiguous
+        # merge) so each grid step gets a [1, hb·ps] LANE vector — an
+        # in-kernel lanes→sublanes relayout is an unsupported Mosaic cast
+        ks2 = ks_pages.reshape(L, P, Hkv // hb, 1, hb * ps)
+        vs2 = vs_pages.reshape(L, P, Hkv // hb, 1, hb * ps)
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, hb * ps),
+                         lambda b, g, j, pos, lyr, pt:
+                         (lyr[0], pt[b * NB + j], g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, hb * ps),
+                         lambda b, g, j, pos, lyr, pt:
+                         (lyr[0], pt[b * NB + j], g, 0, 0)),
+        ]
+        operands = [q, k_pages, v_pages, ks2, vs2]
+    else:
+        dummy = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0, 0)),
+        ]
+        operands = [q, k_pages, v_pages, dummy, dummy]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, hb, G, D),
-                             lambda b, g, j, pos, lyr, pt: (b, g, 0, 0)),
-                # the page-table indirection: block index = pool page id
-                pl.BlockSpec((1, 1, hb, ps, D),
-                             lambda b, g, j, pos, lyr, pt:
-                             (lyr[0], pt[b * NB + j], g, 0, 0)),
-                pl.BlockSpec((1, 1, hb, ps, D),
-                             lambda b, g, j, pos, lyr, pt:
-                             (lyr[0], pt[b * NB + j], g, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, G, D),
                                    lambda b, g, j, pos, lyr, pt:
                                    (b, g, 0, 0)),
@@ -120,7 +152,7 @@ def _paged_attn(q, k_pages, v_pages, pt, pos, layer, *, scale, softcap,
             * k_pages.dtype.itemsize,
             transcendentals=B * Hkv * G * NB * ps),
         interpret=interpret,
-    )(pos, layer, pt, q, k_pages, v_pages)
+    )(pos, layer, pt, *operands)
 
 
 def paged_decode_attention(
@@ -132,6 +164,8 @@ def paged_decode_attention(
     positions: jnp.ndarray,    # [B] absolute position of the new token
     scale: float | None = None,
     logit_softcap: float = 0.0,
+    k_scale: jnp.ndarray | None = None,   # [L, P, Hkv, ps] — int8 pools
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused decode attention over paged KV; returns [B, 1, Hq, D]."""
     B, T, Hq, D = q.shape
@@ -144,8 +178,9 @@ def paged_decode_attention(
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     pt = page_table.reshape(-1).astype(jnp.int32)
-    out = _paged_attn(qg, k_pages, v_pages, pt, pos, lyr, scale=scale,
-                      softcap=logit_softcap, interpret=use_interpret())
+    out = _paged_attn(qg, k_pages, v_pages, k_scale, v_scale, pt, pos, lyr,
+                      scale=scale, softcap=logit_softcap,
+                      interpret=use_interpret())
     return out.reshape(B, 1, Hq, D).astype(q.dtype)
 
 

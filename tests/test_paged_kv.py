@@ -111,3 +111,47 @@ class TestPagedAttention:
         out2 = PA.paged_decode_attention(q, kp, vp, pt, 0, pos)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                    atol=1e-6)
+
+
+class TestPagedInt8:
+    def test_int8_pool_write_and_attention(self):
+        """INT8 page pool: quantized writes + exact scale folding in the
+        kernel must track the fp paged path to int8 rounding error."""
+        B, H, ps, NB, D = 2, 4, 64, 3, 64
+        L, P = 2, B * NB + 1
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(ks[0], (B, 1, H, D), jnp.float32)
+        k_seq = jax.random.normal(ks[1], (B, NB * ps, H, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, NB * ps, H, D), jnp.float32)
+        alloc = pk.PageAllocator(P)
+        pt = np.stack([alloc.allocate(NB) for _ in range(B)]).astype(np.int32)
+
+        def build(dtype):
+            c = pk.init_paged_cache(L, P, H, ps, D, B, NB, dtype)
+            c = c.replace(page_table=jnp.asarray(pt))
+            for b in range(B):
+                c = pk.write_prompt(c, jnp.int32(1), b, k_seq[b], v_seq[b])
+            return c
+        cf = build(jnp.float32)
+        cq = build("int8")
+        assert cq.quantized and cq.k_pages.dtype == jnp.int8
+        pos = jnp.array([NB * ps - 2, ps + 5], jnp.int32)
+        ref = PA.paged_decode_attention(q, cf.k_pages, cf.v_pages,
+                                        cf.page_table, 1, pos)
+        out = PA.paged_decode_attention(q, cq.k_pages, cq.v_pages,
+                                        cq.page_table, 1, pos,
+                                        k_scale=cq.k_scale,
+                                        v_scale=cq.v_scale)
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() < 0.05
+
+    def test_int8_token_write_roundtrip(self):
+        B, H, ps, NB, D = 1, 2, 8, 2, 16
+        c = pk.init_paged_cache(1, 4, H, ps, D, B, NB, "int8")
+        c = c.replace(page_table=jnp.asarray([[1, 2]], jnp.int32))
+        k_new = jnp.full((B, 1, H, D), 3.0, jnp.float32)
+        c = pk.write_token(c, jnp.int32(0), k_new, -k_new,
+                           jnp.array([ps + 3], jnp.int32))
+        # page 2, row 3 holds the token
+        codes = np.asarray(c.k_pages)[0, 2, :, 3]
+        scale = np.asarray(c.k_scale)[0, 2, :, 3]
+        np.testing.assert_allclose(codes * scale[:, None], 3.0, rtol=1e-2)

@@ -71,3 +71,19 @@ class TestPagedScheduler:
         free0 = paged.alloc.free_pages
         paged.run([[3, 4, 5]], max_new_tokens=4)
         assert paged.alloc.free_pages == free0
+
+    def test_paged_with_int8_kv(self):
+        """PagedScheduler over an INT8 page pool completes and produces
+        sane (near-bf16) outputs."""
+        cfg = tiny_llama(num_kv_heads=2, head_dim=64, num_heads=4,
+                         hidden_size=256, dtype="bfloat16")
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params, cache_dtype="int8",
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2, prefill_buckets=(8, 16),
+                                    page_size=8))
+        sched = PagedScheduler(eng, GEN, slots=2)
+        assert sched.cache.quantized
+        reqs = sched.run([[5, 6, 7], [9, 10]], max_new_tokens=5)
+        assert all(len(r.output_ids) == 5 for r in reqs)
