@@ -10,3 +10,5 @@ from llm_inference_tpu.engine.tokenizer import (  # noqa: F401
 from llm_inference_tpu.engine.engine import InferenceEngine  # noqa: F401
 from llm_inference_tpu.engine.scheduler import (  # noqa: F401
     ContinuousBatchingScheduler, PagedScheduler, Request)
+from llm_inference_tpu.engine.speculative import (  # noqa: F401
+    SpeculativeDecoder)
