@@ -50,9 +50,6 @@ class ModelConfig:
     rope_scaling: Optional[dict] = None
     # Sliding-window attention size; 0 = full attention (mistral support).
     sliding_window: int = 0
-    # MoE: number of experts (0 = dense FFN), experts per token.
-    num_experts: int = 0
-    num_experts_per_tok: int = 2
     # Bias terms on qkv projection (qwen2 uses them).
     qkv_bias: bool = False
 
