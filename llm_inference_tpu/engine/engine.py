@@ -226,6 +226,12 @@ class InferenceEngine:
         token_lists = self._encode_prompts(prompts)
         B = len(token_lists)
         lengths = np.array([len(t) for t in token_lists], np.int32)
+        need = int(lengths.max()) + gen.max_new_tokens
+        if need > self.engine_cfg.max_seq_len:
+            raise ValueError(
+                f"prompt + max_new_tokens needs {need} cache slots but "
+                f"max_seq_len is {self.engine_cfg.max_seq_len} — decode "
+                f"writes past the end would silently clamp and corrupt")
         eos = set(gen.eos_token_ids)
 
         t0 = time.perf_counter()
@@ -316,6 +322,12 @@ class ChatSession:
         toks = (self._pending
                 + eng.tokenizer.encode(prompt, add_bos=(self.round == 0)))
         self._pending = []
+        need = self.pos + len(toks) + gen.max_new_tokens
+        if need > eng.engine_cfg.max_seq_len:
+            raise ValueError(
+                f"chat history + turn + max_new_tokens needs {need} cache "
+                f"slots but max_seq_len is {eng.engine_cfg.max_seq_len} — "
+                f"start a new session or raise max_seq_len")
         if self.cache is None:
             self.cache = eng.new_cache(1)
 

@@ -291,19 +291,33 @@ class PagedScheduler(ContinuousBatchingScheduler):
             cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
             self.B, self.nb, self.engine.cache_dtype)
 
-    def _ensure_blocks(self, slot: int, tokens_needed: int) -> bool:
-        """Grow `slot`'s page table to cover tokens_needed positions."""
+    def _ensure_blocks(self, slot: int, tokens_needed: int):
+        """Grow `slot`'s page table to cover tokens_needed positions.
+        Returns (ok, grew)."""
         need = (tokens_needed + self.ps - 1) // self.ps
         have = len(self.slot_pages[slot])
         if need <= have:
-            return True
+            return True, False
         try:
             new = self.alloc.allocate(need - have)
         except MemoryError:
-            return False
+            return False, False
         self.slot_pages[slot].extend(new)
         self.pt_host[slot, have:need] = new
-        return True
+        return True, True
+
+    def _preempt(self, slot: int) -> None:
+        """Pool pressure: evict `slot`'s request back to the queue front
+        (state reset → replayed from the prompt later) and free its pages —
+        guarantees decode progress for the remaining slots instead of
+        livelocking when only decoding could ever free pages."""
+        req = self.slot_req[slot]
+        self.slot_req[slot] = None
+        self._on_retire(slot)
+        req.output_ids = []
+        req.first_token_t = 0.0
+        req.finished = False
+        self.queue.appendleft(req)
 
     def _sync_table(self) -> None:
         self.cache = self.cache.replace(
@@ -316,24 +330,42 @@ class PagedScheduler(ContinuousBatchingScheduler):
 
     def _before_chunk(self, steps: int) -> bool:
         grew = False
-        for b, req in enumerate(self.slot_req):
-            if req is None:
-                continue
-            if not self._ensure_blocks(b, int(self.pos_host[b]) + steps + 1):
-                return False            # pool exhausted: wait for retires
+        # grow page tables; under pool pressure, preempt the youngest slots
+        # (fewest sunk tokens) until the rest fit — never stall all slots
+        while True:
+            starved = None
+            for b, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                ok, g = self._ensure_blocks(
+                    b, int(self.pos_host[b]) + steps + 1)
+                grew |= g
+                if not ok:
+                    starved = b
+            if starved is None:
+                break
+            victims = [b for b, r in enumerate(self.slot_req)
+                       if r is not None]
+            if len(victims) <= 1:
+                return False     # a single request can't fit: wait/raise
+            # evict the slot with the least sunk work (smallest position)
+            self._preempt(min(victims, key=lambda b: self.pos_host[b]))
             grew = True
         if grew:
             self._sync_table()
+        active = False
         for b, req in enumerate(self.slot_req):
             if req is not None:
                 self.pos_host[b] += steps
-        return True
+                active = True
+        return active
 
     def _admit_one(self, slot: int, req: Request) -> bool:
         plen = len(req.prompt_ids)
         bucket = self.engine._bucket(plen)
         bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
-        if not self._ensure_blocks(slot, bucket):
+        ok, _ = self._ensure_blocks(slot, bucket)
+        if not ok:
             self.queue.appendleft(req)   # retry when pages free up
             return False
         self._sync_table()

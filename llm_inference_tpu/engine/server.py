@@ -46,7 +46,6 @@ class ServingBackend:
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._done: dict[int, threading.Event] = {}
-        self._streams: dict[int, list] = {}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -62,8 +61,27 @@ class ServingBackend:
         self._wake.set()
         return req
 
+    def validate(self, prompt, max_new_tokens=None) -> None:
+        """Raise the same errors submit would, WITHOUT enqueuing — lets the
+        HTTP stream path reject before committing the 200 status line."""
+        with self._lock:
+            ids = self.engine._encode_prompts([prompt])[0]
+            limit = max_new_tokens or self.sched.gen.max_new_tokens
+            if len(ids) + limit > self.sched.S:
+                raise ValueError(
+                    f"prompt({len(ids)}) + max_new_tokens exceeds "
+                    f"max_seq_len {self.sched.S}")
+            queued = len(self.sched.queue)
+            if queued >= self.engine.engine_cfg.max_queued_requests:
+                raise RuntimeError("request queue full")
+
     def wait(self, req, timeout=None) -> bool:
-        return self._done[req.req_id].wait(timeout)
+        ev = self._done[req.req_id]
+        ok = ev.wait(timeout)
+        if ok:
+            # GC: completed + collected entries leave the scan set
+            self._done.pop(req.req_id, None)
+        return ok
 
     # -- scheduler side ------------------------------------------------------
 
@@ -71,13 +89,15 @@ class ServingBackend:
         while not self._stop:
             with self._lock:
                 progressed = self.sched.step()
-                for b_req in list(self._done):
+                for b_req, ev in list(self._done.items()):
+                    if ev.is_set():
+                        continue
                     # a request is complete once it left queue and slots
                     if (all(r is None or r.req_id != b_req
                             for r in self.sched.slot_req)
                             and all(q.req_id != b_req
                                     for q in self.sched.queue)):
-                        self._done[b_req].set()
+                        ev.set()
             if not progressed:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -133,6 +153,9 @@ def make_handler(backend: ServingBackend):
             stream = bool(body.get("stream"))
             try:
                 if stream:
+                    # validate BEFORE committing the 200 + ndjson headers —
+                    # an error mid-stream can't become a proper status line
+                    backend.validate(prompt, max_new)
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/x-ndjson")
@@ -145,14 +168,20 @@ def make_handler(backend: ServingBackend):
                         try:
                             self.wfile.write(chunk.encode())
                             self.wfile.flush()
-                        except BrokenPipeError:
+                        except OSError:
+                            # client gone: swallow — this callback runs on
+                            # the SCHEDULER thread; an escaping socket error
+                            # would kill the step loop for every request
                             pass
                     req = backend.submit(prompt, max_new, on_token)
                     backend.wait(req)
                     tail = json.dumps({"done": True,
                                        "request_id": req.req_id,
                                        "finished": req.finished}) + "\n"
-                    self.wfile.write(tail.encode())
+                    try:
+                        self.wfile.write(tail.encode())
+                    except OSError:
+                        pass
                 else:
                     req = backend.submit(prompt, max_new)
                     backend.wait(req)
@@ -166,6 +195,8 @@ def make_handler(backend: ServingBackend):
                     })
             except ValueError as e:           # oversized prompt etc.
                 self._json(400, {"error": str(e)})
+            except RuntimeError as e:         # queue full → backpressure
+                self._json(503, {"error": str(e)})
 
     return Handler
 

@@ -94,6 +94,14 @@ class SpeculativeDecoder:
         assert gen.greedy, "speculative decoding here is greedy-only"
         eos = set(gen.eos_token_ids)
         engine = self.engine
+        S = engine.engine_cfg.max_seq_len
+        need = len(prompt) + gen.max_new_tokens + self.gamma + 1
+        if need > S:
+            raise ValueError(
+                f"prompt + max_new_tokens + speculative window needs {need} "
+                f"cache slots but max_seq_len is {S} (the verify window "
+                f"writes gamma+1 positions ahead; a clamped write would "
+                f"corrupt committed KV)")
 
         logits, cache = engine.prefill([list(prompt)])
         cur = int(np.asarray(jnp.argmax(logits, -1))[0])

@@ -111,7 +111,10 @@ class BPETokenizer:
                 kb, vb = k.encode(), str(v).encode()
                 f.write(struct.pack("<i", len(kb)) + kb)
                 f.write(struct.pack("<i", len(vb)) + vb)
-            f.write(struct.pack("<i", len(self.token_to_id)))
+            # count must match the entries actually written (id_to_token);
+            # token_to_id can be smaller if byte-distinct pieces collide
+            # under the errors="replace" string keying
+            f.write(struct.pack("<i", len(self.id_to_token)))
             for tid, tok in self.id_to_token.items():
                 tok_s = tok.decode("utf-8", errors="replace")
                 f.write(struct.pack("<i", len(tok)))
@@ -230,8 +233,12 @@ class HFTokenizer:
     def __init__(self, path: str):
         from tokenizers import Tokenizer as _T
         self._t = _T.from_file(path)
-        self.bos_id = self._t.token_to_id("<s>") or 1
-        self.eos_id = self._t.token_to_id("</s>") or 2
+
+        def _tid(tok, default):
+            t = self._t.token_to_id(tok)
+            return default if t is None else t   # id 0 is a valid id
+        self.bos_id = _tid("<s>", 1)
+        self.eos_id = _tid("</s>", 2)
 
     @property
     def vocab_size(self) -> int:

@@ -87,3 +87,14 @@ class TestPagedScheduler:
         assert sched.cache.quantized
         reqs = sched.run([[5, 6, 7], [9, 10]], max_new_tokens=5)
         assert all(len(r.output_ids) == 5 for r in reqs)
+
+    def test_pool_pressure_preempts_not_livelocks(self, engine):
+        """When long-running requests exhaust the pool mid-decode, the
+        scheduler must preempt (re-queue) rather than spin forever."""
+        # 5 usable pages; two requests needing 2 prompt pages each (16-token
+        # bucket at ps=8) + growth — cannot both run 20+ tokens
+        paged = PagedScheduler(engine, GEN, slots=2, num_pages=6)
+        reqs = paged.run([[5, 6, 7, 8, 9, 10, 11, 12, 13]] * 2,
+                         max_new_tokens=9)
+        assert all(len(r.output_ids) == 9 for r in reqs)
+        assert paged.alloc.free_pages == 5
