@@ -180,18 +180,20 @@ class ShardingConfig:
 
     # Mesh shape by axis; product must equal jax.device_count().
     data: int = 1
+    pipe: int = 1      # pipeline stages (layer-sharded; parallel/pipeline.py)
     tensor: int = 1
     # Axis names used in PartitionSpecs throughout the codebase.
     data_axis: str = "data"
+    pipe_axis: str = "pipe"
     tensor_axis: str = "tensor"
 
     @property
-    def mesh_shape(self) -> Tuple[int, int]:
-        return (self.data, self.tensor)
+    def mesh_shape(self) -> Tuple[int, int, int]:
+        return (self.data, self.pipe, self.tensor)
 
     @property
-    def axis_names(self) -> Tuple[str, str]:
-        return (self.data_axis, self.tensor_axis)
+    def axis_names(self) -> Tuple[str, str, str]:
+        return (self.data_axis, self.pipe_axis, self.tensor_axis)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ShardingConfig":

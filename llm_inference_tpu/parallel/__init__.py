@@ -15,6 +15,9 @@ from llm_inference_tpu.parallel.multihost import (  # noqa: F401
     make_hybrid_mesh,
     process_local_batch,
 )
+from llm_inference_tpu.parallel.pipeline import (  # noqa: F401
+    pipelined_forward,
+)
 from llm_inference_tpu.parallel.sharding import (  # noqa: F401
     cache_pspec,
     param_pspecs,

@@ -2,6 +2,9 @@
 
 Axes:
 - "data":   batch (requests) — maps onto DCN across hosts / spare ICI.
+- "pipe":   pipeline stages (decoder layers; parallel/pipeline.py) — its
+  traffic is one activation ppermute per microbatch tick, the lightest of
+  the three, so it sits between data and tensor.
 - "tensor": attention heads + FFN columns — must stay on ICI.
 
 `mesh_utils.create_device_mesh` orders physical devices so that the minor
@@ -29,19 +32,19 @@ def make_mesh(cfg: Optional[ShardingConfig] = None,
     n = len(devices)
     if cfg is None:
         cfg = ShardingConfig(data=1, tensor=n)
-    dp, tp = cfg.mesh_shape
-    if dp * tp > n:
-        raise ValueError(f"mesh {dp}x{tp} needs more than {n} devices")
-    devices = devices[: dp * tp]
-    n = dp * tp
+    dp, pp, tp = cfg.mesh_shape
+    if dp * pp * tp > n:
+        raise ValueError(f"mesh {dp}x{pp}x{tp} needs more than {n} devices")
+    devices = devices[: dp * pp * tp]
     try:
-        dev_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+        dev_array = mesh_utils.create_device_mesh((dp, pp, tp),
+                                                  devices=devices)
     except Exception:
         # CPU/virtual devices have no topology metadata — plain reshape
-        dev_array = np.asarray(devices).reshape(dp, tp)
+        dev_array = np.asarray(devices).reshape(dp, pp, tp)
     return Mesh(dev_array, cfg.axis_names)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
-                ("data", "tensor"))
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+                ("data", "pipe", "tensor"))

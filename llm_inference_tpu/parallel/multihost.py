@@ -50,26 +50,28 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def make_hybrid_mesh(cfg: ShardingConfig,
                      devices: Optional[Sequence] = None) -> Mesh:
-    """(data, tensor) mesh with tensor within a slice (ICI) and data across
-    slices/hosts (DCN). Requires cfg.tensor ≤ devices-per-process so the TP
-    collectives stay on ICI."""
+    """(data, pipe, tensor) mesh with pipe/tensor within a slice (ICI) and
+    data across slices/hosts (DCN). Requires cfg.pipe·cfg.tensor ≤
+    devices-per-process so the per-layer TP collectives and the per-tick
+    pipeline ppermute stay on ICI."""
     from jax.experimental import mesh_utils
 
-    dp, tp = cfg.mesh_shape
+    dp, pp, tp = cfg.mesh_shape
     n_local = jax.local_device_count()
-    if tp > n_local:
+    if pp * tp > n_local:
         raise ValueError(
-            f"tensor={tp} exceeds {n_local} local devices — TP collectives "
-            f"would cross DCN; shard fewer ways or use more data parallelism")
+            f"pipe={pp}·tensor={tp} exceeds {n_local} local devices — their "
+            f"collectives would cross DCN; shard fewer ways or use more "
+            f"data parallelism")
     try:
         dev_array = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // max(1, jax.process_count()) or 1, tp),
-            dcn_mesh_shape=(jax.process_count(), 1),
+            mesh_shape=(dp // max(1, jax.process_count()) or 1, pp, tp),
+            dcn_mesh_shape=(jax.process_count(), 1, 1),
             devices=devices)
     except Exception:
         # single-process / virtual devices: plain mesh
         devs = list(devices if devices is not None else jax.devices())
-        dev_array = np.asarray(devs[: dp * tp]).reshape(dp, tp)
+        dev_array = np.asarray(devs[: dp * pp * tp]).reshape(dp, pp, tp)
     return Mesh(dev_array, cfg.axis_names)
 
 

@@ -48,7 +48,20 @@ def _path_keys(path) -> list:
     return keys
 
 
-def _spec_for(path, leaf, tp: str, tp_size: int) -> P:
+def _spec_for(path, leaf, tp: str, tp_size: int,
+              pipe: Optional[str] = None) -> P:
+    spec = _spec_for_tp(path, leaf, tp, tp_size)
+    keys = _path_keys(path)
+    if pipe and "layers" in keys:
+        # stacked per-layer leaves [L, ...]: the leading L axis is the
+        # pipeline-stage axis (parallel/pipeline.py); everything that is not
+        # layer-stacked (embed / final_norm / lm_head) replicates over pipe
+        assert spec[0] is None, (path, spec)
+        spec = P(pipe, *spec[1:])
+    return spec
+
+
+def _spec_for_tp(path, leaf, tp: str, tp_size: int) -> P:
     keys = _path_keys(path)
     names = set(keys)
     is_scale = keys[-1] == "scale"
@@ -84,33 +97,41 @@ def _spec_for(path, leaf, tp: str, tp_size: int) -> P:
 
 
 def param_pspecs(params: Dict[str, Any], mesh: Mesh,
-                 tensor_axis: str = "tensor"):
-    """PartitionSpec pytree matching `params` (dense or quantized)."""
+                 tensor_axis: str = "tensor",
+                 pipe_axis: Optional[str] = None):
+    """PartitionSpec pytree matching `params` (dense or quantized).
+    With pipe_axis set, layer-stacked leaves additionally shard their
+    leading L axis over the pipeline stages."""
     tp_size = mesh.shape[tensor_axis]
     return jax.tree_util.tree_map_with_path(
-        lambda p, x: _spec_for(p, x, tensor_axis, tp_size), params)
+        lambda p, x: _spec_for(p, x, tensor_axis, tp_size, pipe_axis),
+        params)
 
 
 def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor",
-                quantized: bool = False):
-    """[L, B, Hkv, ...] → batch over data, kv heads over tensor; the int8
-    cache's per-(head, slot) scales [L, B, Hkv, S] shard the same way."""
-    spec = P(None, data_axis, tensor_axis, None, None)
-    sspec = P(None, data_axis, tensor_axis, None) if quantized else None
+                quantized: bool = False, pipe_axis: Optional[str] = None):
+    """[L, B, Hkv, ...] → layers over pipe (when set), batch over data, kv
+    heads over tensor; the int8 cache's per-(head, slot) scales
+    [L, B, Hkv, S] shard the same way."""
+    spec = P(pipe_axis, data_axis, tensor_axis, None, None)
+    sspec = P(pipe_axis, data_axis, tensor_axis, None) if quantized else None
     return kvcache.KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
-def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor"):
+def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor",
+                 pipe_axis: Optional[str] = None):
     """device_put the pytree with its canonical shardings."""
-    specs = param_pspecs(params, mesh, tensor_axis)
+    specs = param_pspecs(params, mesh, tensor_axis, pipe_axis)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(params, shardings)
 
 
 def shard_cache(cache: kvcache.KVCache, mesh: Mesh,
-                data_axis: str = "data", tensor_axis: str = "tensor"):
-    spec = cache_pspec(data_axis, tensor_axis, quantized=cache.quantized)
+                data_axis: str = "data", tensor_axis: str = "tensor",
+                pipe_axis: Optional[str] = None):
+    spec = cache_pspec(data_axis, tensor_axis, quantized=cache.quantized,
+                       pipe_axis=pipe_axis)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(cache, shardings)
