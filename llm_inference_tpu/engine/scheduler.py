@@ -259,14 +259,20 @@ class PagedScheduler(ContinuousBatchingScheduler):
                  gen: Optional[GenerationConfig] = None,
                  slots: Optional[int] = None,
                  num_pages: Optional[int] = None,
-                 page_size: Optional[int] = None):
+                 page_size: Optional[int] = None,
+                 prefix_cache: bool = False):
         from llm_inference_tpu.ops import paged_kvcache as pk
         self._pk = pk
         self._paged_opts = (num_pages, page_size)
+        self._prefix_opt = prefix_cache
         super().__init__(engine, gen, slots)
         self._prefill_paged = jax.jit(
             lambda p, i, q, c, last: _paged_prefill(engine.cfg, p, i, q, c,
                                                     last),
+            donate_argnums=(3,))
+        self._prefill_hist = jax.jit(
+            lambda p, i, q, c, last: _paged_prefill(engine.cfg, p, i, q, c,
+                                                    last, history=True),
             donate_argnums=(3,))
         self._set_tok_pos = jax.jit(
             lambda t, q, t1, q1, s: (
@@ -284,12 +290,24 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.nb = self.S // self.ps
         pool = num_pages or (self.B * self.nb + 1)
         self.alloc = self._pk.PageAllocator(pool, reserve=1)  # 0 = null page
+        if self._prefix_opt:
+            from llm_inference_tpu.engine.prefix_cache import PrefixStore
+            self.store: Optional["PrefixStore"] = PrefixStore()
+        else:
+            self.store = None
         self.pt_host = np.zeros((self.B, self.nb), np.int32)
         self.slot_pages = [[] for _ in range(self.B)]
         self.pos_host = np.zeros((self.B,), np.int64)
         return self._pk.init_paged_cache(
             cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
             self.B, self.nb, self.engine.cache_dtype)
+
+    def _alloc_pages(self, n: int) -> List[int]:
+        """Allocate, reclaiming LRU unreferenced prefix-cache pages under
+        pool pressure (cached prefixes use all free memory, opportunistically)."""
+        if self.store is not None and n > self.alloc.free_pages:
+            self.alloc.release(self.store.evict(n - self.alloc.free_pages))
+        return self.alloc.allocate(n)
 
     def _ensure_blocks(self, slot: int, tokens_needed: int):
         """Grow `slot`'s page table to cover tokens_needed positions.
@@ -299,7 +317,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         if need <= have:
             return True, False
         try:
-            new = self.alloc.allocate(need - have)
+            new = self._alloc_pages(need - have)
         except MemoryError:
             return False, False
         self.slot_pages[slot].extend(new)
@@ -324,7 +342,14 @@ class PagedScheduler(ContinuousBatchingScheduler):
             page_table=jnp.asarray(self.pt_host))
 
     def _on_retire(self, slot: int) -> None:
-        self.alloc.release(self.slot_pages[slot])
+        if self.store is not None:
+            for p in self.slot_pages[slot]:
+                if self.store.owns(p):
+                    self.store.release(p)   # stays cached for reuse
+                else:
+                    self.alloc.release([p])
+        else:
+            self.alloc.release(self.slot_pages[slot])
         self.slot_pages[slot] = []
         self.pt_host[slot] = 0          # null page
 
@@ -362,22 +387,42 @@ class PagedScheduler(ContinuousBatchingScheduler):
 
     def _admit_one(self, slot: int, req: Request) -> bool:
         plen = len(req.prompt_ids)
-        bucket = self.engine._bucket(plen)
+        # prefix cache: map the longest run of already-prefilled prompt
+        # pages into this slot's table and prefill only the suffix
+        hashes: list = []
+        hit_pages: list = []
+        if self.store is not None:
+            from llm_inference_tpu.engine import prefix_cache
+            hashes = prefix_cache.chunk_hashes(req.prompt_ids, self.ps)
+            hit_pages = self.store.lookup(hashes, self.ps)
+        hit_blocks = len(hit_pages)
+        hit_len = hit_blocks * self.ps
+        suffix = plen - hit_len
+        bucket = self.engine._bucket(suffix)
         bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
-        ok, _ = self._ensure_blocks(slot, bucket)
+        bucket = min(bucket, self.S - hit_len)
+        if hit_blocks:
+            self.slot_pages[slot] = list(hit_pages)
+            self.pt_host[slot, :hit_blocks] = hit_pages
+        ok, _ = self._ensure_blocks(slot, hit_len + bucket)
         if not ok:
+            self._on_retire(slot)        # undo the prefix refs / row
             self.queue.appendleft(req)   # retry when pages free up
             return False
         self._sync_table()
         ids = np.zeros((1, bucket), np.int32)
-        ids[0, :plen] = req.prompt_ids
-        pos = np.arange(bucket, dtype=np.int32)[None]
+        ids[0, :suffix] = req.prompt_ids[hit_len:]
+        pos = (hit_len + np.arange(bucket, dtype=np.int32))[None]
         cache1 = self.cache.replace(
             page_table=jnp.asarray(self.pt_host[slot:slot + 1]))
-        logits, cache1 = self._prefill_paged(
+        prefill = self._prefill_hist if hit_blocks else self._prefill_paged
+        logits, cache1 = prefill(
             self.engine.params, jnp.asarray(ids), jnp.asarray(pos), cache1,
-            jnp.asarray([plen - 1], jnp.int32))
+            jnp.asarray([suffix - 1], jnp.int32))
         self.cache = cache1.replace(page_table=jnp.asarray(self.pt_host))
+        # register the freshly prefilled full-prefix pages for future reuse
+        for j in range(hit_blocks, len(hashes)):
+            self.store.insert(hashes[j], self.slot_pages[slot][j])
         self.key, sub = jax.random.split(self.key)
         first = sampling.sample(logits, sub, temperature=self.gen.temperature,
                                 top_k=self.gen.top_k, top_p=self.gen.top_p,
@@ -401,7 +446,9 @@ class PagedScheduler(ContinuousBatchingScheduler):
         return True
 
 
-def _paged_prefill(cfg, params, ids, pos, cache, last_idx):
+def _paged_prefill(cfg, params, ids, pos, cache, last_idx,
+                   history: bool = False):
     from llm_inference_tpu.models import llama
     return llama.forward(cfg, params, ids, pos, cache,
-                         logits_mode="last", last_idx=last_idx)
+                         logits_mode="last", last_idx=last_idx,
+                         paged_history=history)

@@ -220,6 +220,9 @@ def main(argv=None):
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="share identical prompt-prefix KV pages across "
+                         "requests (implies --paged)")
     ap.add_argument("--slots", type=int, default=None)
     # engine-building flags (same set as the chat CLI)
     ap.add_argument("--model", default="tiny")
@@ -239,8 +242,12 @@ def main(argv=None):
 
     engine = _cli.build_engine(args)
     gen = GenerationConfig(greedy=True, max_new_tokens=args.max_new_tokens)
-    httpd = serve(engine, args.host, args.port, gen, paged=args.paged,
-                  slots=args.slots)
+    kw = {}
+    if args.prefix_cache:
+        kw["prefix_cache"] = True
+    httpd = serve(engine, args.host, args.port, gen,
+                  paged=args.paged or args.prefix_cache,
+                  slots=args.slots, **kw)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     httpd.serve_forever()
 

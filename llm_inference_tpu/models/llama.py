@@ -390,8 +390,29 @@ def _sharded_embedding_lookup(table, ids, tp_axis):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _gather_paged(cache, layer_idx, B):
+    """Materialize every sequence's pages densely: [B, Hkv, NB·ps(, D)].
+    Used by the paged fallbacks (unsupported head_dim decode; prefix-cache
+    suffix prefill, where fresh tokens attend over shared history pages)."""
+    nb_, ps_ = cache.max_blocks, cache.page_size
+
+    def gather(pages):
+        g = pages[layer_idx][cache.page_table]
+        # [B, NB, Hkv, ps(, D)] → [B, Hkv, NB·ps(, D)]
+        perm = (0, 2, 1, 3) if g.ndim == 4 else (0, 2, 1, 3, 4)
+        g = g.transpose(perm)
+        return g.reshape(B, g.shape[1], nb_ * ps_, *g.shape[4:])
+
+    kd, vd = gather(cache.k_pages), gather(cache.v_pages)
+    ksd = vsd = None
+    if cache.quantized:
+        ksd, vsd = gather(cache.k_scale), gather(cache.v_scale)
+    return kd, vd, ksd, vsd
+
+
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, mask, cos, sin, tp_axis: Optional[str]):
+           write_offsets, mask, cos, sin, tp_axis: Optional[str],
+           paged_history: bool = False):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
     Layer-varying state is split three ways:
@@ -447,23 +468,28 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
             else:
                 # gather-based fallback (unsupported head_dim): materialize
                 # the sequences' pages densely, then the XLA path
-                nb_, ps_ = cache.max_blocks, cache.page_size
-
-                def gather(pages):
-                    g = pages[layer_idx][cache.page_table]
-                    # [B, NB, Hkv, ps(, D)] → [B, Hkv, NB·ps(, D)]
-                    perm = (0, 2, 1, 3) if g.ndim == 4 else (0, 2, 1, 3, 4)
-                    g = g.transpose(perm)
-                    return g.reshape(B, g.shape[1], nb_ * ps_, *g.shape[4:])
-                kd, vd = gather(cache.k_pages), gather(cache.v_pages)
-                ksd = vsd = None
-                if cache.quantized:
-                    ksd, vsd = gather(cache.k_scale), gather(cache.v_scale)
-                dmask = attention.make_attention_mask(positions, nb_ * ps_,
-                                                      cfg.sliding_window)
+                kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+                dmask = attention.make_attention_mask(
+                    positions, cache.max_blocks * cache.page_size,
+                    cfg.sliding_window)
                 attn = attention.attend(q, kd, vd, dmask,
                                         logit_softcap=cfg.attn_logit_softcap,
                                         k_scale=ksd, v_scale=vsd)
+        elif paged_history:
+            # prefix-cache suffix prefill (engine/prefix_cache.py): the
+            # sequence's first blocks are SHARED pages holding an already-
+            # prefilled prefix. Write the fresh tokens at their block offset
+            # and attend over the full page table, position-masked.
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k, v, T // cache.page_size,
+                start_blocks=write_offsets // cache.page_size)
+            kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+            dmask = attention.make_attention_mask(
+                positions, cache.max_blocks * cache.page_size,
+                cfg.sliding_window)
+            attn = attention.attend(q, kd, vd, dmask,
+                                    logit_softcap=cfg.attn_logit_softcap,
+                                    k_scale=ksd, v_scale=vsd)
         else:
             # prefill: sequences start at position 0 (scheduler invariant),
             # so attention is causal over the fresh tokens only
@@ -530,6 +556,7 @@ def forward(
     logits_mode: str = "last",   # "last" | "all" | "none"
     last_idx: Optional[jnp.ndarray] = None,  # [B] index of last valid token
     tp_axis: Optional[str] = None,           # shard_map axis name for TP
+    paged_history: bool = False,  # paged prefill atop shared prefix pages
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Run the decoder over T tokens per sequence, updating the cache.
 
@@ -562,7 +589,8 @@ def forward(
     def body(carry, lp):
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, mask, cos, sin, tp_axis)
+                          write_offsets, mask, cos, sin, tp_axis,
+                          paged_history=paged_history)
         debug.tap("out", h, layer=idx)   # SAVE_DATA-style per-layer dump
         return (h, cache, idx + 1), None
 

@@ -178,11 +178,17 @@ def write_prompt(cache: PagedKVCache, layer: jnp.ndarray, seq: int,
 
 def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
                        k_new: jnp.ndarray, v_new: jnp.ndarray,
-                       num_blocks: int) -> PagedKVCache:
-    """Prefill write for a whole batch starting at position 0.
+                       num_blocks: int,
+                       start_blocks: jnp.ndarray | None = None
+                       ) -> PagedKVCache:
+    """Prefill write for a whole batch.
 
     k_new/v_new: [B, T, Hkv, D] with T = num_blocks · page_size. Each
-    sequence's first `num_blocks` page-table entries must be allocated."""
+    sequence's page-table entries [start, start + num_blocks) must be
+    allocated; `start_blocks` ([B] int32, default 0) is the per-sequence
+    first block — non-zero for a prefix-cache suffix prefill, where the
+    blocks below it are SHARED pages that must not be written
+    (engine/prefix_cache.py)."""
     B, T, H, D = k_new.shape
     ps = cache.page_size
     k_sc, v_sc = cache.k_scale, cache.v_scale
@@ -194,7 +200,12 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
         vb_s = vs[..., 0].reshape(B, num_blocks, ps, H).transpose(0, 1, 3, 2)
     kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
     vb = v_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
-    pages = cache.page_table[:, :num_blocks]                  # [B, nb]
+    if start_blocks is None:
+        pages = cache.page_table[:, :num_blocks]              # [B, nb]
+    else:
+        cols = start_blocks[:, None] + jnp.arange(num_blocks,
+                                                  dtype=jnp.int32)[None]
+        pages = jnp.take_along_axis(cache.page_table, cols, axis=1)
     idx_l = jnp.broadcast_to(layer, (B, num_blocks))
     k_pages = cache.k_pages.at[idx_l, pages].set(
         kb.astype(cache.k_pages.dtype))
