@@ -139,6 +139,9 @@ def make_handler(backend: ServingBackend):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path in ("/v1/completions", "/v1/chat/completions"):
+                self._openai(chat=self.path.endswith("chat/completions"))
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
                 return
@@ -197,6 +200,60 @@ def make_handler(backend: ServingBackend):
                 self._json(400, {"error": str(e)})
             except RuntimeError as e:         # queue full → backpressure
                 self._json(503, {"error": str(e)})
+
+        # -- OpenAI-compatible surface (/v1/completions, /v1/chat/...) ----
+
+        def _openai(self, chat: bool):
+            """Minimal OpenAI-API-shaped endpoint so standard clients work
+            unchanged (non-streaming; `prompt` may be a string — needs a
+            tokenizer — or a token-id list)."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if chat:
+                    msgs = body["messages"]
+                    if tok is None:
+                        raise ValueError("chat endpoint needs a tokenizer")
+                    prompt = "".join(
+                        f"{m['role']}: {m['content']}\n" for m in msgs)
+                    prompt += "assistant:"
+                else:
+                    prompt = body["prompt"]
+            except (KeyError, TypeError, ValueError) as e:
+                self._json(400, {"error": {"message": f"bad request: {e}",
+                                           "type": "invalid_request_error"}})
+                return
+            max_new = body.get("max_tokens")
+            try:
+                req = backend.submit(prompt, max_new)
+                backend.wait(req)
+            except ValueError as e:
+                self._json(400, {"error": {"message": str(e),
+                                           "type": "invalid_request_error"}})
+                return
+            except RuntimeError as e:
+                self._json(503, {"error": {"message": str(e),
+                                           "type": "overloaded_error"}})
+                return
+            text = tok.decode(req.output_ids) if tok else ""
+            finish = "stop" if req.finished else "length"
+            usage = {"prompt_tokens": len(req.prompt_ids),
+                     "completion_tokens": len(req.output_ids),
+                     "total_tokens": len(req.prompt_ids)
+                                     + len(req.output_ids)}
+            if chat:
+                choice = {"index": 0, "finish_reason": finish,
+                          "message": {"role": "assistant", "content": text}}
+                obj = "chat.completion"
+            else:
+                choice = {"index": 0, "finish_reason": finish,
+                          "text": text, "token_ids": req.output_ids}
+                obj = "text_completion"
+            self._json(200, {
+                "id": f"cmpl-{req.req_id}", "object": obj,
+                "model": backend.engine.cfg.name,
+                "choices": [choice], "usage": usage,
+            })
 
     return Handler
 

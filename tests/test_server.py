@@ -113,3 +113,42 @@ class TestServer:
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+class TestOpenAICompat:
+    """The /v1 endpoints speak the OpenAI API shape (SURVEY has no
+    analogue — the reference has no server at all)."""
+
+    def test_completions(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4},
+                   path="/v1/completions") as r:
+            out = json.loads(r.read())
+        assert out["object"] == "text_completion"
+        c = out["choices"][0]
+        assert len(c["token_ids"]) == 4
+        assert c["finish_reason"] in ("stop", "length")
+        assert out["usage"]["total_tokens"] == 7
+
+    def test_completions_matches_generate(self, httpd):
+        with _post(httpd, {"prompt": [9, 10, 11], "max_new_tokens": 5}) as r:
+            want = json.loads(r.read())["token_ids"]
+        with _post(httpd, {"prompt": [9, 10, 11], "max_tokens": 5},
+                   path="/v1/completions") as r:
+            got = json.loads(r.read())["choices"][0]["token_ids"]
+        assert got == want
+
+    def test_chat_without_tokenizer_is_400(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"messages": [{"role": "user", "content": "x"}]},
+                  path="/v1/chat/completions")
+        assert e.value.code == 400
+
+    def test_oversized_is_400_openai_shape(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5], "max_tokens": 4000},
+                  path="/v1/completions")
+        assert e.value.code == 400
+        assert json.loads(e.value.read())["error"]["type"] == \
+            "invalid_request_error"
