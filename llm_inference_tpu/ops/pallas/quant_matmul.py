@@ -92,15 +92,22 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, o_ref, *, bits: int,
             for c0 in range(0, block_rows, ch):
                 c1 = min(c0 + ch, block_rows)
                 p32 = w[base + c0:base + c1].astype(jnp.int32)
-                lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-                hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+                # f32 nibbles feeding f32 MXU dots: one convert per element
+                # instead of two (i32→bf16 lowers via f32 anyway on v5e) —
+                # the unpack is VPU-bound, the MXU is idle headroom at GEMV
+                # widths; measured 38.9 → 37.4 µs on the 7B fused-qkv block
+                # (scripts/proto_int4_unpack.py, interleaved 3-rep A/B)
+                lo = jnp.right_shift(jnp.left_shift(p32, 28),
+                                     28).astype(jnp.float32)
+                hi = jnp.right_shift(jnp.left_shift(p32, 24),
+                                     28).astype(jnp.float32)
                 lo_r = xbase + c0               # original rows of lo nibbles
                 hi_r = lo_r + block_rows
-                x_lo = x[:, lo_r:lo_r + (c1 - c0)]
-                x_hi = x[:, hi_r:hi_r + (c1 - c0)]
-                d_lo = jnp.dot(x_lo, lo.astype(jnp.bfloat16),
+                x_lo = x[:, lo_r:lo_r + (c1 - c0)].astype(jnp.float32)
+                x_hi = x[:, hi_r:hi_r + (c1 - c0)].astype(jnp.float32)
+                d_lo = jnp.dot(x_lo, lo,
                                preferred_element_type=jnp.float32)
-                d_hi = jnp.dot(x_hi, hi.astype(jnp.bfloat16),
+                d_hi = jnp.dot(x_hi, hi,
                                preferred_element_type=jnp.float32)
                 if per_channel:
                     acc += d_lo + d_hi

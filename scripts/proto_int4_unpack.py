@@ -180,5 +180,72 @@ def kern_and_offset(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-bench(kern_outscale, "i32-shift, output-scaled ")
-bench(kern_and_offset, "AND-lo/f32-hi, offset    ")
+def kern_and_f32dot(x_ref, w_ref, s_ref, o_ref):
+    """AND-lo/f32-hi, but feed the f32 nibbles STRAIGHT to the dot —
+    skips both f32->bf16 converts; the MXU runs its f32 path, which is
+    idle headroom at GEMV widths."""
+    x = x_ref[:]
+    w = w_ref[0]
+    acc = jnp.zeros((M, bn), jnp.float32)
+    for c0 in range(0, Kp, CH):          # CH == gsize
+        g = c0 // gsize
+        wb = w[c0:c0+CH]
+        lo_u = (wb & 0xF).astype(jnp.float32)
+        hi = jnp.floor(wb.astype(jnp.float32) * 0.0625)
+        s_lo = s_ref[0][g]
+        s_hi = s_ref[0][Kp // gsize + g]
+        x_lo = x[:, c0:c0+CH].astype(jnp.float32)
+        x_hi = x[:, Kp+c0:Kp+c0+CH].astype(jnp.float32)
+        d_lo = jnp.dot(x_lo, lo_u, preferred_element_type=jnp.float32)
+        d_hi = jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+        xsum = jnp.sum(x_lo, axis=1, keepdims=True)
+        acc += (d_lo - 8.0 * xsum) * s_lo[None, :] + d_hi * s_hi[None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def kern_1cvt(x_ref, w_ref, s_ref, o_ref):
+    """Single i8->f32 convert: hi = floor(f/16); lo_u = f - 16*hi (exact
+    for offset-lo packing); bf16 dots."""
+    x = x_ref[:]
+    w = w_ref[0]
+    acc = jnp.zeros((M, bn), jnp.float32)
+    for c0 in range(0, Kp, CH):
+        g = c0 // gsize
+        f = w[c0:c0+CH].astype(jnp.float32)
+        hi = jnp.floor(f * 0.0625)
+        lo_u = f - 16.0 * hi
+        s_lo = s_ref[0][g]
+        s_hi = s_ref[0][Kp // gsize + g]
+        x_lo = x[:, c0:c0+CH]
+        d_lo = jnp.dot(x_lo, lo_u.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        d_hi = jnp.dot(x[:, Kp+c0:Kp+c0+CH], hi.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        xsum = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        acc += (d_lo - 8.0 * xsum) * s_lo[None, :] + d_hi * s_hi[None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def kern_shift_f32dot(x_ref, w_ref, s_ref, o_ref):
+    """current i32-shift extraction, but f32 dots (no bf16 converts)."""
+    x = x_ref[:]
+    w = w_ref[0]
+    acc = jnp.zeros((M, bn), jnp.float32)
+    for c0 in range(0, Kp, CH):
+        g = c0 // gsize
+        p32 = w[c0:c0+CH].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
+        hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.float32)
+        d_lo = jnp.dot(x[:, c0:c0+CH].astype(jnp.float32), lo,
+                       preferred_element_type=jnp.float32)
+        d_hi = jnp.dot(x[:, Kp+c0:Kp+c0+CH].astype(jnp.float32), hi,
+                       preferred_element_type=jnp.float32)
+        acc += d_lo * s_ref[0][g][None] + d_hi * s_ref[0][Kp // gsize + g][None]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+for rep in range(3):
+    bench(kern_outscale, f"[{rep}] i32-shift bf16 (cur) ")
+    bench(kern_shift_f32dot, f"[{rep}] i32-shift f32 dots  ")
+    bench(kern_and_offset, f"[{rep}] AND/floor bf16 dots  ")
+    bench(kern_and_f32dot, f"[{rep}] AND/floor f32 dots   ")
