@@ -61,7 +61,9 @@ class InferenceEngine:
         self.metrics = metrics.Metrics()
 
         kv_quantized = cache_dtype in (jnp.int8, "int8")
-        if mesh is not None and mesh.devices.size > 1:
+        self._kv_quantized = kv_quantized
+        self._sharded = mesh is not None and mesh.devices.size > 1
+        if self._sharded:
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
             self.params = _sh.shard_params(params, mesh)
@@ -77,30 +79,61 @@ class InferenceEngine:
                                      logits_mode="last", last_idx=last_idx)
             self._fwd = _fwd
             self._shard_cache = lambda c: c
+        self._paged_fwds: Dict[bool, Callable] = {}
 
         # jit caches (keyed by static sampling config; shapes are handled by
         # jit's own shape-keyed cache)
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(3,))
         self._decode_jits: Dict[Any, Callable] = {}
 
+    def paged_forward(self, history: bool = False) -> Callable:
+        """Raw forward for a PAGED cache (mesh-mapped when sharded):
+        f(params, ids, positions, cache, last_idx) -> (logits, cache).
+        history=True selects the prefix-cache suffix-prefill branch."""
+        fn = self._paged_fwds.get(history)
+        if fn is None:
+            if self._sharded:
+                from llm_inference_tpu.parallel import sharding as _sh
+                fn = _sh.sharded_forward(
+                    self.cfg, self.mesh, self.params, logits_mode="last",
+                    jit=False, cache_quantized=self._kv_quantized,
+                    cache_kind="paged", paged_history=history)
+            else:
+                cfg = self.cfg
+
+                def fn(params, ids, positions, cache, last_idx,
+                       _h=history):
+                    return llama.forward(cfg, params, ids, positions, cache,
+                                         logits_mode="last",
+                                         last_idx=last_idx, paged_history=_h)
+            self._paged_fwds[history] = fn
+        return fn
+
+    def _fwd_for(self, cache) -> Callable:
+        from llm_inference_tpu.ops.paged_kvcache import PagedKVCache
+        if isinstance(cache, PagedKVCache):
+            return self.paged_forward()
+        return self._fwd
+
     # ------------------------------------------------------------------
     # compiled programs
     # ------------------------------------------------------------------
 
     def _prefill_fn(self, params, ids, positions, cache, last_idx):
-        return self._fwd(params, ids, positions, cache, last_idx)
+        return self._fwd_for(cache)(params, ids, positions, cache, last_idx)
 
     def _decode_chunk_fn(self, params, cache, token, pos, key, *,
                          steps: int, gen: GenerationConfig):
         """scan `steps` decode iterations on device; returns sampled tokens."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
+        fwd = self._fwd_for(cache)
 
         def body(carry, _):
             cache, token, pos, key = carry
             key, sub = jax.random.split(key)
-            logits, cache = self._fwd(params, token[:, None], pos[:, None],
-                                      cache, zeros)
+            logits, cache = fwd(params, token[:, None], pos[:, None],
+                                cache, zeros)
             nxt = sampling.sample(logits, sub,
                                   temperature=gen.temperature,
                                   top_k=gen.top_k, top_p=gen.top_p,

@@ -266,14 +266,10 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self._paged_opts = (num_pages, page_size)
         self._prefix_opt = prefix_cache
         super().__init__(engine, gen, slots)
-        self._prefill_paged = jax.jit(
-            lambda p, i, q, c, last: _paged_prefill(engine.cfg, p, i, q, c,
-                                                    last),
-            donate_argnums=(3,))
-        self._prefill_hist = jax.jit(
-            lambda p, i, q, c, last: _paged_prefill(engine.cfg, p, i, q, c,
-                                                    last, history=True),
-            donate_argnums=(3,))
+        self._prefill_paged = jax.jit(engine.paged_forward(history=False),
+                                      donate_argnums=(3,))
+        self._prefill_hist = jax.jit(engine.paged_forward(history=True),
+                                     donate_argnums=(3,))
         self._set_tok_pos = jax.jit(
             lambda t, q, t1, q1, s: (
                 jax.lax.dynamic_update_slice(t, t1, (s,)),
@@ -298,9 +294,14 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.pt_host = np.zeros((self.B, self.nb), np.int32)
         self.slot_pages = [[] for _ in range(self.B)]
         self.pos_host = np.zeros((self.B,), np.int64)
-        return self._pk.init_paged_cache(
+        cache = self._pk.init_paged_cache(
             cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
             self.B, self.nb, self.engine.cache_dtype)
+        mesh = self.engine.mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from llm_inference_tpu.parallel import sharding as _sh
+            cache = _sh.shard_paged_cache(cache, mesh)
+        return cache
 
     def _alloc_pages(self, n: int) -> List[int]:
         """Allocate, reclaiming LRU unreferenced prefix-cache pages under
@@ -446,9 +447,3 @@ class PagedScheduler(ContinuousBatchingScheduler):
         return True
 
 
-def _paged_prefill(cfg, params, ids, pos, cache, last_idx,
-                   history: bool = False):
-    from llm_inference_tpu.models import llama
-    return llama.forward(cfg, params, ids, pos, cache,
-                         logits_mode="last", last_idx=last_idx,
-                         paged_history=history)

@@ -108,6 +108,26 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
         params)
 
 
+def paged_cache_pspec(tensor_axis: str = "tensor", quantized: bool = False):
+    """Paged pool [L, P, Hkv, ps, D]: kv heads over tensor, the page pool
+    itself replicated across data (the pool is request-global — per-page
+    batch sharding would couple the host allocator to the mesh); the page
+    table [B, nb] is host-managed and replicated."""
+    from llm_inference_tpu.ops import paged_kvcache as _pk
+    spec = P(None, None, tensor_axis, None, None)
+    sspec = P(None, None, tensor_axis, None) if quantized else None
+    return _pk.PagedKVCache(k_pages=spec, v_pages=spec,
+                            page_table=P(None, None),
+                            k_scale=sspec, v_scale=sspec)
+
+
+def shard_paged_cache(cache, mesh: Mesh, tensor_axis: str = "tensor"):
+    spec = paged_cache_pspec(tensor_axis, quantized=cache.quantized)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(cache, shardings)
+
+
 def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor",
                 quantized: bool = False, pipe_axis: Optional[str] = None):
     """[L, B, Hkv, ...] → layers over pipe (when set), batch over data, kv
@@ -154,7 +174,9 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
                     *, logits_mode: str = "last",
                     data_axis: str = "data", tensor_axis: str = "tensor",
                     donate_cache: bool = True, jit: bool = True,
-                    cache_quantized: bool = False):
+                    cache_quantized: bool = False,
+                    cache_kind: str = "dense",
+                    paged_history: bool = False):
     """Build a shard_map'd forward:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
@@ -163,18 +185,31 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     donated so XLA updates it in place; jit=False returns the raw mapped
     function for composition into larger jitted programs (e.g. the engine's
     multi-step decode scan).
+
+    cache_kind="paged" maps a PagedKVCache (kv heads over tensor, pool
+    replicated over data — requires the data axis to be size 1, since the
+    page pool/table are request-global host-managed state); paged_history
+    selects the prefix-cache suffix-prefill branch (models/llama.forward).
     """
     tp_size = mesh.shape[tensor_axis]
     validate_tp(cfg, tp_size)
     pspecs = param_pspecs(params, mesh, tensor_axis)
-    cspec = cache_pspec(data_axis, tensor_axis, quantized=cache_quantized)
+    if cache_kind == "paged":
+        if mesh.shape[data_axis] != 1:
+            raise ValueError(
+                "paged cache over a mesh requires data axis == 1 (the page "
+                "pool is request-global); use tensor parallelism")
+        cspec = paged_cache_pspec(tensor_axis, quantized=cache_quantized)
+    else:
+        cspec = cache_pspec(data_axis, tensor_axis,
+                            quantized=cache_quantized)
     dspec = P(data_axis)
     tp_axis = tensor_axis if tp_size > 1 else None
 
     def fn(params, ids, positions, cache, last_idx):
         return llama.forward(cfg, params, ids, positions, cache,
                              logits_mode=logits_mode, last_idx=last_idx,
-                             tp_axis=tp_axis)
+                             tp_axis=tp_axis, paged_history=paged_history)
 
     logits_spec = (None if logits_mode == "none"
                    else P(data_axis, *([None] * (1 if logits_mode == "last" else 2))))
