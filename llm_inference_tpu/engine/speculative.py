@@ -73,6 +73,14 @@ class SpeculativeDecoder:
         self._verify_jit = jax.jit(verify, donate_argnums=(3,))
         self.stats = {"steps": 0, "accepted": 0, "produced": 0}
 
+    # proposal strategy hooks (overridden by DraftModelSpeculativeDecoder)
+
+    def _start(self, prompt: List[int]) -> None:
+        """Called once after the target prefill, before the verify loop."""
+
+    def _propose(self, history: List[int], cur: int, pos: int) -> List[int]:
+        return propose_ngram(history, self.gamma, self.ngram)
+
     def _window(self, cache, tokens: List[int], pos0: int):
         """One verify forward over a fixed-width γ+1 window (padded with
         repeats of the last token so the jit shape is constant)."""
@@ -108,9 +116,10 @@ class SpeculativeDecoder:
         out = [cur]
         history = list(prompt) + out
         pos = len(prompt)
+        self._start(list(prompt))
 
         while len(out) < gen.max_new_tokens and cur not in eos:
-            proposal = propose_ngram(history, self.gamma, self.ngram)
+            proposal = self._propose(history, cur, pos)
             greedy, cache = self._window(cache, [cur] + proposal, pos)
             self.stats["steps"] += 1
             # accept proposal tokens while they match the running argmax
@@ -128,3 +137,47 @@ class SpeculativeDecoder:
             pos += len(emitted)
         self.stats["produced"] += len(out)
         return out, dict(self.stats)
+
+
+class DraftModelSpeculativeDecoder(SpeculativeDecoder):
+    """Classic two-model speculative decoding: a small DRAFT model decodes
+    γ tokens autoregressively (its own jitted scan — one host round trip),
+    the TARGET verifies all γ+1 positions in one forward. Same exact greedy
+    acceptance as the n-gram variant; expected tokens/verify-step is
+    1 + γ·(draft/target agreement rate).
+
+    Cache discipline on both models is the overwrite-just-in-time invariant
+    documented in the module docstring: the draft's KV rows for rejected
+    proposals sit beyond the committed position and are rewritten by the
+    next window before any read can see them.
+
+    The draft must share the target's tokenizer/vocab. Its engine needs
+    max_seq_len ≥ the target's (same window arithmetic).
+    """
+
+    def __init__(self, engine, draft_engine, gamma: int = 4):
+        super().__init__(engine, gamma)
+        if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
+            raise ValueError(
+                f"draft vocab {draft_engine.cfg.vocab_size} != target "
+                f"vocab {engine.cfg.vocab_size}")
+        if (draft_engine.engine_cfg.max_seq_len
+                < engine.engine_cfg.max_seq_len):
+            raise ValueError(
+                "draft max_seq_len must cover the target's (the draft "
+                "window advances in lockstep)")
+        self.draft = draft_engine
+        self._draft_step = draft_engine._get_decode_jit(
+            gamma, GenerationConfig(greedy=True))
+        self._key = jax.random.PRNGKey(0)   # unused under greedy
+        self._dcache = None
+
+    def _start(self, prompt: List[int]) -> None:
+        _, self._dcache = self.draft.prefill([prompt])
+
+    def _propose(self, history: List[int], cur: int, pos: int) -> List[int]:
+        tok = jnp.asarray([cur], jnp.int32)
+        p = jnp.asarray([pos], jnp.int32)
+        toks, self._dcache, _, _, _ = self._draft_step(
+            self.draft.params, self._dcache, tok, p, self._key)
+        return [int(t) for t in np.asarray(toks)[0]]

@@ -68,3 +68,60 @@ class TestSpeculativeDecoding:
         # fewer verify forwards than tokens ⇒ speculation paid off
         assert stats["steps"] < len(want), stats
         assert stats["accepted"] > 0, stats
+
+
+class TestDraftModelSpeculative:
+    def _make(self, cfg_kw, seed):
+        from llm_inference_tpu.config import tiny_llama as tl
+        cfg = tl(**cfg_kw)
+        params = llama.init_params(cfg, jax.random.PRNGKey(seed))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=128, decode_chunk=4,
+                                    prefill_buckets=(8, 16, 32)))
+
+    def test_self_draft_accepts_everything(self, engine):
+        """Using the target AS its own draft: proposals come from the same
+        argmax stream, so acceptance must be (near-)total and the output
+        identical to plain greedy."""
+        from llm_inference_tpu.engine.speculative import (
+            DraftModelSpeculativeDecoder)
+        prompt = [3, 4, 5, 6, 7]
+        gen = GenerationConfig(greedy=True, max_new_tokens=24,
+                               eos_token_ids=(1,))
+        want = engine.generate([list(prompt)], gen)[0].token_ids
+        spec = DraftModelSpeculativeDecoder(engine, engine, gamma=4)
+        got, stats = spec.generate(list(prompt), gen)
+        if 1 in got:
+            got = got[:got.index(1)]
+        assert got == want, (got, want, stats)
+        # γ=4 with a perfect draft → ~5 tokens per verify step
+        assert stats["steps"] <= len(want) // 3 + 2, stats
+        assert stats["accepted"] > 0, stats
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_independent_draft_matches_plain_greedy(self, engine, seed):
+        """A DIFFERENT (random) draft model: acceptance may be poor, but
+        the output must still be exactly the target's greedy stream."""
+        from llm_inference_tpu.engine.speculative import (
+            DraftModelSpeculativeDecoder)
+        draft = self._make(dict(num_kv_heads=2, num_layers=1,
+                                hidden_size=64, intermediate_size=128,
+                                num_heads=2, head_dim=32), seed=seed + 7)
+        rng = np.random.default_rng(seed)
+        prompt = list(rng.integers(2, 200, 9))
+        gen = GenerationConfig(greedy=True, max_new_tokens=16,
+                               eos_token_ids=(1,))
+        want = engine.generate([list(prompt)], gen)[0].token_ids
+        spec = DraftModelSpeculativeDecoder(engine, draft, gamma=3)
+        got, stats = spec.generate(list(prompt), gen)
+        if 1 in got:
+            got = got[:got.index(1)]
+        assert got == want, (got, want, stats)
+
+    def test_vocab_mismatch_rejected(self, engine):
+        from llm_inference_tpu.engine.speculative import (
+            DraftModelSpeculativeDecoder)
+        draft = self._make(dict(num_kv_heads=2, vocab_size=128), seed=1)
+        with pytest.raises(ValueError, match="vocab"):
+            DraftModelSpeculativeDecoder(engine, draft)
