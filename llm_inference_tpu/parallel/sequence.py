@@ -22,11 +22,12 @@ serving prefill wants the full KV cache materialized anyway):
   attention FLOPs also split ~N ways (triangle-balanced enough at serving
   chunk counts).
 - The all-gather moves 2·T·Hkv·D bytes per layer over ICI — the same
-  traffic a ring-attention schedule would move, without needing partial-
-  softmax accumulator plumbing in the kernel. (The flash kernel is already
-  blockwise, so a ring schedule remains a drop-in future optimization for
-  T beyond HBM; at serving lengths the gathered KV is tiny next to
-  weights.)
+  traffic the ring schedule moves, without partial-softmax bookkeeping; at
+  serving lengths the gathered KV is tiny next to weights. For contexts
+  whose full KV no longer fits a chip's spare HBM, `ring=True` swaps in
+  blockwise RING ATTENTION (_ring_attention): chunks rotate shard-to-shard
+  with ppermute while each shard folds them into an online-softmax
+  accumulator — peak transient is ONE chunk, O(T/N).
 - The produced cache is REPLICATED across the sequence axis and bitwise
   identical to a single-device prefill's — decode proceeds on any replica
   (or re-sharded by batch for continuous batching).
@@ -58,11 +59,74 @@ from llm_inference_tpu.ops.quantization import QTensor
 from llm_inference_tpu.parallel import sharding
 
 
+def _ring_attention(q, k_loc, v_loc, pos_local, global_start, T_loc,
+                    cache, layer_idx, seq_axis, sp_size, scale,
+                    logit_softcap):
+    """Blockwise ring attention over the sequence shards.
+
+    Each shard keeps only its LOCAL K/V chunk resident; chunks rotate
+    around the ring with `ppermute` while every shard (a) folds each
+    visiting chunk into an online-softmax accumulator (running max m,
+    normalizer l, weighted sum acc) for its local queries and (b) writes
+    the chunk into its cache replica at the chunk's global offset. Peak
+    transient memory per shard is ONE chunk — O(T/N) — vs the all-gather
+    schedule's O(T); total ICI traffic is the same ring of 2·T·Hkv·D
+    bytes. f32 math throughout (attention.attend's fp32-softmax numerics).
+
+    Returns ([B, T_loc, Hq, D], cache).
+    """
+    B, T_q, Hq, D = q.shape
+    Hkv = k_loc.shape[2]
+    G = Hq // Hkv
+    me = lax.axis_index(seq_axis)
+    q5 = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T_q, D)
+
+    m = jnp.full((B, Hkv, G, T_q), -1e30, jnp.float32)
+    l = jnp.zeros((B, Hkv, G, T_q), jnp.float32)
+    acc = jnp.zeros((B, Hkv, G, T_q, D), jnp.float32)
+    kc, vc = k_loc, v_loc                        # [B, Tc, Hkv, D]
+    perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+
+    for j in range(sp_size):                     # static ring schedule
+        src = (me - j) % sp_size                 # chunk's home shard
+        c_start = global_start + src * T_loc     # [B]
+        cache = kvcache.update_cache_layer(cache, layer_idx, kc, vc,
+                                           c_start)
+        c_pos = (c_start[:, None]
+                 + jnp.arange(kc.shape[1], dtype=jnp.int32)[None])  # [B, Tc]
+        s = jnp.einsum("bhgtd,bshd->bhgts", q5, kc.astype(q5.dtype),
+                       preferred_element_type=jnp.float32)
+        s = s.astype(jnp.float32) * scale
+        if logit_softcap > 0.0:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+        causal = (c_pos[:, None, :] <= pos_local[:, :, None])  # [B, Tq, Tc]
+        s = jnp.where(causal[:, None, None, :, :], s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum("bhgts,bshd->bhgtd", p, vc.astype(jnp.float32),
+                            preferred_element_type=jnp.float32))
+        m = m_new
+        if j < sp_size - 1:
+            kc = lax.ppermute(kc, seq_axis, perm)
+            vc = lax.ppermute(vc, seq_axis, perm)
+
+    out = acc / l[..., None]
+    return (out.reshape(B, Hq, T_q, D).transpose(0, 2, 1, 3)
+            .astype(q.dtype), cache)
+
+
 def _sp_layer(cfg, h, lp, qw, cache, layer_idx, positions_local,
-              global_start, mask_local, cos, sin, seq_axis, tp_axis):
+              global_start, mask_local, cos, sin, seq_axis, tp_axis,
+              ring: bool = False, sp_size: int = 1):
     """One decoder layer over a LOCAL query chunk with sequence-gathered
     KV. Mirrors models/llama._layer's dense path; the difference is the
-    all-gather between the qkv projection and the cache write."""
+    all-gather between the qkv projection and the cache write. With
+    ring=True, attention instead runs the blockwise ring schedule
+    (_ring_attention) and the cache collects chunks as they rotate past —
+    no full-length K/V is ever materialized on one shard."""
     B, T_loc, H = h.shape
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -88,6 +152,23 @@ def _sp_layer(cfg, h, lp, qw, cache, layer_idx, positions_local,
     v = v.reshape(B, T_loc, -1, D)
     q = rope.apply_rope(q, positions_local, cos, sin)
     k = rope.apply_rope(k, positions_local, cos, sin)
+
+    if ring:
+        attn, cache = _ring_attention(
+            q, k, v, positions_local, global_start, T_loc, cache,
+            layer_idx, seq_axis, sp_size, 1.0 / (D ** 0.5),
+            cfg.attn_logit_softcap)
+        attn = mm("wo", attn.reshape(B, T_loc, -1))
+        h = h + llama._psum(attn, tp_axis)
+        normed = norms.rms_norm(h, lp["ffn_norm"], eps)
+        if "w_gateup" in qw or "w_gateup" in lp:
+            gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
+            act = activations.swiglu_split(gate, up)
+        else:
+            act = activations.swiglu_split(mm("w_gate", normed),
+                                           mm("w_up", normed))
+        h = h + llama._psum(mm("w_down", act), tp_axis)
+        return h, cache
 
     # restore the full sequence in global order (chunks are contiguous)
     k_full = lax.all_gather(k, seq_axis, axis=1, tiled=True)  # [B, T, Hkv, D]
@@ -129,7 +210,8 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
                               *, seq_axis: str = "data",
                               tensor_axis: str = "tensor",
                               donate_cache: bool = True, jit: bool = True,
-                              cache_quantized: bool = False):
+                              cache_quantized: bool = False,
+                              ring: bool = False):
     """Build the sequence-parallel prefill:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
@@ -137,6 +219,11 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
     its size); the cache is replicated over `seq_axis` (every shard ends up
     with the identical full cache) and kv-head-sharded over `tensor_axis`.
     Returns last-token logits [B, V], replicated.
+
+    ring=True swaps the per-layer KV all-gather for the blockwise ring
+    schedule (_ring_attention): same result and ICI traffic, but the peak
+    per-shard transient is one chunk instead of the full sequence — the
+    schedule for contexts whose KV no longer fits one chip's spare HBM.
     """
     sp_size = mesh.shape[seq_axis]
     tp_size = mesh.shape[tensor_axis]
@@ -174,7 +261,8 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
             h, cache, idx = carry
             h, cache = _sp_layer(cfg, h, lp, qw, cache, idx, positions,
                                  global_start, mask_local, cos, sin,
-                                 seq_axis, tp_axis)
+                                 seq_axis, tp_axis, ring=ring,
+                                 sp_size=sp_size)
             return (h, cache, idx + 1), None
 
         (h, cache, _), _ = lax.scan(body, (h, cache, jnp.int32(0)), xs)

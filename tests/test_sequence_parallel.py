@@ -105,3 +105,30 @@ class TestSequenceParallelQuantized:
         g, _ = golden(cfg, params, ids, pos, max_seq=16)
         s, _ = run_sp(cfg, params, ids, pos, 2, 2, max_seq=16)
         np.testing.assert_allclose(s, g, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("sp,tp", [(2, 1), (4, 1), (4, 2)])
+class TestRingAttention:
+    def test_ring_matches_single_device(self, cfg, params, sp, tp):
+        """ring=True: blockwise ring schedule — same logits AND the same
+        replicated cache as the all-gather schedule / single device."""
+        rng = np.random.default_rng(10)
+        B, T = 1, 16
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        g, gcache = golden(cfg, params, ids, pos, max_seq=32)
+
+        mesh = make_mesh(ShardingConfig(data=sp, tensor=tp))
+        sparams = shard_params(params, mesh)
+        cache = jax.device_put(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32))
+        fwd = sequence_parallel_prefill(cfg, mesh, sparams, ring=True)
+        s, scache = fwd(sparams, ids, pos, cache, None)
+        np.testing.assert_allclose(np.asarray(s), g, atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(scache.k),
+                                   np.asarray(gcache.k),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(scache.v),
+                                   np.asarray(gcache.v),
+                                   atol=2e-4, rtol=2e-4)
