@@ -218,6 +218,9 @@ class EngineConfig:
     page_size: int = 0
     # Continuous batching scheduler limits.
     max_queued_requests: int = 256
+    # Static sort width bounding per-request top-k in the batched decode
+    # program (ops/sampling.sample_per_row); requests may use any k ≤ this.
+    max_top_k: int = 64
 
     @classmethod
     def from_dict(cls, d: dict) -> "EngineConfig":

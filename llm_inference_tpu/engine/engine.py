@@ -155,6 +155,40 @@ class InferenceEngine:
             self._decode_jits[key] = fn
         return fn
 
+    def _decode_chunk_rows_fn(self, params, cache, token, pos, key,
+                              temp, topk, topp, greedy, *,
+                              steps: int, max_top_k: int):
+        """Like _decode_chunk_fn, but sampling knobs are PER-ROW runtime
+        arrays (continuous batching mixes per-request configs in one
+        program — ops/sampling.sample_per_row)."""
+        B = token.shape[0]
+        zeros = jnp.zeros((B,), jnp.int32)
+        fwd = self._fwd_for(cache)
+
+        def body(carry, _):
+            cache, token, pos, key = carry
+            key, sub = jax.random.split(key)
+            logits, cache = fwd(params, token[:, None], pos[:, None],
+                                cache, zeros)
+            nxt = sampling.sample_per_row(logits, sub, temp, topk, topp,
+                                          greedy, max_top_k)
+            return (cache, nxt, pos + 1, key), nxt
+
+        (cache, token, pos, key), toks = jax.lax.scan(
+            body, (cache, token, pos, key), None, length=steps)
+        return toks.T, cache, token, pos, key
+
+    def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64):
+        key = ("rows", steps, max_top_k)
+        fn = self._decode_jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(self._decode_chunk_rows_fn, steps=steps,
+                                  max_top_k=max_top_k),
+                donate_argnums=(1,))
+            self._decode_jits[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------

@@ -19,8 +19,10 @@ batching bs=8-32"):
   immediately become admissible. Empty slots keep computing garbage tokens
   that are masked on the host — cheaper than reshaping the batch.
 
-Per-batch sampling parameters are shared (the decode program is specialized
-on them); per-request `max_new_tokens` is enforced host-side.
+Sampling parameters are PER-REQUEST (temperature / top_k / top_p /
+greedy ride as per-slot runtime arrays through ONE compiled decode program
+— ops/sampling.sample_per_row); per-request `max_new_tokens` is enforced
+host-side.
 """
 
 from __future__ import annotations
@@ -46,6 +48,12 @@ class Request:
     prompt_ids: List[int]
     max_new_tokens: int
     stream: Optional[Callable[[int, int], None]] = None  # (req_id, token)
+    # -- per-request sampling (None → scheduler GenerationConfig default;
+    #    any explicit sampling knob turns greedy off unless greedy is set) --
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    greedy: Optional[bool] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     submit_t: float = 0.0
@@ -79,6 +87,37 @@ class ContinuousBatchingScheduler:
         self._ids = itertools.count()
         self._eos = set(self.gen.eos_token_ids)
         self._insert_jit = jax.jit(self._insert_fn, donate_argnums=(0,))
+        # per-slot sampling knobs (ops/sampling.sample_per_row)
+        g = self.gen
+        self.temp_host = np.full((self.B,), g.temperature, np.float32)
+        self.topk_host = np.full((self.B,), g.top_k, np.int32)
+        self.topp_host = np.full((self.B,), g.top_p, np.float32)
+        self.greedy_host = np.full((self.B,), g.greedy, bool)
+
+    def _resolve_sampling(self, req: Request):
+        """(temperature, top_k, top_p, greedy) with scheduler defaults."""
+        g = self.gen
+        explicit = any(x is not None
+                       for x in (req.temperature, req.top_k, req.top_p))
+        greedy = (req.greedy if req.greedy is not None
+                  else (False if explicit else g.greedy))
+        topk = req.top_k if req.top_k is not None else g.top_k
+        mk = self.engine.engine_cfg.max_top_k
+        if topk > mk:
+            raise ValueError(f"top_k={topk} exceeds EngineConfig.max_top_k"
+                             f"={mk}")
+        return (req.temperature if req.temperature is not None
+                else g.temperature,
+                topk,
+                req.top_p if req.top_p is not None else g.top_p,
+                greedy)
+
+    def _set_slot_sampling(self, slot: int, req: Request) -> None:
+        t, k, p, gr = self._resolve_sampling(req)
+        self.temp_host[slot] = t
+        self.topk_host[slot] = k
+        self.topp_host[slot] = p
+        self.greedy_host[slot] = gr
 
     # ------------------------------------------------------------------
 
@@ -107,7 +146,11 @@ class ContinuousBatchingScheduler:
 
     def submit(self, prompt: Union[str, Sequence[int]],
                max_new_tokens: Optional[int] = None,
-               stream: Optional[Callable[[int, int], None]] = None) -> Request:
+               stream: Optional[Callable[[int, int], None]] = None,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None,
+               greedy: Optional[bool] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
@@ -115,7 +158,10 @@ class ContinuousBatchingScheduler:
                 f"{self.S}")
         req = Request(req_id=next(self._ids), prompt_ids=ids,
                       max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
-                      stream=stream, submit_t=time.perf_counter())
+                      stream=stream, submit_t=time.perf_counter(),
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      greedy=greedy)
+        self._resolve_sampling(req)       # validate (top_k bound) up front
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
         self.queue.append(req)
@@ -133,9 +179,7 @@ class ContinuousBatchingScheduler:
             [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
         logits = logits[:1]
         self.key, sub = jax.random.split(self.key)
-        first = sampling.sample(logits, sub, temperature=self.gen.temperature,
-                                top_k=self.gen.top_k, top_p=self.gen.top_p,
-                                greedy=self.gen.greedy)
+        first = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
         req.output_ids.append(tok)
@@ -152,6 +196,7 @@ class ContinuousBatchingScheduler:
         self.cache, self.token, self.pos = self._insert_jit(
             self.cache, one_cache, first.astype(jnp.int32), pos1,
             self.token, self.pos, jnp.int32(slot))
+        self._set_slot_sampling(slot, req)
         self.slot_req[slot] = req
         return True
 
@@ -183,6 +228,19 @@ class ContinuousBatchingScheduler:
         to skip the chunk (paged backend grows page tables here)."""
         return True
 
+    def _sample_first(self, logits, sub, req: Request):
+        """Sample a request's first token with ITS sampling knobs (one
+        compiled program for any config — sample_per_row with B=1)."""
+        t, k, p, gr = self._resolve_sampling(req)
+        B1 = logits.shape[0]
+        return sampling.sample_per_row(
+            logits, sub,
+            jnp.full((B1,), t, jnp.float32),
+            jnp.full((B1,), k, jnp.int32),
+            jnp.full((B1,), p, jnp.float32),
+            jnp.full((B1,), gr, bool),
+            self.engine.engine_cfg.max_top_k)
+
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
         chunk for all active slots. Returns False when fully idle."""
@@ -197,10 +255,13 @@ class ContinuousBatchingScheduler:
         steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
         if not self._before_chunk(steps):
             return True
-        fn = self.engine._get_decode_jit(steps, self.gen)
+        fn = self.engine._get_decode_rows_jit(
+            steps, self.engine.engine_cfg.max_top_k)
         self.key, sub = jax.random.split(self.key)
         toks, self.cache, self.token, self.pos, _ = fn(
-            self.engine.params, self.cache, self.token, self.pos, sub)
+            self.engine.params, self.cache, self.token, self.pos, sub,
+            jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
+            jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
         self._harvest(np.asarray(toks))
         return True
 
@@ -425,9 +486,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
         self.key, sub = jax.random.split(self.key)
-        first = sampling.sample(logits, sub, temperature=self.gen.temperature,
-                                top_k=self.gen.top_k, top_p=self.gen.top_p,
-                                greedy=self.gen.greedy)
+        first = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
         req.output_ids.append(tok)
@@ -443,6 +502,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
             self.token, self.pos, first.astype(jnp.int32),
             jnp.asarray([plen], jnp.int32), jnp.int32(slot))
         self.pos_host[slot] = plen
+        self._set_slot_sampling(slot, req)
         self.slot_req[slot] = req
         return True
 

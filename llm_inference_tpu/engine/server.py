@@ -16,8 +16,8 @@ Architecture: HTTP handler threads enqueue requests into the scheduler (one
 lock-guarded submit) and block on a per-request completion event; a single
 background scheduler thread runs `step()` in a loop — the device only ever
 sees the scheduler's batched programs, so concurrency costs no recompiles.
-Sampling parameters are fixed at server start (the decode program is
-specialized on them — same contract as the scheduler).
+Sampling is per-request (temperature / top_k / top_p / greedy in the
+request body ride as runtime arrays through one compiled decode program).
 """
 
 from __future__ import annotations
@@ -52,11 +52,13 @@ class ServingBackend:
 
     # -- request side -------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens=None, on_token=None):
-        """Enqueue; returns the Request (attach to wait())."""
+    def submit(self, prompt, max_new_tokens=None, on_token=None,
+               **sampling):
+        """Enqueue; returns the Request (attach to wait()). `sampling`:
+        temperature / top_k / top_p / greedy per-request overrides."""
         with self._lock:
             req = self.sched.submit(prompt, max_new_tokens,
-                                    stream=on_token)
+                                    stream=on_token, **sampling)
             self._done[req.req_id] = threading.Event()
         self._wake.set()
         return req
@@ -154,6 +156,8 @@ def make_handler(backend: ServingBackend):
                 return
             max_new = body.get("max_new_tokens")
             stream = bool(body.get("stream"))
+            samp = {k: body[k] for k in ("temperature", "top_k", "top_p",
+                                         "greedy") if k in body}
             try:
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
@@ -176,7 +180,8 @@ def make_handler(backend: ServingBackend):
                             # the SCHEDULER thread; an escaping socket error
                             # would kill the step loop for every request
                             pass
-                    req = backend.submit(prompt, max_new, on_token)
+                    req = backend.submit(prompt, max_new, on_token,
+                                         **samp)
                     backend.wait(req)
                     tail = json.dumps({"done": True,
                                        "request_id": req.req_id,
@@ -186,7 +191,7 @@ def make_handler(backend: ServingBackend):
                     except OSError:
                         pass
                 else:
-                    req = backend.submit(prompt, max_new)
+                    req = backend.submit(prompt, max_new, **samp)
                     backend.wait(req)
                     text = tok.decode(req.output_ids) if tok else ""
                     self._json(200, {
@@ -224,8 +229,10 @@ def make_handler(backend: ServingBackend):
                                            "type": "invalid_request_error"}})
                 return
             max_new = body.get("max_tokens")
+            samp = {k: body[k] for k in ("temperature", "top_p")
+                    if k in body}
             try:
-                req = backend.submit(prompt, max_new)
+                req = backend.submit(prompt, max_new, **samp)
                 backend.wait(req)
             except ValueError as e:
                 self._json(400, {"error": {"message": str(e),

@@ -14,7 +14,8 @@ import pytest
 from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
                                       tiny_llama)
 from llm_inference_tpu.engine.engine import InferenceEngine
-from llm_inference_tpu.engine.scheduler import ContinuousBatchingScheduler
+from llm_inference_tpu.engine.scheduler import (ContinuousBatchingScheduler,
+                                                PagedScheduler)
 from llm_inference_tpu.models import llama
 
 
@@ -126,3 +127,71 @@ class TestShardedScheduler:
                ContinuousBatchingScheduler(eng, gen, slots=2).run(
                    [list(p) for p in prompts])]
         assert got == want
+
+
+class TestPerRequestSampling:
+    """Per-request sampling knobs ride as per-slot runtime arrays through
+    ONE compiled decode program (ops/sampling.sample_per_row)."""
+
+    def _engine(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16), page_size=8))
+
+    def test_greedy_and_sampled_mix(self):
+        """A greedy request batched WITH a high-temperature request must
+        still produce the exact greedy stream for the greedy row."""
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
+                               eos_token_ids=(1,))
+        sched = ContinuousBatchingScheduler(eng, gen, slots=2)
+        want = [r.output_ids
+                for r in sched.run([[5, 6, 7], [9, 10, 11]])]
+        sched2 = ContinuousBatchingScheduler(eng, gen, slots=2)
+        g = sched2.submit([5, 6, 7])                       # default greedy
+        s = sched2.submit([9, 10, 11], temperature=5.0)    # hot sampling
+        while sched2.step():
+            pass
+        assert g.output_ids == want[0]           # greedy row unperturbed
+        assert len(s.output_ids) == 8
+
+    def test_seeded_sampling_differs_by_temperature(self):
+        """Same prompt, same key stream: temperature=tiny ≈ greedy;
+        temperature huge ⇒ (almost surely) different continuation."""
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=12,
+                               eos_token_ids=())
+        cold = ContinuousBatchingScheduler(eng, gen, slots=2)
+        r_cold = cold.submit([3, 4, 5], temperature=1e-4)
+        while cold.step():
+            pass
+        greedy_ref = ContinuousBatchingScheduler(eng, gen, slots=2)
+        r_ref = greedy_ref.submit([3, 4, 5])
+        while greedy_ref.step():
+            pass
+        assert r_cold.output_ids == r_ref.output_ids
+
+    def test_top_k_bound_validated(self):
+        eng = self._engine()
+        sched = ContinuousBatchingScheduler(
+            eng, GenerationConfig(greedy=True, max_new_tokens=4), slots=2)
+        with pytest.raises(ValueError, match="max_top_k"):
+            sched.submit([5, 6, 7], top_k=1000)
+
+    def test_paged_per_request_sampling(self):
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=(1,))
+        golden = PagedScheduler(eng, gen, slots=2)
+        want = [r.output_ids for r in golden.run([[5, 6, 7, 8]])]
+        sched = PagedScheduler(eng, gen, slots=2)
+        g = sched.submit([5, 6, 7, 8])
+        s = sched.submit([9, 10], temperature=3.0, top_p=0.9)
+        while sched.step():
+            pass
+        assert g.output_ids == want[0]
+        assert len(s.output_ids) == 6
