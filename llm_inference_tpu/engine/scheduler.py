@@ -60,6 +60,7 @@ class Request:
     first_token_t: float = 0.0
     done_t: float = 0.0
     finished: bool = False          # EOS seen (vs budget exhausted)
+    cancelled: bool = False         # aborted by client / cancel()
 
     @property
     def ttft_s(self) -> float:
@@ -209,16 +210,20 @@ class ContinuousBatchingScheduler:
                 continue
             for t in toks_np[b]:
                 t = int(t)
+                if req.cancelled:
+                    break
                 req.output_ids.append(t)
                 if t in self._eos:
                     req.finished = True
                 elif req.stream:
                     req.stream(req.req_id, t)
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
-                    req.done_t = now
-                    self.slot_req[b] = None
-                    self._on_retire(b)
                     break
+            if (req.cancelled or req.finished
+                    or len(req.output_ids) >= req.max_new_tokens):
+                req.done_t = now
+                self.slot_req[b] = None
+                self._on_retire(b)
 
     def _on_retire(self, slot: int) -> None:
         """Hook: a slot's request finished (paged backend frees pages)."""
@@ -264,6 +269,20 @@ class ContinuousBatchingScheduler:
             jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
         self._harvest(np.asarray(toks))
         return True
+
+    def cancel(self, req: Request) -> bool:
+        """Abort a request: drop it from the queue, or flag it so the next
+        harvest retires its slot (pages freed, stream stops). Safe to call
+        from a stream callback (scheduler thread) or, with the backend's
+        lock held, from a handler thread. Returns whether it was pending."""
+        req.cancelled = True
+        try:
+            self.queue.remove(req)
+            req.done_t = time.perf_counter()
+            return True
+        except ValueError:
+            pass
+        return any(r is req for r in self.slot_req)
 
     def drain_inflight(self) -> List[Request]:
         """Failure/elastic-recovery hook (parallel/multihost.py): pull every

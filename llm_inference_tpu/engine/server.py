@@ -46,6 +46,7 @@ class ServingBackend:
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._done: dict[int, threading.Event] = {}
+        self._reqs: dict[int, "object"] = {}
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -60,8 +61,17 @@ class ServingBackend:
             req = self.sched.submit(prompt, max_new_tokens,
                                     stream=on_token, **sampling)
             self._done[req.req_id] = threading.Event()
+            self._reqs[req.req_id] = req
         self._wake.set()
         return req
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort a queued or running request (frees its KV pages)."""
+        with self._lock:
+            req = self._reqs.get(req_id)
+            if req is None or req.done_t > 0:
+                return False
+            return self.sched.cancel(req)
 
     def validate(self, prompt, max_new_tokens=None) -> None:
         """Raise the same errors submit would, WITHOUT enqueuing — lets the
@@ -83,6 +93,7 @@ class ServingBackend:
         if ok:
             # GC: completed + collected entries leave the scan set
             self._done.pop(req.req_id, None)
+            self._reqs.pop(req.req_id, None)
         return ok
 
     # -- scheduler side ------------------------------------------------------
@@ -144,6 +155,16 @@ def make_handler(backend: ServingBackend):
             if self.path in ("/v1/completions", "/v1/chat/completions"):
                 self._openai(chat=self.path.endswith("chat/completions"))
                 return
+            if self.path == "/cancel":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    rid = json.loads(self.rfile.read(n))["request_id"]
+                except (KeyError, ValueError) as e:
+                    self._json(400, {"error": f"bad request: {e}"})
+                    return
+                self._json(200, {"request_id": rid,
+                                 "cancelled": backend.cancel(int(rid))})
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
                 return
@@ -168,6 +189,8 @@ def make_handler(backend: ServingBackend):
                                      "application/x-ndjson")
                     self.end_headers()
 
+                    hreq = []
+
                     def on_token(rid, t):
                         piece = tok.decode_token(t) if tok else ""
                         chunk = json.dumps({"token_id": t,
@@ -176,12 +199,16 @@ def make_handler(backend: ServingBackend):
                             self.wfile.write(chunk.encode())
                             self.wfile.flush()
                         except OSError:
-                            # client gone: swallow — this callback runs on
-                            # the SCHEDULER thread; an escaping socket error
-                            # would kill the step loop for every request
-                            pass
+                            # client gone: abort the request (frees its KV
+                            # pages at the next harvest). This callback runs
+                            # on the SCHEDULER thread — flag directly, never
+                            # raise (an escaping socket error would kill the
+                            # step loop for every request)
+                            if hreq:
+                                hreq[0].cancelled = True
                     req = backend.submit(prompt, max_new, on_token,
                                          **samp)
+                    hreq.append(req)
                     backend.wait(req)
                     tail = json.dumps({"done": True,
                                        "request_id": req.req_id,

@@ -152,3 +152,49 @@ class TestOpenAICompat:
         assert e.value.code == 400
         assert json.loads(e.value.read())["error"]["type"] == \
             "invalid_request_error"
+
+
+class TestCancellation:
+    def test_cancel_queued_request(self, httpd):
+        b = httpd.backend
+        # fill both slots + queue one more, then cancel the queued one
+        reqs = [b.submit([5, 6, 7], 6) for _ in range(3)]
+        assert b.cancel(reqs[2].req_id) in (True, False)
+        for r in reqs[:2]:
+            b.wait(r, timeout=120)
+        b.wait(reqs[2], timeout=120)
+        assert reqs[2].cancelled or len(reqs[2].output_ids) == 6
+
+    def test_cancel_endpoint(self, httpd):
+        import urllib.request
+        req = httpd.backend.submit([9, 10, 11], 6)
+        with _post(httpd, {"request_id": req.req_id}, path="/cancel") as r:
+            out = json.loads(r.read())
+        assert out["request_id"] == req.req_id
+        httpd.backend.wait(req, timeout=120)
+
+    def test_cancel_mid_generation_stops_early(self):
+        """A running request flagged cancelled must retire at the next
+        harvest with fewer tokens than its budget (and, paged, release its
+        pages)."""
+        from llm_inference_tpu.engine.scheduler import PagedScheduler
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=2,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16), page_size=8))
+        sched = PagedScheduler(
+            engine, GenerationConfig(greedy=True, max_new_tokens=30,
+                                     eos_token_ids=()), slots=1)
+        free0 = sched.alloc.free_pages
+        req = sched.submit([5, 6, 7, 8])
+        steps = 0
+        while sched.step():
+            steps += 1
+            if steps == 3:
+                sched.cancel(req)
+        assert req.cancelled
+        assert len(req.output_ids) < 30
+        assert sched.alloc.free_pages == free0     # pages released
