@@ -450,3 +450,32 @@ def llama2_chat_template(user_text: str, round_idx: int) -> str:
     """LLaMA-2-chat prompt format (equivalent of the reference's MakeInput
     history splicing, src/models/basemodel.h:24-33)."""
     return f"[INST] {user_text} [/INST]"
+
+
+def format_chat_messages(messages: Sequence[dict]) -> str:
+    """Render an OpenAI-style message list as a LLaMA-2-chat prompt
+    ([INST]...[/INST], <<SYS>> block folded into the first user turn) —
+    the stateless-endpoint counterpart of ChatSession's per-round template."""
+    system = ""
+    turns: List[str] = []
+    pending_user: Optional[str] = None
+    for m in messages:
+        role, content = m["role"], m["content"]
+        if role == "system":
+            system = content
+        elif role == "user":
+            pending_user = content
+        elif role == "assistant":
+            u = pending_user or ""
+            turns.append(f"[INST] {u} [/INST] {content}")
+            pending_user = None
+    final_user = pending_user or ""
+    if system:
+        final_sys = f"<<SYS>>\n{system}\n<</SYS>>\n\n"
+        if turns:
+            turns[0] = ("[INST] " + final_sys
+                        + turns[0][len("[INST] "):])
+        else:
+            final_user = final_sys + final_user
+    turns.append(f"[INST] {final_user} [/INST]")
+    return " ".join(turns)

@@ -243,12 +243,11 @@ def make_handler(backend: ServingBackend):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if chat:
-                    msgs = body["messages"]
+                    from llm_inference_tpu.engine.engine import (
+                        format_chat_messages)
                     if tok is None:
                         raise ValueError("chat endpoint needs a tokenizer")
-                    prompt = "".join(
-                        f"{m['role']}: {m['content']}\n" for m in msgs)
-                    prompt += "assistant:"
+                    prompt = format_chat_messages(body["messages"])
                 else:
                     prompt = body["prompt"]
             except (KeyError, TypeError, ValueError) as e:

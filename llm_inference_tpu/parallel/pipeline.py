@@ -209,3 +209,148 @@ def pipelined_forward(cfg: ModelConfig, mesh: Mesh, params,
         return mapped
     donate = (3,) if donate_cache else ()
     return jax.jit(mapped, donate_argnums=donate)
+
+
+def pipelined_prefill_seq(cfg: ModelConfig, mesh: Mesh, params,
+                          *, chunks: int,
+                          data_axis: str = "data", pipe_axis: str = "pipe",
+                          tensor_axis: str = "tensor",
+                          donate_cache: bool = True, jit: bool = True,
+                          cache_quantized: bool = False):
+    """Pipeline-parallel prefill microbatched over the TIME axis:
+        f(params, ids, positions, cache, last_idx) -> (logits, cache)
+
+    The PP complement of chunked prefill for LONG PROMPTS at small batch
+    (where batch microbatching has nothing to split): the prompt divides
+    into `chunks` token chunks; stage s runs chunk c at tick c+s, so a
+    stage always wrote chunk c-1's KV into its cache shard before chunk c
+    attends to it — the causal dependency rides the pipeline order for
+    free. Activations [B, T/chunks, H] hop stages via one ppermute per
+    tick. Ticks outside a stage's valid range are masked out of the cache
+    by restoring the written time window (a window-sized select, same cost
+    class as the batch schedule's row slices).
+
+    All rows must share the same start position (positions[:, 0] uniform —
+    the chunk windows slice one absolute time range for the whole batch).
+    Returns last-token logits [B, V]. Dense cache.
+    """
+    pp_size = mesh.shape[pipe_axis]
+    tp_size = mesh.shape[tensor_axis]
+    sharding.validate_tp(cfg, tp_size)
+    tp_axis = tensor_axis if tp_size > 1 else None
+    M = chunks
+
+    pspecs = sharding.param_pspecs(params, mesh, tensor_axis,
+                                   pipe_axis=pipe_axis)
+    cspec = sharding.cache_pspec(data_axis, tensor_axis,
+                                 quantized=cache_quantized,
+                                 pipe_axis=pipe_axis)
+
+    def fn(params, ids, positions, cache, last_idx):
+        B, T = ids.shape
+        if T % M:
+            raise ValueError(f"T={T} not divisible by chunks={M}")
+        Tc = T // M
+        stage = lax.axis_index(pipe_axis)
+        S = cache.max_seq_len
+        dtype = llama._act_dtype(cfg)
+
+        h_embed = llama._sharded_embedding_lookup(
+            params["embed"], ids, tp_axis).astype(dtype)
+        mask = attention.make_attention_mask(positions, S,
+                                             cfg.sliding_window)
+        start = positions[0, 0]              # uniform across rows
+        cos, sin = rope.make_rope_table(
+            cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
+            cfg.rope_scaling)
+        if last_idx is None:
+            last_idx = jnp.full((B,), T - 1, jnp.int32)
+
+        qw = {k: v for k, v in params["layers"].items()
+              if isinstance(v, QTensor)}
+        xs = {k: v for k, v in params["layers"].items()
+              if not isinstance(v, QTensor)}
+
+        def run_stage_layers(h, cache, pos_mb, woff_mb, mask_mb):
+            def body(carry, lp):
+                h2, c2, idx = carry
+                h2, c2 = llama._layer(cfg, h2, lp, qw, c2, idx, pos_mb,
+                                      woff_mb, mask_mb, cos, sin, tp_axis)
+                return (h2, c2, idx + 1), None
+            (h, cache, _), _ = lax.scan(body, (h, cache, jnp.int32(0)), xs)
+            return h, cache
+
+        def slice_window(cache, w0):
+            return jax.tree.map(
+                lambda a: lax.dynamic_slice_in_dim(a, w0, Tc, 3), cache)
+
+        def tick(carry, t):
+            h_prev, cache, out = carry
+            m_in = jnp.clip(t, 0, M - 1)
+            h_inj = lax.dynamic_slice_in_dim(h_embed, m_in * Tc, Tc, 1)
+            h_cur = jnp.where(stage == 0, h_inj, h_prev)
+            m = t - stage
+            valid = (m >= 0) & (m < M)
+            cm = jnp.clip(m, 0, M - 1)
+            col = cm * Tc
+            pos_mb = lax.dynamic_slice_in_dim(positions, col, Tc, 1)
+            woff_mb = pos_mb[:, 0]
+            mask_mb = lax.dynamic_slice_in_dim(mask, col, Tc, 2)
+            w0 = start + col                 # absolute cache window start
+            win_old = slice_window(cache, w0)
+            h_out, cache = run_stage_layers(h_cur, cache, pos_mb, woff_mb,
+                                            mask_mb)
+            # invalid ticks: restore the time window they scribbled on
+            win = jax.tree.map(
+                lambda n, o: jnp.where(valid, n, o),
+                slice_window(cache, w0), win_old)
+            cache = jax.tree.map(
+                lambda a, u: lax.dynamic_update_slice_in_dim(a, u, w0, 3),
+                cache, win)
+            # collect the last token's hidden state when its chunk passes
+            # the LAST stage (psum-broadcast below)
+            owner = last_idx // Tc                            # [B]
+            li_loc = jnp.clip(last_idx - cm * Tc, 0, Tc - 1)
+            h_last = h_out[jnp.arange(B), li_loc]             # [B, H]
+            take = (owner == cm)[:, None] & valid
+            out = jnp.where(take, h_last, out)
+            h_next = lax.ppermute(
+                h_out, pipe_axis,
+                [(i, (i + 1) % pp_size) for i in range(pp_size)])
+            return (h_next, cache, out), None
+
+        h0 = jnp.zeros((B, Tc, h_embed.shape[-1]), dtype)
+        out0 = jnp.zeros((B, h_embed.shape[-1]), dtype)
+        (_, cache, out), _ = lax.scan(
+            tick, (h0, cache, out0),
+            jnp.arange(M + pp_size - 1, dtype=jnp.int32))
+
+        out = lax.psum(jnp.where(stage == pp_size - 1, out, 0), pipe_axis)
+        h = norms.rms_norm(out, params["final_norm"], cfg.rms_norm_eps)
+        lm_head = params.get("lm_head")
+        if lm_head is None:
+            logits = jnp.dot(h.astype(jnp.float32),
+                             params["embed"].T.astype(jnp.float32))
+        else:
+            logits = matmul(h, lm_head).astype(jnp.float32)
+        if tp_axis:
+            logits = jax.lax.all_gather(logits, tp_axis,
+                                        axis=logits.ndim - 1, tiled=True)
+        if logits.shape[-1] > cfg.vocab_size:
+            logits = logits[..., :cfg.vocab_size]
+        if cfg.final_logit_softcap > 0.0:
+            logits = (jnp.tanh(logits / cfg.final_logit_softcap)
+                      * cfg.final_logit_softcap)
+        return logits, cache
+
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pspecs, P(data_axis, None), P(data_axis, None), cspec,
+                  P(data_axis)),
+        out_specs=(P(data_axis, None), cspec),
+        check_vma=False,
+    )
+    if not jit:
+        return mapped
+    donate = (3,) if donate_cache else ()
+    return jax.jit(mapped, donate_argnums=donate)

@@ -119,3 +119,39 @@ class TestPipelineValidation:
         pos = jnp.tile(jnp.arange(3, dtype=jnp.int32), (2, 1))
         with pytest.raises(ValueError, match="not divisible"):
             fwd(sparams, ids, pos, cache, None)
+
+
+@pytest.mark.parametrize("pp,tp,M", [(2, 1, 2), (2, 1, 4), (4, 2, 2)])
+class TestSequenceChunkedPipelinePrefill:
+    def test_long_prompt_streams_through_stages(self, cfg, params, pp, tp,
+                                                M):
+        """Time-chunked PP prefill: same last-token logits and a cache the
+        ordinary decode can continue from (greedy token identical)."""
+        from llm_inference_tpu.parallel.pipeline import pipelined_prefill_seq
+        rng = np.random.default_rng(20)
+        B, T = 2, 16
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        g0, gn, g1 = golden_two_step(cfg, params, ids, pos)
+
+        mesh = make_mesh(ShardingConfig(pipe=pp, tensor=tp))
+        sparams = shard_params(params, mesh, pipe_axis="pipe")
+        cache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32), mesh,
+            pipe_axis="pipe")
+        fwd = pipelined_prefill_seq(cfg, mesh, sparams, chunks=M)
+        logits, cache = fwd(sparams, ids, pos, cache,
+                            jnp.full((B,), T - 1, jnp.int32))
+        np.testing.assert_allclose(np.asarray(logits), g0, atol=2e-4,
+                                   rtol=2e-4)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        np.testing.assert_array_equal(np.asarray(nxt), gn)
+        # decode continues on the PP cache via the decode-mode pipeline
+        from llm_inference_tpu.parallel import pipelined_forward
+        dfwd = pipelined_forward(cfg, mesh, sparams, microbatches=1)
+        pos1 = jnp.full((B, 1), T, jnp.int32)
+        logits1, _ = dfwd(sparams, nxt, pos1, cache,
+                          jnp.zeros((B,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(logits1), g1, atol=2e-4,
+                                   rtol=2e-4)
