@@ -157,7 +157,8 @@ class InferenceEngine:
 
     def _decode_chunk_rows_fn(self, params, cache, token, pos, key,
                               temp, topk, topp, greedy, *,
-                              steps: int, max_top_k: int):
+                              steps: int, max_top_k: int,
+                              use_top_p: bool = True):
         """Like _decode_chunk_fn, but sampling knobs are PER-ROW runtime
         arrays (continuous batching mixes per-request configs in one
         program — ops/sampling.sample_per_row)."""
@@ -171,20 +172,22 @@ class InferenceEngine:
             logits, cache = fwd(params, token[:, None], pos[:, None],
                                 cache, zeros)
             nxt = sampling.sample_per_row(logits, sub, temp, topk, topp,
-                                          greedy, max_top_k)
+                                          greedy, max_top_k, use_top_p)
             return (cache, nxt, pos + 1, key), nxt
 
         (cache, token, pos, key), toks = jax.lax.scan(
             body, (cache, token, pos, key), None, length=steps)
         return toks.T, cache, token, pos, key
 
-    def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64):
-        key = ("rows", steps, max_top_k)
+    def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64,
+                             use_top_p: bool = True):
+        key = ("rows", steps, max_top_k, use_top_p)
         fn = self._decode_jits.get(key)
         if fn is None:
             fn = jax.jit(
                 functools.partial(self._decode_chunk_rows_fn, steps=steps,
-                                  max_top_k=max_top_k),
+                                  max_top_k=max_top_k,
+                                  use_top_p=use_top_p),
                 donate_argnums=(1,))
             self._decode_jits[key] = fn
         return fn
@@ -464,7 +467,8 @@ def format_chat_messages(messages: Sequence[dict]) -> str:
         if role == "system":
             system = content
         elif role == "user":
-            pending_user = content
+            pending_user = (content if pending_user is None
+                            else pending_user + "\n" + content)
         elif role == "assistant":
             u = pending_user or ""
             turns.append(f"[INST] {u} [/INST] {content}")

@@ -61,6 +61,9 @@ class Request:
     done_t: float = 0.0
     finished: bool = False          # EOS seen (vs budget exhausted)
     cancelled: bool = False         # aborted by client / cancel()
+    stream_pos: int = 0             # tokens already delivered to `stream`
+                                    # (survives preemption replay — the
+                                    # client never sees duplicates)
 
     @property
     def ttft_s(self) -> float:
@@ -184,8 +187,8 @@ class ContinuousBatchingScheduler:
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
         req.output_ids.append(tok)
-        if req.stream:
-            req.stream(req.req_id, tok)
+        if tok not in self._eos:
+            self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
         if tok in self._eos or len(req.output_ids) >= req.max_new_tokens:
             req.finished = tok in self._eos
@@ -215,10 +218,9 @@ class ContinuousBatchingScheduler:
                 req.output_ids.append(t)
                 if t in self._eos:
                     req.finished = True
-                elif req.stream:
-                    req.stream(req.req_id, t)
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
                     break
+            self._emit(req)
             if (req.cancelled or req.finished
                     or len(req.output_ids) >= req.max_new_tokens):
                 req.done_t = now
@@ -232,6 +234,19 @@ class ContinuousBatchingScheduler:
         """Hook: about to decode `steps` for the active slots; return False
         to skip the chunk (paged backend grows page tables here)."""
         return True
+
+    def _emit(self, req: Request) -> None:
+        """Stream undelivered tokens (EOS excluded). stream_pos survives a
+        preemption's output reset, so a replayed request only streams what
+        the client has not seen — for greedy requests the replayed prefix
+        is identical; sampled requests are preempted last (see _preempt)."""
+        n = len(req.output_ids)
+        if req.stream:
+            for i in range(req.stream_pos, n):
+                t = req.output_ids[i]
+                if t not in self._eos:
+                    req.stream(req.req_id, t)
+        req.stream_pos = max(req.stream_pos, n)
 
     def _sample_first(self, logits, sub, req: Request):
         """Sample a request's first token with ITS sampling knobs (one
@@ -260,13 +275,26 @@ class ContinuousBatchingScheduler:
         steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
         if not self._before_chunk(steps):
             return True
-        fn = self.engine._get_decode_rows_jit(
-            steps, self.engine.engine_cfg.max_top_k)
         self.key, sub = jax.random.split(self.key)
-        toks, self.cache, self.token, self.pos, _ = fn(
-            self.engine.params, self.cache, self.token, self.pos, sub,
-            jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
-            jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
+        live = [b for b, r in enumerate(self.slot_req) if r is not None]
+        if all(self.greedy_host[b] for b in live):
+            # all-greedy chunk: plain argmax program — no top-k/top-p work
+            # on the hot path (retired slots' knobs are don't-cares)
+            fn = self.engine._get_decode_jit(
+                steps, dataclasses.replace(self.gen, greedy=True))
+            toks, self.cache, self.token, self.pos, _ = fn(
+                self.engine.params, self.cache, self.token, self.pos, sub)
+        else:
+            use_topk = any(self.topk_host[b] > 0 for b in live)
+            use_topp = any(self.topp_host[b] < 1.0 for b in live)
+            fn = self.engine._get_decode_rows_jit(
+                steps,
+                self.engine.engine_cfg.max_top_k if use_topk else 0,
+                use_top_p=use_topp)
+            toks, self.cache, self.token, self.pos, _ = fn(
+                self.engine.params, self.cache, self.token, self.pos, sub,
+                jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
+                jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
         self._harvest(np.asarray(toks))
         return True
 
@@ -413,9 +441,9 @@ class PagedScheduler(ContinuousBatchingScheduler):
         req = self.slot_req[slot]
         self.slot_req[slot] = None
         self._on_retire(slot)
-        req.output_ids = []
+        req.output_ids = []          # replayed from the prompt
         req.first_token_t = 0.0
-        req.finished = False
+        req.finished = False         # stream_pos is kept: no duplicates
         self.queue.appendleft(req)
 
     def _sync_table(self) -> None:
@@ -454,8 +482,15 @@ class PagedScheduler(ContinuousBatchingScheduler):
                        if r is not None]
             if len(victims) <= 1:
                 return False     # a single request can't fit: wait/raise
-            # evict the slot with the least sunk work (smallest position)
-            self._preempt(min(victims, key=lambda b: self.pos_host[b]))
+            # replay is byte-identical for greedy / non-streaming requests;
+            # a sampled+streaming replay resumes from a different random
+            # continuation — preempt those last, then least sunk work
+            def _cost(b):
+                r = self.slot_req[b]
+                risky = (r.stream is not None
+                         and not self.greedy_host[b])
+                return (risky, self.pos_host[b])
+            self._preempt(min(victims, key=_cost))
             grew = True
         if grew:
             self._sync_table()
@@ -494,8 +529,18 @@ class PagedScheduler(ContinuousBatchingScheduler):
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :suffix] = req.prompt_ids[hit_len:]
         pos = (hit_len + np.arange(bucket, dtype=np.int32))[None]
+        # trim the admission's page-table view to a power-of-two block
+        # count covering the sequence: the suffix-prefill branch gathers
+        # table-width × page_size slots per layer — the full table would
+        # make every cache-hit admission pay an O(max_seq_len) gather
+        # (widths are pow2-bucketed to bound the compile set)
+        needed = (hit_len + bucket) // self.ps
+        W = 1
+        while W < needed:
+            W *= 2
+        W = min(W, self.nb)
         cache1 = self.cache.replace(
-            page_table=jnp.asarray(self.pt_host[slot:slot + 1]))
+            page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
         prefill = self._prefill_hist if hit_blocks else self._prefill_paged
         logits, cache1 = prefill(
             self.engine.params, jnp.asarray(ids), jnp.asarray(pos), cache1,
@@ -509,8 +554,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
         req.output_ids.append(tok)
-        if req.stream:
-            req.stream(req.req_id, tok)
+        if tok not in self._eos:
+            self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
         if tok in self._eos or len(req.output_ids) >= req.max_new_tokens:
             req.finished = tok in self._eos

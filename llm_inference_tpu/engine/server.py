@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -47,6 +48,7 @@ class ServingBackend:
         self._wake = threading.Event()
         self._done: dict[int, threading.Event] = {}
         self._reqs: dict[int, "object"] = {}
+        self._done_at: dict[int, float] = {}    # completion time, for GC
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -73,9 +75,14 @@ class ServingBackend:
                 return False
             return self.sched.cancel(req)
 
-    def validate(self, prompt, max_new_tokens=None) -> None:
+    def validate(self, prompt, max_new_tokens=None,
+                 sampling=None) -> None:
         """Raise the same errors submit would, WITHOUT enqueuing — lets the
-        HTTP stream path reject before committing the 200 status line."""
+        HTTP stream path reject before committing the 200 status line.
+        (The queue can still fill between validate and submit; the stream
+        handler reports THAT as an NDJSON error object, never a second
+        status line.)"""
+        from llm_inference_tpu.engine.scheduler import Request
         with self._lock:
             ids = self.engine._encode_prompts([prompt])[0]
             limit = max_new_tokens or self.sched.gen.max_new_tokens
@@ -83,6 +90,10 @@ class ServingBackend:
                 raise ValueError(
                     f"prompt({len(ids)}) + max_new_tokens exceeds "
                     f"max_seq_len {self.sched.S}")
+            if sampling:
+                self.sched._resolve_sampling(
+                    Request(req_id=-1, prompt_ids=[], max_new_tokens=1,
+                            **sampling))
             queued = len(self.sched.queue)
             if queued >= self.engine.engine_cfg.max_queued_requests:
                 raise RuntimeError("request queue full")
@@ -94,6 +105,7 @@ class ServingBackend:
             # GC: completed + collected entries leave the scan set
             self._done.pop(req.req_id, None)
             self._reqs.pop(req.req_id, None)
+            self._done_at.pop(req.req_id, None)
         return ok
 
     # -- scheduler side ------------------------------------------------------
@@ -111,6 +123,16 @@ class ServingBackend:
                             and all(q.req_id != b_req
                                     for q in self.sched.queue)):
                         ev.set()
+                        self._done_at[b_req] = time.monotonic()
+                # abandoned waiters (timed-out wait / fire-and-forget
+                # submits) would leak their entries forever — GC a minute
+                # after completion
+                cutoff = time.monotonic() - 60.0
+                for rid, at in list(self._done_at.items()):
+                    if at < cutoff:
+                        self._done.pop(rid, None)
+                        self._reqs.pop(rid, None)
+                        self._done_at.pop(rid, None)
             if not progressed:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -158,12 +180,12 @@ def make_handler(backend: ServingBackend):
             if self.path == "/cancel":
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    rid = json.loads(self.rfile.read(n))["request_id"]
-                except (KeyError, ValueError) as e:
+                    rid = int(json.loads(self.rfile.read(n))["request_id"])
+                except (KeyError, ValueError, TypeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
                 self._json(200, {"request_id": rid,
-                                 "cancelled": backend.cancel(int(rid))})
+                                 "cancelled": backend.cancel(rid)})
                 return
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
@@ -183,7 +205,7 @@ def make_handler(backend: ServingBackend):
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
                     # an error mid-stream can't become a proper status line
-                    backend.validate(prompt, max_new)
+                    backend.validate(prompt, max_new, samp)
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      "application/x-ndjson")
@@ -206,8 +228,15 @@ def make_handler(backend: ServingBackend):
                             # step loop for every request)
                             if hreq:
                                 hreq[0].cancelled = True
-                    req = backend.submit(prompt, max_new, on_token,
-                                         **samp)
+                    try:
+                        req = backend.submit(prompt, max_new, on_token,
+                                             **samp)
+                    except (ValueError, RuntimeError) as e:
+                        # headers are committed: report in-band, one object
+                        self.wfile.write((json.dumps(
+                            {"error": str(e), "done": True}) + "\n")
+                            .encode())
+                        return
                     hreq.append(req)
                     backend.wait(req)
                     tail = json.dumps({"done": True,
@@ -242,6 +271,10 @@ def make_handler(backend: ServingBackend):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if body.get("stream"):
+                    raise ValueError(
+                        "stream is not supported on the /v1 endpoints; "
+                        "use /generate with \"stream\": true")
                 if chat:
                     from llm_inference_tpu.engine.engine import (
                         format_chat_messages)

@@ -169,15 +169,30 @@ class DraftModelSpeculativeDecoder(SpeculativeDecoder):
         self.draft = draft_engine
         self._draft_step = draft_engine._get_decode_jit(
             gamma, GenerationConfig(greedy=True))
+        self._draft_one = draft_engine._get_decode_jit(
+            1, GenerationConfig(greedy=True))
         self._key = jax.random.PRNGKey(0)   # unused under greedy
         self._dcache = None
+        self._dnext = 0                     # next unwritten draft position
 
     def _start(self, prompt: List[int]) -> None:
         _, self._dcache = self.draft.prefill([prompt])
+        self._dnext = len(prompt)
 
     def _propose(self, history: List[int], cur: int, pos: int) -> List[int]:
+        # backfill: when a whole window was accepted, the target's bonus
+        # token advanced `pos` one past the draft's last written position —
+        # feed the skipped history token first, or the draft would forever
+        # attend a zero KV row at that position
+        while self._dnext < pos:
+            tok = jnp.asarray([history[self._dnext]], jnp.int32)
+            p = jnp.asarray([self._dnext], jnp.int32)
+            _, self._dcache, _, _, _ = self._draft_one(
+                self.draft.params, self._dcache, tok, p, self._key)
+            self._dnext += 1
         tok = jnp.asarray([cur], jnp.int32)
         p = jnp.asarray([pos], jnp.int32)
         toks, self._dcache, _, _, _ = self._draft_step(
             self.draft.params, self._dcache, tok, p, self._key)
+        self._dnext = pos + self.gamma
         return [int(t) for t in np.asarray(toks)[0]]

@@ -51,13 +51,16 @@ def sample_per_row(
     top_p: jnp.ndarray,           # [B] f32 (1 ⇒ no nucleus filter)
     greedy: jnp.ndarray,          # [B] bool
     max_top_k: int = 64,
+    use_top_p: bool = True,
 ) -> jnp.ndarray:
     """Per-ROW sampling knobs as runtime arrays: ONE compiled program serves
     any mix of per-request configs in a continuously batched decode (the
     static-knob `sample` would recompile the decode scan per distinct
     config set). `max_top_k` is the static bound for the top-k sort width;
-    per-row k is clamped to it. Greedy rows take the plain argmax of the
-    unscaled logits (exactly `sample(greedy=True)`)."""
+    per-row k is clamped to it (0 statically disables the top-k stage, and
+    use_top_p=False the nucleus sort — callers key their jit on whether any
+    live row needs each stage, so unused filters cost nothing). Greedy rows
+    take the plain argmax of the unscaled logits (`sample(greedy=True)`)."""
     logits = logits.astype(jnp.float32)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     t = jnp.where(temperature <= 0.0, 1.0, temperature)[:, None]
@@ -68,14 +71,17 @@ def sample_per_row(
         kth = jnp.take_along_axis(vals, k_eff[:, None], axis=-1)
         scaled = jnp.where((top_k > 0)[:, None] & (scaled < kth),
                            NEG_INF, scaled)
-    sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    keep_sorted = (cum - probs) < top_p[:, None]
-    num_keep = jnp.maximum(jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
-    threshold = jnp.take_along_axis(sorted_logits, num_keep - 1, axis=-1)
-    scaled = jnp.where((top_p < 1.0)[:, None] & (scaled < threshold),
-                       NEG_INF, scaled)
+    if use_top_p:
+        sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p[:, None]
+        num_keep = jnp.maximum(
+            jnp.sum(keep_sorted, axis=-1, keepdims=True), 1)
+        threshold = jnp.take_along_axis(sorted_logits, num_keep - 1,
+                                        axis=-1)
+        scaled = jnp.where((top_p < 1.0)[:, None] & (scaled < threshold),
+                           NEG_INF, scaled)
     drawn = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(greedy | (temperature <= 0.0), arg, drawn)
 

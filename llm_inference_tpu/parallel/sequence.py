@@ -61,7 +61,7 @@ from llm_inference_tpu.parallel import sharding
 
 def _ring_attention(q, k_loc, v_loc, pos_local, global_start, T_loc,
                     cache, layer_idx, seq_axis, sp_size, scale,
-                    logit_softcap):
+                    logit_softcap, sliding_window: int = 0):
     """Blockwise ring attention over the sequence shards.
 
     Each shard keeps only its LOCAL K/V chunk resident; chunks rotate
@@ -100,6 +100,9 @@ def _ring_attention(q, k_loc, v_loc, pos_local, global_start, T_loc,
         if logit_softcap > 0.0:
             s = jnp.tanh(s / logit_softcap) * logit_softcap
         causal = (c_pos[:, None, :] <= pos_local[:, :, None])  # [B, Tq, Tc]
+        if sliding_window > 0:
+            causal &= (c_pos[:, None, :]
+                       > pos_local[:, :, None] - sliding_window)
         s = jnp.where(causal[:, None, None, :, :], s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         corr = jnp.exp(m - m_new)
@@ -157,7 +160,7 @@ def _sp_layer(cfg, h, lp, qw, cache, layer_idx, positions_local,
         attn, cache = _ring_attention(
             q, k, v, positions_local, global_start, T_loc, cache,
             layer_idx, seq_axis, sp_size, 1.0 / (D ** 0.5),
-            cfg.attn_logit_softcap)
+            cfg.attn_logit_softcap, cfg.sliding_window)
         attn = mm("wo", attn.reshape(B, T_loc, -1))
         h = h + llama._psum(attn, tp_axis)
         normed = norms.rms_norm(h, lp["ffn_norm"], eps)

@@ -238,3 +238,24 @@ class TestChunkedPrefill:
         want = [r.token_ids for r in eng2.generate(
             [list(p) for p in prompts], gen)]
         assert got == want
+
+
+class TestChatTemplate:
+    def test_consecutive_user_messages_not_dropped(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        out = format_chat_messages([
+            {"role": "user", "content": "A"},
+            {"role": "user", "content": "B"},
+        ])
+        assert "A" in out and "B" in out
+
+    def test_system_and_history(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        out = format_chat_messages([
+            {"role": "system", "content": "S"},
+            {"role": "user", "content": "U1"},
+            {"role": "assistant", "content": "A1"},
+            {"role": "user", "content": "U2"},
+        ])
+        assert out.startswith("[INST] <<SYS>>\nS\n<</SYS>>")
+        assert "U1 [/INST] A1" in out and out.endswith("[INST] U2 [/INST]")

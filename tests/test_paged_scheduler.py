@@ -98,3 +98,26 @@ class TestPagedScheduler:
                          max_new_tokens=9)
         assert all(len(r.output_ids) == 9 for r in reqs)
         assert paged.alloc.free_pages == 5
+
+    def test_preempted_stream_no_duplicates(self, engine):
+        """A preempted streaming request must not re-stream the tokens the
+        client already received (greedy replay is identical, so the client
+        stream equals the final output exactly once)."""
+        got = {}
+
+        def stream_for(rid):
+            def cb(r, t):
+                got.setdefault(rid, []).append(t)
+            return cb
+
+        paged = PagedScheduler(engine, GEN, slots=2, num_pages=6)
+        reqs = []
+        for i, p in enumerate([[5, 6, 7, 8, 9, 10, 11, 12, 13]] * 2):
+            r = paged.submit(list(p), max_new_tokens=9,
+                             stream=stream_for(i))
+            reqs.append(r)
+        while paged.step():
+            pass
+        for i, r in enumerate(reqs):
+            expect = [t for t in r.output_ids if t != 1]   # eos unstreamed
+            assert got[i] == expect, (i, got[i], r.output_ids)
