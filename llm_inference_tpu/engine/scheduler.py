@@ -54,6 +54,9 @@ class Request:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     greedy: Optional[bool] = None
+    # extra per-request stop tokens (on top of the scheduler's eos set);
+    # the stop token itself is not emitted to the stream
+    stop_token_ids: Optional[Sequence[int]] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     submit_t: float = 0.0
@@ -154,7 +157,8 @@ class ContinuousBatchingScheduler:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               greedy: Optional[bool] = None) -> Request:
+               greedy: Optional[bool] = None,
+               stop_token_ids: Optional[Sequence[int]] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
@@ -164,7 +168,7 @@ class ContinuousBatchingScheduler:
                       max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
                       stream=stream, submit_t=time.perf_counter(),
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      greedy=greedy)
+                      greedy=greedy, stop_token_ids=stop_token_ids)
         self._resolve_sampling(req)       # validate (top_k bound) up front
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
@@ -186,12 +190,13 @@ class ContinuousBatchingScheduler:
         first = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
+        stops = self._stops(req)
         req.output_ids.append(tok)
-        if tok not in self._eos:
+        if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if tok in self._eos or len(req.output_ids) >= req.max_new_tokens:
-            req.finished = tok in self._eos
+        if tok in stops or len(req.output_ids) >= req.max_new_tokens:
+            req.finished = tok in stops
             req.done_t = time.perf_counter()
             self.slot_req[slot] = None
             self._on_retire(slot)
@@ -211,12 +216,13 @@ class ContinuousBatchingScheduler:
             req = self.slot_req[b]
             if req is None:
                 continue
+            stops = self._stops(req)
             for t in toks_np[b]:
                 t = int(t)
                 if req.cancelled:
                     break
                 req.output_ids.append(t)
-                if t in self._eos:
+                if t in stops:
                     req.finished = True
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
                     break
@@ -235,6 +241,10 @@ class ContinuousBatchingScheduler:
         to skip the chunk (paged backend grows page tables here)."""
         return True
 
+    def _stops(self, req: Request) -> set:
+        return (self._eos if not req.stop_token_ids
+                else self._eos | set(req.stop_token_ids))
+
     def _emit(self, req: Request) -> None:
         """Stream undelivered tokens (EOS excluded). stream_pos survives a
         preemption's output reset, so a replayed request only streams what
@@ -242,9 +252,10 @@ class ContinuousBatchingScheduler:
         is identical; sampled requests are preempted last (see _preempt)."""
         n = len(req.output_ids)
         if req.stream:
+            stops = self._stops(req)
             for i in range(req.stream_pos, n):
                 t = req.output_ids[i]
-                if t not in self._eos:
+                if t not in stops:
                     req.stream(req.req_id, t)
         req.stream_pos = max(req.stream_pos, n)
 
@@ -553,12 +564,13 @@ class PagedScheduler(ContinuousBatchingScheduler):
         first = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
         tok = int(np.asarray(first)[0])
+        stops = self._stops(req)
         req.output_ids.append(tok)
-        if tok not in self._eos:
+        if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if tok in self._eos or len(req.output_ids) >= req.max_new_tokens:
-            req.finished = tok in self._eos
+        if tok in stops or len(req.output_ids) >= req.max_new_tokens:
+            req.finished = tok in stops
             req.done_t = time.perf_counter()
             self._on_retire(slot)
             return True

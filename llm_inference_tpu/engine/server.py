@@ -200,7 +200,8 @@ def make_handler(backend: ServingBackend):
             max_new = body.get("max_new_tokens")
             stream = bool(body.get("stream"))
             samp = {k: body[k] for k in ("temperature", "top_k", "top_p",
-                                         "greedy") if k in body}
+                                         "greedy", "stop_token_ids")
+                    if k in body}
             try:
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
@@ -324,11 +325,28 @@ def make_handler(backend: ServingBackend):
     return Handler
 
 
+def warmup(backend: ServingBackend) -> None:
+    """Pre-compile the serving programs (each prefill bucket + the decode
+    chunk) with throwaway requests so the FIRST real request's TTFT is
+    dispatch-bound, not compile-bound (seconds on CPU, minutes for a 7B
+    through the relay)."""
+    ecfg = backend.engine.engine_cfg
+    buckets = [b for b in ecfg.prefill_buckets if b <= ecfg.max_seq_len]
+    for b in buckets:
+        plen = max(1, b - 1)
+        if plen + 2 > ecfg.max_seq_len:
+            continue
+        req = backend.submit([1] * plen, 2)
+        backend.wait(req)
+
+
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           gen: Optional[GenerationConfig] = None, paged: bool = False,
-          **sched_kw) -> ThreadingHTTPServer:
+          warm: bool = False, **sched_kw) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever())."""
     backend = ServingBackend(engine, gen, paged=paged, **sched_kw)
+    if warm:
+        warmup(backend)
     httpd = ThreadingHTTPServer((host, port), make_handler(backend))
     httpd.backend = backend
     return httpd
@@ -361,6 +379,9 @@ def main(argv=None):
     ap.add_argument("--decode-chunk", type=int, default=8)
     ap.add_argument("--max-new-tokens", type=int, default=256)
     ap.add_argument("--greedy", action="store_true", default=True)
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile all prefill buckets + decode before "
+                         "accepting traffic")
     args = ap.parse_args(argv)
 
     engine = _cli.build_engine(args)
@@ -370,7 +391,7 @@ def main(argv=None):
         kw["prefix_cache"] = True
     httpd = serve(engine, args.host, args.port, gen,
                   paged=args.paged or args.prefix_cache,
-                  slots=args.slots, **kw)
+                  warm=args.warmup, slots=args.slots, **kw)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     httpd.serve_forever()
 

@@ -198,3 +198,26 @@ class TestCancellation:
         assert req.cancelled
         assert len(req.output_ids) < 30
         assert sched.alloc.free_pages == free0     # pages released
+
+
+class TestStopTokensAndWarmup:
+    def test_stop_token_ends_generation(self, httpd):
+        b = httpd.backend
+        # find the greedy stream first, then stop on its 3rd token
+        ref = b.submit([7, 8, 9], 6)
+        b.wait(ref, timeout=120)
+        assert len(ref.output_ids) >= 3
+        stop = ref.output_ids[2]
+        req = b.submit([7, 8, 9], 6, stop_token_ids=[stop])
+        b.wait(req, timeout=120)
+        assert req.finished
+        first = ref.output_ids.index(stop)     # stops at FIRST occurrence
+        assert req.output_ids == ref.output_ids[:first + 1]
+        # the stream must not have emitted the stop token — covered by
+        # _emit's stop filtering; output_ids keeps it for the caller
+
+    def test_warmup_compiles_buckets(self, httpd):
+        from llm_inference_tpu.engine.server import warmup
+        warmup(httpd.backend)      # must complete without error
+        r = httpd.backend.submit([5, 6], 2)
+        assert httpd.backend.wait(r, timeout=120)
