@@ -138,11 +138,13 @@ class InferenceEngine:
                                   temperature=gen.temperature,
                                   top_k=gen.top_k, top_p=gen.top_p,
                                   greedy=gen.greedy)
-            return (cache, nxt, pos + 1, key), nxt
+            lp = sampling.chosen_logprob(logits, nxt)
+            return (cache, nxt, pos + 1, key), (nxt, lp)
 
-        (cache, token, pos, key), toks = jax.lax.scan(
+        (cache, token, pos, key), (toks, lps) = jax.lax.scan(
             body, (cache, token, pos, key), None, length=steps)
-        return toks.T, cache, token, pos, key        # toks: [B, steps]
+        # toks/lps: [B, steps]
+        return toks.T, lps.T, cache, token, pos, key
 
     def _get_decode_jit(self, steps: int, gen: GenerationConfig):
         key = (steps, gen.temperature, gen.top_k, gen.top_p, gen.greedy)
@@ -173,11 +175,12 @@ class InferenceEngine:
                                 cache, zeros)
             nxt = sampling.sample_per_row(logits, sub, temp, topk, topp,
                                           greedy, max_top_k, use_top_p)
-            return (cache, nxt, pos + 1, key), nxt
+            lp = sampling.chosen_logprob(logits, nxt)
+            return (cache, nxt, pos + 1, key), (nxt, lp)
 
-        (cache, token, pos, key), toks = jax.lax.scan(
+        (cache, token, pos, key), (toks, lps) = jax.lax.scan(
             body, (cache, token, pos, key), None, length=steps)
-        return toks.T, cache, token, pos, key
+        return toks.T, lps.T, cache, token, pos, key
 
     def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64,
                              use_top_p: bool = True):
@@ -331,8 +334,8 @@ class InferenceEngine:
         while produced < gen.max_new_tokens and not finished.all():
             steps = min(chunk, gen.max_new_tokens - produced)
             fn = self._get_decode_jit(steps, gen)
-            toks, cache, token, pos, key = fn(self.params, cache, token, pos,
-                                              key)
+            toks, _lps, cache, token, pos, key = fn(self.params, cache,
+                                                    token, pos, key)
             toks_np = np.asarray(toks)        # [B, steps]
             decoded += steps
             for i in range(B):
@@ -422,7 +425,7 @@ class ChatSession:
                 stream(eng.tokenizer.decode_token(cur))
             steps = min(chunk, gen.max_new_tokens - len(out_ids))
             fn = eng._get_decode_jit(steps, gen)
-            toks_d, self.cache, token, pos, key = fn(
+            toks_d, _lps, self.cache, token, pos, key = fn(
                 eng.params, self.cache, token, pos, key)
             self.pos += 1             # `cur` is now in the cache...
             chunk_toks = np.asarray(toks_d)[0]

@@ -59,6 +59,7 @@ class Request:
     stop_token_ids: Optional[Sequence[int]] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
     submit_t: float = 0.0
     first_token_t: float = 0.0
     done_t: float = 0.0
@@ -192,6 +193,8 @@ class ContinuousBatchingScheduler:
         tok = int(np.asarray(first)[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
+        req.output_logprobs.append(float(np.asarray(
+            sampling.chosen_logprob(logits[:1], first[:1]))[0]))
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
@@ -209,7 +212,8 @@ class ContinuousBatchingScheduler:
         self.slot_req[slot] = req
         return True
 
-    def _harvest(self, toks_np: np.ndarray) -> None:
+    def _harvest(self, toks_np: np.ndarray,
+                 lps_np: Optional[np.ndarray] = None) -> None:
         """Distribute a decode chunk's tokens [B, steps] to the requests."""
         now = time.perf_counter()
         for b in range(self.B):
@@ -217,11 +221,13 @@ class ContinuousBatchingScheduler:
             if req is None:
                 continue
             stops = self._stops(req)
-            for t in toks_np[b]:
+            for j, t in enumerate(toks_np[b]):
                 t = int(t)
                 if req.cancelled:
                     break
                 req.output_ids.append(t)
+                if lps_np is not None:
+                    req.output_logprobs.append(float(lps_np[b, j]))
                 if t in stops:
                     req.finished = True
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
@@ -293,7 +299,7 @@ class ContinuousBatchingScheduler:
             # on the hot path (retired slots' knobs are don't-cares)
             fn = self.engine._get_decode_jit(
                 steps, dataclasses.replace(self.gen, greedy=True))
-            toks, self.cache, self.token, self.pos, _ = fn(
+            toks, lps, self.cache, self.token, self.pos, _ = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub)
         else:
             use_topk = any(self.topk_host[b] > 0 for b in live)
@@ -302,11 +308,11 @@ class ContinuousBatchingScheduler:
                 steps,
                 self.engine.engine_cfg.max_top_k if use_topk else 0,
                 use_top_p=use_topp)
-            toks, self.cache, self.token, self.pos, _ = fn(
+            toks, lps, self.cache, self.token, self.pos, _ = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
                 jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
                 jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
-        self._harvest(np.asarray(toks))
+        self._harvest(np.asarray(toks), np.asarray(lps))
         return True
 
     def cancel(self, req: Request) -> bool:
@@ -336,6 +342,7 @@ class ContinuousBatchingScheduler:
             self.slot_req[b] = None
             self._on_retire(b)
             req.output_ids = []
+            req.output_logprobs = []
             req.first_token_t = 0.0
             req.finished = False
             drained.append(req)
@@ -453,6 +460,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.slot_req[slot] = None
         self._on_retire(slot)
         req.output_ids = []          # replayed from the prompt
+        req.output_logprobs = []
         req.first_token_t = 0.0
         req.finished = False         # stream_pos is kept: no duplicates
         self.queue.appendleft(req)
@@ -566,6 +574,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
         tok = int(np.asarray(first)[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
+        req.output_logprobs.append(float(np.asarray(
+            sampling.chosen_logprob(logits[:1], first[:1]))[0]))
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)

@@ -251,13 +251,16 @@ def make_handler(backend: ServingBackend):
                     req = backend.submit(prompt, max_new, **samp)
                     backend.wait(req)
                     text = tok.decode(req.output_ids) if tok else ""
-                    self._json(200, {
+                    resp = {
                         "request_id": req.req_id,
                         "token_ids": req.output_ids,
                         "text": text,
                         "finished": req.finished,
                         "ttft_s": req.ttft_s,
-                    })
+                    }
+                    if body.get("logprobs"):
+                        resp["token_logprobs"] = req.output_logprobs
+                    self._json(200, resp)
             except ValueError as e:           # oversized prompt etc.
                 self._json(400, {"error": str(e)})
             except RuntimeError as e:         # queue full → backpressure
@@ -316,6 +319,11 @@ def make_handler(backend: ServingBackend):
                 choice = {"index": 0, "finish_reason": finish,
                           "text": text, "token_ids": req.output_ids}
                 obj = "text_completion"
+            if body.get("logprobs"):
+                choice["logprobs"] = {
+                    "token_logprobs": req.output_logprobs,
+                    "tokens": req.output_ids,
+                }
             self._json(200, {
                 "id": f"cmpl-{req.req_id}", "object": obj,
                 "model": backend.engine.cfg.name,

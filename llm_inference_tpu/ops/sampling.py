@@ -43,6 +43,13 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
+def chosen_logprob(logits: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
+    """log P(token) under softmax(logits): [B, V], [B] -> [B] f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, token[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
+
+
 def sample_per_row(
     logits: jnp.ndarray,          # [B, V] float
     key: jax.Array,

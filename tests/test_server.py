@@ -221,3 +221,20 @@ class TestStopTokensAndWarmup:
         warmup(httpd.backend)      # must complete without error
         r = httpd.backend.submit([5, 6], 2)
         assert httpd.backend.wait(r, timeout=120)
+
+
+class TestLogprobs:
+    def test_logprobs_returned_and_consistent(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_new_tokens": 5,
+                           "logprobs": True}) as r:
+            out = json.loads(r.read())
+        lps = out["token_logprobs"]
+        assert len(lps) == len(out["token_ids"]) == 5
+        assert all(lp <= 0.0 for lp in lps)     # log-probabilities
+
+    def test_openai_logprobs_shape(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4,
+                           "logprobs": 1}, path="/v1/completions") as r:
+            out = json.loads(r.read())
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["token_logprobs"]) == len(lp["tokens"]) == 4
