@@ -533,38 +533,56 @@ class PagedScheduler(ContinuousBatchingScheduler):
         hit_blocks = len(hit_pages)
         hit_len = hit_blocks * self.ps
         suffix = plen - hit_len
-        bucket = self.engine._bucket(suffix)
-        bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
-        bucket = min(bucket, self.S - hit_len)
         if hit_blocks:
             self.slot_pages[slot] = list(hit_pages)
             self.pt_host[slot, :hit_blocks] = hit_pages
-        ok, _ = self._ensure_blocks(slot, hit_len + bucket)
-        if not ok:
-            self._on_retire(slot)        # undo the prefix refs / row
-            self.queue.appendleft(req)   # retry when pages free up
-            return False
-        self._sync_table()
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :suffix] = req.prompt_ids[hit_len:]
-        pos = (hit_len + np.arange(bucket, dtype=np.int32))[None]
-        # trim the admission's page-table view to a power-of-two block
-        # count covering the sequence: the suffix-prefill branch gathers
-        # table-width × page_size slots per layer — the full table would
-        # make every cache-hit admission pay an O(max_seq_len) gather
-        # (widths are pow2-bucketed to bound the compile set)
-        needed = (hit_len + bucket) // self.ps
-        W = 1
-        while W < needed:
-            W *= 2
-        W = min(W, self.nb)
-        cache1 = self.cache.replace(
-            page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
-        prefill = self._prefill_hist if hit_blocks else self._prefill_paged
-        logits, cache1 = prefill(
-            self.engine.params, jnp.asarray(ids), jnp.asarray(pos), cache1,
-            jnp.asarray([suffix - 1], jnp.int32))
-        self.cache = cache1.replace(page_table=jnp.asarray(self.pt_host))
+        # The suffix runs as a SEQUENCE of ps-aligned chunks through the
+        # history-attending prefill: chunk c attends the pages chunks < c
+        # (and the prefix hit) already wrote — the paged counterpart of the
+        # dense engine's chunked prefill, so prompts beyond the largest
+        # bucket stay within the bounded compile set.
+        chunk_max = max(b for b in self.engine.engine_cfg.prefill_buckets
+                        if b <= self.S)
+        chunk_max = (chunk_max // self.ps) * self.ps or self.ps
+        done = 0
+        logits = None
+        while done < suffix:
+            part = suffix - done
+            bucket = self.engine._bucket(min(part, chunk_max))
+            bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
+            bucket = min(bucket, chunk_max, self.S - hit_len - done)
+            ok, _ = self._ensure_blocks(slot, hit_len + done + bucket)
+            if not ok:
+                self._on_retire(slot)        # undo prefix refs + chunks
+                self.queue.appendleft(req)   # retry when pages free up
+                return False
+            self._sync_table()
+            n_tok = min(part, bucket)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :n_tok] = req.prompt_ids[hit_len + done:
+                                            hit_len + done + n_tok]
+            pos = (hit_len + done
+                   + np.arange(bucket, dtype=np.int32))[None]
+            # trim the page-table view to a power-of-two block count
+            # covering the sequence so far: the history-attending branch
+            # gathers table-width × page_size slots per layer — the full
+            # table would cost O(max_seq_len) per admission (pow2 widths
+            # bound the compile set)
+            needed = (hit_len + done + bucket) // self.ps
+            W = 1
+            while W < needed:
+                W *= 2
+            W = min(W, self.nb)
+            cache1 = self.cache.replace(
+                page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
+            use_hist = hit_blocks > 0 or done > 0
+            prefill = self._prefill_hist if use_hist else self._prefill_paged
+            logits, cache1 = prefill(
+                self.engine.params, jnp.asarray(ids), jnp.asarray(pos),
+                cache1, jnp.asarray([n_tok - 1], jnp.int32))
+            self.cache = cache1.replace(
+                page_table=jnp.asarray(self.pt_host))
+            done += bucket
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])

@@ -121,3 +121,31 @@ class TestPagedScheduler:
         for i, r in enumerate(reqs):
             expect = [t for t in r.output_ids if t != 1]   # eos unstreamed
             assert got[i] == expect, (i, got[i], r.output_ids)
+
+    def test_long_prompt_chunked_admission(self, engine):
+        """Prompts beyond the largest prefill bucket (16 here) stream
+        through the cache in history-attending chunks; the first token must
+        match the dense scheduler's (same math, chunked equally there)."""
+        rng = np.random.default_rng(7)
+        prompt = list(rng.integers(2, 200, 37))     # >> largest bucket 16
+        dense = ContinuousBatchingScheduler(engine, GEN, slots=1)
+        want = dense.run([list(prompt)], max_new_tokens=4)[0].output_ids
+        paged = PagedScheduler(engine, GEN, slots=2)
+        got = paged.run([list(prompt)], max_new_tokens=4)[0].output_ids
+        assert got[0] == want[0]
+        assert len(got) == 4
+        assert paged.alloc.free_pages == paged.alloc.num_pages - 1
+
+    def test_long_prompt_with_prefix_cache(self, engine):
+        """Chunked admission composes with prefix caching: the second
+        identical long prompt reuses pages and still matches."""
+        rng = np.random.default_rng(8)
+        prompt = list(rng.integers(2, 200, 37))
+        golden = PagedScheduler(engine, GEN, slots=2)
+        want = [r.output_ids for r in golden.run([list(prompt)] * 2,
+                                                 max_new_tokens=5)]
+        sched = PagedScheduler(engine, GEN, slots=2, prefix_cache=True)
+        got = [r.output_ids for r in sched.run([list(prompt)] * 2,
+                                               max_new_tokens=5)]
+        assert got == want
+        assert sched.store.hit_tokens >= 32      # 4 full pages reused
