@@ -108,6 +108,30 @@ def llama3_8b(**kw) -> ModelConfig:
                        rope_theta=500000.0, max_position_embeddings=8192, **kw)
 
 
+_LLAMA31_SCALING = {"type": "llama3", "factor": 8.0,
+                    "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                    "original_max_position_embeddings": 8192}
+
+
+def llama3_1_8b(**kw) -> ModelConfig:
+    """Llama-3.1-8B: llama3-8b + 128k context via piecewise RoPE scaling."""
+    return ModelConfig(name="llama3.1-8b", vocab_size=128256,
+                       hidden_size=4096, intermediate_size=14336,
+                       num_layers=32, num_heads=32, num_kv_heads=8,
+                       head_dim=128, rms_norm_eps=1e-5, rope_theta=500000.0,
+                       max_position_embeddings=131072,
+                       rope_scaling=dict(_LLAMA31_SCALING), **kw)
+
+
+def llama3_1_70b(**kw) -> ModelConfig:
+    return ModelConfig(name="llama3.1-70b", vocab_size=128256,
+                       hidden_size=8192, intermediate_size=28672,
+                       num_layers=80, num_heads=64, num_kv_heads=8,
+                       head_dim=128, rms_norm_eps=1e-5, rope_theta=500000.0,
+                       max_position_embeddings=131072,
+                       rope_scaling=dict(_LLAMA31_SCALING), **kw)
+
+
 def mistral_7b(**kw) -> ModelConfig:
     """Mistral-7B-v0.1: llama architecture + sliding-window attention."""
     return ModelConfig(name="mistral-7b", vocab_size=32000, hidden_size=4096,
@@ -142,6 +166,8 @@ PRESETS = {
     "llama2-13b": llama2_13b,
     "llama2-70b": llama2_70b,
     "llama3-8b": llama3_8b,
+    "llama3.1-8b": llama3_1_8b,
+    "llama3.1-70b": llama3_1_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
     "tiny-llama": tiny_llama,

@@ -38,15 +38,32 @@ def make_rope_table(
     The table is laid out HF-style: freqs for dims [0, d/2) duplicated into
     both halves, so `q * cos + rotate_half(q) * sin` applies the rotation.
 
-    `scaling` supports {"type": "linear", "factor": f} (position interpolation)
-    and {"type": "ntk", "factor": f} (NTK-aware base scaling) — the latter is
+    `scaling` supports {"type": "linear", "factor": f} (position
+    interpolation), {"type": "ntk", "factor": f} (NTK-aware base scaling —
     the functional version of the reference's never-implemented
-    `use_dynamic_ntk` placeholder (reference: llama_params.h:7).
+    `use_dynamic_ntk` placeholder, reference: llama_params.h:7), and
+    {"type": "llama3", "factor": f, "low_freq_factor": lo,
+    "high_freq_factor": hi, "original_max_position_embeddings": n}
+    (Llama-3.1's piecewise frequency-dependent interpolation, matching HF
+    `_compute_llama3_parameters`).
     """
     if scaling and scaling.get("type") == "ntk":
         factor = float(scaling["factor"])
         theta = theta * factor ** (head_dim / (head_dim - 2))
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling and scaling.get("type") in ("llama3", "llama3.1"):
+        factor = float(scaling["factor"])
+        lo = float(scaling.get("low_freq_factor", 1.0))
+        hi = float(scaling.get("high_freq_factor", 4.0))
+        orig = float(scaling.get("original_max_position_embeddings", 8192))
+        wavelen = 2.0 * jnp.pi / inv_freq
+        # long wavelengths interpolate by `factor`, short ones stay exact,
+        # the band between blends smoothly (HF-identical formulation)
+        scaled = jnp.where(wavelen > orig / lo, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        medium = (wavelen >= orig / hi) & (wavelen <= orig / lo)
+        inv_freq = jnp.where(medium, blended, scaled)
     pos = jnp.arange(max_positions, dtype=jnp.float32)
     if scaling and scaling.get("type") == "linear":
         pos = pos / float(scaling["factor"])

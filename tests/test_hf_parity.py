@@ -130,3 +130,38 @@ class TestCheckpointIO:
                                        np.asarray(loaded_map[tuple(path)]),
                                        atol=1e-6,
                                        err_msg=str(path))
+
+
+class TestLlama31RopeScaling:
+    def test_inv_freq_matches_transformers(self):
+        """The llama3 piecewise RoPE scaling must reproduce HF's
+        _compute_llama3_parameters exactly (the 3.1 checkpoints depend on
+        it for >8k positions)."""
+        import numpy as np
+        import torch
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+        from llm_inference_tpu.ops import rope
+
+        head_dim, theta = 128, 500000.0
+        scaling = {"type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+                   "high_freq_factor": 4.0,
+                   "original_max_position_embeddings": 8192}
+
+        class _Cfg:
+            rope_theta = theta
+            partial_rotary_factor = 1.0
+            head_dim = 128
+            hidden_size = 128 * 32
+            num_attention_heads = 32
+            rope_scaling = {"rope_type": "llama3", **{
+                k: v for k, v in scaling.items() if k != "type"}}
+            max_position_embeddings = 131072
+
+        hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](_Cfg(), torch.device("cpu"))
+        cos, sin = rope.make_rope_table(64, head_dim, theta, scaling)
+        # recover our inv_freq from the table row at position 1
+        import jax.numpy as jnp
+        ours = np.angle(np.exp(1j * np.asarray(
+            jnp.arctan2(sin[1, :head_dim // 2], cos[1, :head_dim // 2]))))
+        np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-5,
+                                   atol=1e-7)
