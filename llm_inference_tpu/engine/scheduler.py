@@ -188,13 +188,13 @@ class ContinuousBatchingScheduler:
             [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
         logits = logits[:1]
         self.key, sub = jax.random.split(self.key)
-        first = self._sample_first(logits, sub, req)
+        first, first_lp = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
-        tok = int(np.asarray(first)[0])
+        tok_np, lp_np = jax.device_get((first, first_lp))
+        tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
-        req.output_logprobs.append(float(np.asarray(
-            sampling.chosen_logprob(logits[:1], first[:1]))[0]))
+        req.output_logprobs.append(float(lp_np[0]))
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
@@ -266,17 +266,25 @@ class ContinuousBatchingScheduler:
         req.stream_pos = max(req.stream_pos, n)
 
     def _sample_first(self, logits, sub, req: Request):
-        """Sample a request's first token with ITS sampling knobs (one
-        compiled program for any config — sample_per_row with B=1)."""
+        """Sample a request's first token + its logprob with ITS sampling
+        knobs — ONE jitted dispatch (eager per-op dispatch here costs a
+        device round trip each on the TTFT-critical admission path)."""
         t, k, p, gr = self._resolve_sampling(req)
+        fn = getattr(self, "_first_jit", None)
+        if fn is None:
+            mk = self.engine.engine_cfg.max_top_k
+
+            def _first(logits, key, t, k, p, gr):
+                tok = sampling.sample_per_row(logits, key, t, k, p, gr, mk)
+                return tok, sampling.chosen_logprob(logits, tok)
+
+            fn = self._first_jit = jax.jit(_first)
         B1 = logits.shape[0]
-        return sampling.sample_per_row(
-            logits, sub,
-            jnp.full((B1,), t, jnp.float32),
-            jnp.full((B1,), k, jnp.int32),
-            jnp.full((B1,), p, jnp.float32),
-            jnp.full((B1,), gr, bool),
-            self.engine.engine_cfg.max_top_k)
+        return fn(logits, sub,
+                  jnp.full((B1,), t, jnp.float32),
+                  jnp.full((B1,), k, jnp.int32),
+                  jnp.full((B1,), p, jnp.float32),
+                  jnp.full((B1,), gr, bool))
 
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
@@ -554,6 +562,9 @@ class PagedScheduler(ContinuousBatchingScheduler):
             ok, _ = self._ensure_blocks(slot, hit_len + done + bucket)
             if not ok:
                 self._on_retire(slot)        # undo prefix refs + chunks
+                self._sync_table()           # earlier chunks PUBLISHED the
+                # row to the device; without re-sync the idle slot's garbage
+                # decode would write through it into shared prefix pages
                 self.queue.appendleft(req)   # retry when pages free up
                 return False
             self._sync_table()
@@ -587,13 +598,13 @@ class PagedScheduler(ContinuousBatchingScheduler):
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
         self.key, sub = jax.random.split(self.key)
-        first = self._sample_first(logits, sub, req)
+        first, first_lp = self._sample_first(logits, sub, req)
         req.first_token_t = time.perf_counter()
-        tok = int(np.asarray(first)[0])
+        tok_np, lp_np = jax.device_get((first, first_lp))
+        tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
-        req.output_logprobs.append(float(np.asarray(
-            sampling.chosen_logprob(logits[:1], first[:1]))[0]))
+        req.output_logprobs.append(float(lp_np[0]))
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)

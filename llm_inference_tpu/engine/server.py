@@ -334,17 +334,20 @@ def make_handler(backend: ServingBackend):
 
 
 def warmup(backend: ServingBackend) -> None:
-    """Pre-compile the serving programs (each prefill bucket + the decode
-    chunk) with throwaway requests so the FIRST real request's TTFT is
-    dispatch-bound, not compile-bound (seconds on CPU, minutes for a 7B
-    through the relay)."""
+    """Pre-compile the serving programs (each prefill bucket INCLUDING the
+    largest, plus the steady-state decode-chunk scan) with throwaway
+    requests so the FIRST real request's TTFT is dispatch-bound, not
+    compile-bound (seconds on CPU, minutes for a 7B through the relay).
+    Best-effort: an early EOS on the dummy prompt can cut a decode short."""
     ecfg = backend.engine.engine_cfg
+    want = ecfg.decode_chunk + 1   # budget covers a FULL decode chunk
     buckets = [b for b in ecfg.prefill_buckets if b <= ecfg.max_seq_len]
     for b in buckets:
-        plen = max(1, b - 1)
-        if plen + 2 > ecfg.max_seq_len:
+        # longest prompt that still lands in bucket b with `want` budget
+        plen = min(b, ecfg.max_seq_len - want)
+        if plen < 1:
             continue
-        req = backend.submit([1] * plen, 2)
+        req = backend.submit([1] * plen, want)
         backend.wait(req)
 
 

@@ -574,9 +574,14 @@ def forward(
     h = _sharded_embedding_lookup(params["embed"], ids, tp_axis).astype(dtype)
     mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
     write_offsets = positions[:, 0]
+    # positions are bounded by the cache (masks/writes clamp there), so
+    # the cos/sin tables need never exceed it — a 131k-context preset
+    # otherwise bakes ~134 MB of f32 tables into every compiled program
+    pos_limit = (cache.max_blocks * cache.page_size if paged
+                 else cache.max_seq_len)
     cos, sin = rope.make_rope_table(
-        cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
-        cfg.rope_scaling)
+        min(cfg.max_position_embeddings, pos_limit), cfg.head_dim,
+        cfg.rope_theta, cfg.rope_scaling)
 
     # stacked QTensor weights bypass the scan (indexed inside the kernels);
     # everything small rides as scan xs

@@ -47,11 +47,15 @@ def make_rope_table(
     (Llama-3.1's piecewise frequency-dependent interpolation, matching HF
     `_compute_llama3_parameters`).
     """
-    if scaling and scaling.get("type") == "ntk":
+    # HF checkpoint configs use "rope_type"; our presets use "type"
+    stype = None
+    if scaling:
+        stype = scaling.get("type") or scaling.get("rope_type")
+    if scaling and stype == "ntk":
         factor = float(scaling["factor"])
         theta = theta * factor ** (head_dim / (head_dim - 2))
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    if scaling and scaling.get("type") in ("llama3", "llama3.1"):
+    if scaling and stype in ("llama3", "llama3.1"):
         factor = float(scaling["factor"])
         lo = float(scaling.get("low_freq_factor", 1.0))
         hi = float(scaling.get("high_freq_factor", 4.0))
@@ -65,7 +69,7 @@ def make_rope_table(
         medium = (wavelen >= orig / hi) & (wavelen <= orig / lo)
         inv_freq = jnp.where(medium, blended, scaled)
     pos = jnp.arange(max_positions, dtype=jnp.float32)
-    if scaling and scaling.get("type") == "linear":
+    if scaling and stype == "linear":
         pos = pos / float(scaling["factor"])
     freqs = jnp.outer(pos, inv_freq)                       # [P, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)         # [P, d]

@@ -113,8 +113,8 @@ def pipelined_forward(cfg: ModelConfig, mesh: Mesh, params,
                                              cfg.sliding_window)
         write_offsets = positions[:, 0]
         cos, sin = rope.make_rope_table(
-            cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
-            cfg.rope_scaling)
+            min(cfg.max_position_embeddings, S), cfg.head_dim,
+            cfg.rope_theta, cfg.rope_scaling)
         if last_idx is None:
             last_idx = jnp.full((B,), T - 1, jnp.int32)
 
@@ -261,8 +261,8 @@ def pipelined_prefill_seq(cfg: ModelConfig, mesh: Mesh, params,
                                              cfg.sliding_window)
         start = positions[0, 0]              # uniform across rows
         cos, sin = rope.make_rope_table(
-            cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
-            cfg.rope_scaling)
+            min(cfg.max_position_embeddings, S), cfg.head_dim,
+            cfg.rope_theta, cfg.rope_scaling)
         if last_idx is None:
             last_idx = jnp.full((B,), T - 1, jnp.int32)
 

@@ -252,8 +252,8 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
         global_start = lax.psum(
             jnp.where(shard == 0, positions[:, 0], 0), seq_axis)
         cos, sin = rope.make_rope_table(
-            cfg.max_position_embeddings, cfg.head_dim, cfg.rope_theta,
-            cfg.rope_scaling)
+            min(cfg.max_position_embeddings, S), cfg.head_dim,
+            cfg.rope_theta, cfg.rope_scaling)
 
         qw = {k: v for k, v in params["layers"].items()
               if isinstance(v, QTensor)}
