@@ -50,8 +50,15 @@ class ModelConfig:
     rope_scaling: Optional[dict] = None
     # Sliding-window attention size; 0 = full attention (mistral support).
     sliding_window: int = 0
+    # Which layers use the sliding window: "all" (mistral) or
+    # "alternating" (gemma2: even layers windowed, odd global).
+    sliding_pattern: str = "all"
     # Bias terms on qkv projection (qwen2 uses them).
     qkv_bias: bool = False
+    # Gemma-2 specifics: attention scale uses this instead of head_dim
+    # (0 → head_dim), embeddings scaled by sqrt(hidden_size).
+    query_pre_attn_scalar: float = 0.0
+    scale_embeddings: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -150,6 +157,34 @@ def qwen2_7b(**kw) -> ModelConfig:
                        qkv_bias=True, tie_word_embeddings=False, **kw)
 
 
+def gemma2_2b(**kw) -> ModelConfig:
+    """Gemma-2-2B: sandwich norms, GeGLU, logit softcaps, alternating
+    sliding-window attention, tied + scaled embeddings."""
+    return ModelConfig(name="gemma2-2b", vocab_size=256000,
+                       hidden_size=2304, intermediate_size=9216,
+                       num_layers=26, num_heads=8, num_kv_heads=4,
+                       head_dim=256, rms_norm_eps=1e-6,
+                       rope_theta=10000.0, max_position_embeddings=8192,
+                       tie_word_embeddings=True, attn_logit_softcap=50.0,
+                       final_logit_softcap=30.0, sliding_window=4096,
+                       sliding_pattern="alternating",
+                       query_pre_attn_scalar=256.0, scale_embeddings=True,
+                       **kw)
+
+
+def gemma2_9b(**kw) -> ModelConfig:
+    return ModelConfig(name="gemma2-9b", vocab_size=256000,
+                       hidden_size=3584, intermediate_size=14336,
+                       num_layers=42, num_heads=16, num_kv_heads=8,
+                       head_dim=256, rms_norm_eps=1e-6,
+                       rope_theta=10000.0, max_position_embeddings=8192,
+                       tie_word_embeddings=True, attn_logit_softcap=50.0,
+                       final_logit_softcap=30.0, sliding_window=4096,
+                       sliding_pattern="alternating",
+                       query_pre_attn_scalar=256.0, scale_embeddings=True,
+                       **kw)
+
+
 def tiny_llama(**kw) -> ModelConfig:
     """Small config for tests — analogous to the reference's tiny example
     configs (reference: examples/cpp/attention/context_attn_example.cpp:7-20)."""
@@ -170,6 +205,8 @@ PRESETS = {
     "llama3.1-70b": llama3_1_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
+    "gemma2-2b": gemma2_2b,
+    "gemma2-9b": gemma2_9b,
     "tiny-llama": tiny_llama,
 }
 

@@ -63,7 +63,13 @@ class InferenceEngine:
         kv_quantized = cache_dtype in (jnp.int8, "int8")
         self._kv_quantized = kv_quantized
         self._sharded = mesh is not None and mesh.devices.size > 1
+        from llm_inference_tpu.models import registry as _registry
+        self._model = _registry.get_model(cfg.name)
         if self._sharded:
+            if self._model is not llama:
+                raise NotImplementedError(
+                    f"multi-chip serving is wired for the llama family "
+                    f"only (got {cfg.name})")
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
             self.params = _sh.shard_params(params, mesh)
@@ -73,9 +79,10 @@ class InferenceEngine:
             self._shard_cache = lambda c: _sh.shard_cache(c, mesh)
         else:
             self.params = params
+            model = self._model
 
             def _fwd(params, ids, positions, cache, last_idx):
-                return llama.forward(cfg, params, ids, positions, cache,
+                return model.forward(cfg, params, ids, positions, cache,
                                      logits_mode="last", last_idx=last_idx)
             self._fwd = _fwd
             self._shard_cache = lambda c: c
@@ -100,10 +107,11 @@ class InferenceEngine:
                     cache_kind="paged", paged_history=history)
             else:
                 cfg = self.cfg
+                model = self._model
 
                 def fn(params, ids, positions, cache, last_idx,
                        _h=history):
-                    return llama.forward(cfg, params, ids, positions, cache,
+                    return model.forward(cfg, params, ids, positions, cache,
                                          logits_mode="last",
                                          last_idx=last_idx, paged_history=_h)
             self._paged_fwds[history] = fn

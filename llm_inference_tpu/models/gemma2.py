@@ -1,0 +1,213 @@
+"""Gemma-2 decoder as a pure JAX function.
+
+Second model FAMILY beyond the reference's LLaMA-only scope (the reference
+hard-codes LLaMA throughout — src/models/llama/*; its factory knows one
+name, src/utils/model_utils.h:16-61). Gemma-2 differs architecturally, not
+just by hyperparameters:
+
+- SANDWICH norms: pre- AND post-norms around both the attention and FFN
+  blocks (4 RMSNorms/layer vs llama's 2), with the Gemma RMSNorm variant
+  that multiplies by (1 + weight) IN float32.
+- GeGLU FFN: gelu_tanh(gate) * up instead of SwiGLU.
+- Attention-logit soft-capping (tanh at ±50) and final-logit capping (±30).
+- Query scaling by query_pre_attn_scalar^-0.5 instead of head_dim^-0.5.
+- ALTERNATING sliding-window attention: even layers see a 4096 window, odd
+  layers are global — expressed as a per-layer window scalar riding the
+  layer scan (a static per-layer branch would break the uniform scan).
+- Embeddings scaled by sqrt(hidden); lm_head tied.
+
+Shares the framework's cache/rope/attention/sampling machinery and the
+engine serves it through the model registry. Scope (honest): single-device
+and dense-cache; the jnp attention path is used throughout (the Pallas
+kernels take a static window — a mixed-window scan needs a kernel variant;
+planned). Quantization reuses the same QTensor layer keys.
+
+Numerics validated against transformers' Gemma2ForCausalLM
+(tests/test_gemma2.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.config import ModelConfig
+from llm_inference_tpu.ops import attention, kvcache, rope
+from llm_inference_tpu.ops.linear import matmul
+from llm_inference_tpu.ops.quantization import QTensor
+
+Params = Dict[str, Any]
+
+
+def gemma_rms_norm(x: jnp.ndarray, weight: jnp.ndarray,
+                   eps: float) -> jnp.ndarray:
+    """Gemma RMSNorm: normalize AND scale by (1 + w) in float32, then cast
+    (HF Gemma2RMSNorm ordering — llama casts before the weight multiply)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed * (1.0 + weight.astype(jnp.float32))).astype(dtype)
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
+    """Random dummy weights (perf/testing path; norms at 0 ⇒ identity+1)."""
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    H, L = cfg.hidden_size, cfg.num_layers
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(key, 8)
+    std = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.zeros((L, H), dtype),
+        "post_attn_norm": jnp.zeros((L, H), dtype),
+        "wq": rnd(ks[0], (L, H, Hq * D)),
+        "wk": rnd(ks[1], (L, H, Hkv * D)),
+        "wv": rnd(ks[2], (L, H, Hkv * D)),
+        "wo": rnd(ks[3], (L, Hq * D, H)),
+        "ffn_norm": jnp.zeros((L, H), dtype),
+        "post_ffn_norm": jnp.zeros((L, H), dtype),
+        "w_gate": rnd(ks[4], (L, H, I)),
+        "w_up": rnd(ks[5], (L, H, I)),
+        "w_down": rnd(ks[6], (L, I, H)),
+    }
+    return {
+        "embed": rnd(ks[7], (V, H)),
+        "layers": layers,
+        "final_norm": jnp.zeros((H,), dtype),
+    }
+
+
+def _layer_windows(cfg: ModelConfig) -> jnp.ndarray:
+    """Per-layer sliding window sizes [L] (0 = global attention)."""
+    L = cfg.num_layers
+    if cfg.sliding_window <= 0:
+        return jnp.zeros((L,), jnp.int32)
+    if cfg.sliding_pattern == "alternating":
+        # even layers windowed, odd global (HF Gemma2: not bool(idx % 2))
+        return jnp.asarray([cfg.sliding_window if i % 2 == 0 else 0
+                            for i in range(L)], jnp.int32)
+    return jnp.full((L,), cfg.sliding_window, jnp.int32)
+
+
+def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
+           write_offsets, base_mask, cos, sin, window):
+    """One Gemma-2 layer: sandwich-normed attention + GeGLU FFN.
+    `window` is this layer's sliding-window size (0 = global), a traced
+    per-layer scalar from the scan xs."""
+    B, T, H = h.shape
+    D = cfg.head_dim
+    eps = cfg.rms_norm_eps
+    scale = (cfg.query_pre_attn_scalar or cfg.head_dim) ** -0.5
+
+    def mm(name, x):
+        if name in qw:
+            return matmul(x, qw[name], layer=layer_idx)
+        return matmul(x, lp[name])
+
+    normed = gemma_rms_norm(h, lp["attn_norm"], eps)
+    q = mm("wq", normed).reshape(B, T, -1, D)
+    k = mm("wk", normed).reshape(B, T, -1, D)
+    v = mm("wv", normed).reshape(B, T, -1, D)
+    q = rope.apply_rope(q, positions, cos, sin)
+    k = rope.apply_rope(k, positions, cos, sin)
+
+    cache = kvcache.update_cache_layer(cache, layer_idx, k, v, write_offsets)
+    S = cache.max_seq_len
+    # per-layer dynamic window folded into the causal mask (window 0 ⇒ the
+    # >= condition is trivially true for in-range slots)
+    slots = jnp.arange(S, dtype=positions.dtype)
+    win_ok = (window <= 0) | (slots[None, None, :]
+                              > positions[:, :, None] - window)
+    mask = base_mask & win_ok[:, None, :, :]
+
+    def at_layer(x):
+        return (None if x is None else
+                jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                             keepdims=False))
+    attn = attention.attend(q, at_layer(cache.k), at_layer(cache.v), mask,
+                            scale=scale,
+                            logit_softcap=cfg.attn_logit_softcap,
+                            k_scale=at_layer(cache.k_scale),
+                            v_scale=at_layer(cache.v_scale))
+    attn = mm("wo", attn.reshape(B, T, -1))
+    h = h + gemma_rms_norm(attn, lp["post_attn_norm"], eps)
+
+    normed = gemma_rms_norm(h, lp["ffn_norm"], eps)
+    act = (jax.nn.gelu(mm("w_gate", normed).astype(jnp.float32),
+                       approximate=True).astype(h.dtype)
+           * mm("w_up", normed))
+    ffn = mm("w_down", act)
+    h = h + gemma_rms_norm(ffn, lp["post_ffn_norm"], eps)
+    return h, cache
+
+
+def forward(
+    cfg: ModelConfig,
+    params: Params,
+    ids: jnp.ndarray,            # [B, T] int32
+    positions: jnp.ndarray,      # [B, T] int32 absolute positions
+    cache: kvcache.KVCache,
+    *,
+    logits_mode: str = "last",
+    last_idx: Optional[jnp.ndarray] = None,
+    tp_axis: Optional[str] = None,
+    paged_history: bool = False,
+) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
+    """Same contract as models/llama.forward (dense cache)."""
+    if tp_axis is not None or paged_history:
+        raise NotImplementedError(
+            "gemma2: tensor-parallel / paged serving not wired yet "
+            "(single-device dense-cache engine path)")
+    B, T = ids.shape
+    S = cache.max_seq_len
+    dtype = jnp.dtype(cfg.dtype)
+
+    h = params["embed"][ids].astype(dtype)
+    if cfg.scale_embeddings:
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
+    base_mask = attention.make_attention_mask(positions, S)
+    write_offsets = positions[:, 0]
+    cos, sin = rope.make_rope_table(
+        min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling)
+
+    qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
+    xs = {k: v for k, v in params["layers"].items()
+          if not isinstance(v, QTensor)}
+    xs["_window"] = _layer_windows(cfg)
+
+    def body(carry, lp):
+        h, cache, idx = carry
+        window = lp.pop("_window")
+        h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
+                          write_offsets, base_mask, cos, sin, window)
+        return (h, cache, idx + 1), None
+
+    (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)
+
+    if logits_mode == "none":
+        return None, new_cache
+    h = gemma_rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if logits_mode == "last":
+        if last_idx is None:
+            last_idx = jnp.full((B,), T - 1, jnp.int32)
+        h = h[jnp.arange(B), last_idx]
+    logits = jnp.dot(h.astype(jnp.float32),
+                     params["embed"].T.astype(jnp.float32))
+    if cfg.final_logit_softcap > 0.0:
+        logits = (jnp.tanh(logits / cfg.final_logit_softcap)
+                  * cfg.final_logit_softcap)
+    return logits, new_cache
+
+
+# register with the factory
+from llm_inference_tpu.models import registry as _registry  # noqa: E402
+import sys as _sys  # noqa: E402
+_registry.register_model("gemma2", _sys.modules[__name__])
