@@ -22,6 +22,8 @@ def build_engine(args):
     from llm_inference_tpu.models import llama
     from llm_inference_tpu.utils import checkpoint
 
+    from llm_inference_tpu.models import registry
+
     if args.checkpoint:
         cfg, params = checkpoint.load_hf_checkpoint(args.checkpoint,
                                                     dtype=args.dtype)
@@ -30,15 +32,19 @@ def build_engine(args):
         cfg = preset()
         print(f"[cli] no checkpoint given — dummy weights for {cfg.name} "
               f"(the reference CLI does the same, user_entry.cpp:21)")
-        params = llama.init_params(cfg, jax.random.PRNGKey(0),
-                                   dtype=args.dtype)
+        params = registry.get_model(cfg.name).init_params(
+            cfg, jax.random.PRNGKey(0), dtype=args.dtype)
 
+    is_llama = registry.get_model(cfg.name) is llama
     if args.tp > 1:
         params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":
         qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
         params = llama.quantize_params(params, qcfg, row_shards=args.tp)
-    params = llama.prepare_params(params, tp_size=args.tp)
+    if is_llama:
+        # fuse + streaming re-layout: the llama kernel path's contract
+        # (gemma2 runs the jnp path — raw layer keys)
+        params = llama.prepare_params(params, tp_size=args.tp)
 
     tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
     mesh = None

@@ -266,8 +266,10 @@ class InferenceEngine:
         # bounds both the jit-compile set and prefill peak memory for
         # arbitrarily long prompts (the reference has no such path at all:
         # its buffers are hard-sized, llama.cpp:27).
-        chunk = max(b for b in self.engine_cfg.prefill_buckets
-                    if b <= self.engine_cfg.max_seq_len)
+        fitting = [b for b in self.engine_cfg.prefill_buckets
+                   if b <= self.engine_cfg.max_seq_len]
+        # no bucket fits a small max_seq_len: chunk at max_seq_len itself
+        chunk = max(fitting) if fitting else self.engine_cfg.max_seq_len
         n_chunks = (max(len(t) for t in token_lists) + chunk - 1) // chunk
         final_np = None                        # multi-chunk: per-row logits
         for c in range(n_chunks):

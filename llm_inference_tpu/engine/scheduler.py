@@ -549,8 +549,9 @@ class PagedScheduler(ContinuousBatchingScheduler):
         # (and the prefix hit) already wrote — the paged counterpart of the
         # dense engine's chunked prefill, so prompts beyond the largest
         # bucket stay within the bounded compile set.
-        chunk_max = max(b for b in self.engine.engine_cfg.prefill_buckets
-                        if b <= self.S)
+        fitting = [b for b in self.engine.engine_cfg.prefill_buckets
+                   if b <= self.S]
+        chunk_max = max(fitting) if fitting else self.S
         chunk_max = (chunk_max // self.ps) * self.ps or self.ps
         done = 0
         logits = None

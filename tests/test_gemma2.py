@@ -143,3 +143,27 @@ class TestGemma2Engine:
         cfg = tiny_gemma2()
         w = np.asarray(gemma2._layer_windows(cfg))
         assert list(w) == [8, 0, 8, 0]
+
+
+class TestGemma2Quantized:
+    def test_int8_weights_same_argmax(self):
+        """llama.quantize_params works on gemma params (same matmul layer
+        keys); int8 logits stay argmax-consistent on a tiny model."""
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.models import llama
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          head_dim=32)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        q = llama.quantize_params(params, QuantConfig(weights="int8"))
+        ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+
+        def run(p):
+            cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                       32, cfg.head_dim, jnp.float32)
+            out, _ = gemma2.forward(cfg, p, ids, pos, cache)
+            return out
+        g, gq = run(params), run(q)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(g), atol=0.2,
+                                   rtol=0.2)
+        assert (jnp.argmax(g, -1) == jnp.argmax(gq, -1)).all()
