@@ -59,8 +59,10 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
     rope_scaling = g("rope_scaling")
     if rope_scaling is not None and not isinstance(rope_scaling, dict):
         rope_scaling = dict(rope_scaling)
+    family = g("model_type", "llama")
+    gemma = str(family).startswith("gemma")
     return ModelConfig(
-        name=g("model_type", "llama"),
+        name=family,
         vocab_size=g("vocab_size"),
         hidden_size=hidden,
         intermediate_size=g("intermediate_size"),
@@ -71,10 +73,15 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         rope_theta=g("rope_theta", 10000.0),
         max_position_embeddings=g("max_position_embeddings", 4096),
         rms_norm_eps=g("rms_norm_eps", 1e-5),
-        tie_word_embeddings=bool(g("tie_word_embeddings", False)),
+        tie_word_embeddings=bool(g("tie_word_embeddings", gemma)),
         rope_scaling=rope_scaling,
         sliding_window=g("sliding_window") or 0,
+        sliding_pattern="alternating" if gemma else "all",
         qkv_bias=bool(g("attention_bias", False)),
+        attn_logit_softcap=g("attn_logit_softcapping") or 0.0,
+        final_logit_softcap=g("final_logit_softcapping") or 0.0,
+        query_pre_attn_scalar=g("query_pre_attn_scalar") or 0.0,
+        scale_embeddings=gemma,
     )
 
 
@@ -109,8 +116,10 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         return _np(sd[name]).astype(np.float32)
 
     L = cfg.num_layers
+    gemma = cfg.name.startswith("gemma")
     acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
-                           "w_gate", "w_up", "w_down", "bq", "bk", "bv")}
+                           "w_gate", "w_up", "w_down", "bq", "bk", "bv",
+                           "post_attn_norm", "post_ffn_norm")}
     for i in range(L):
         p = f"layers.{i}."
         acc["attn_norm"].append(get(p + "input_layernorm.weight"))
@@ -122,7 +131,18 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
             acc["bk"].append(get(p + "self_attn.k_proj.bias"))
             acc["bv"].append(get(p + "self_attn.v_proj.bias"))
         acc["wo"].append(get(p + "self_attn.o_proj.weight").T)
-        acc["ffn_norm"].append(get(p + "post_attention_layernorm.weight"))
+        if gemma:
+            # gemma2's sandwich norms: post_attention is a POST norm and
+            # the pre-FFN norm has its own key (models/gemma2.py layout)
+            acc["post_attn_norm"].append(
+                get(p + "post_attention_layernorm.weight"))
+            acc["ffn_norm"].append(
+                get(p + "pre_feedforward_layernorm.weight"))
+            acc["post_ffn_norm"].append(
+                get(p + "post_feedforward_layernorm.weight"))
+        else:
+            acc["ffn_norm"].append(
+                get(p + "post_attention_layernorm.weight"))
         acc["w_gate"].append(get(p + "mlp.gate_proj.weight").T)  # [H, I]
         acc["w_up"].append(get(p + "mlp.up_proj.weight").T)
         acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
@@ -150,6 +170,12 @@ def load_hf_checkpoint(path: str, dtype=None) -> Tuple[ModelConfig, Params]:
     with open(os.path.join(path, "config.json")) as f:
         hf_cfg = json.load(f)
     cfg = model_config_from_hf(hf_cfg)
+
+    if dtype is not None:
+        # an explicit load dtype is the activation policy too — otherwise
+        # f32-loaded params run under the config's default bf16 activations
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, dtype=str(jnp.dtype(dtype)))
 
     from safetensors.numpy import load_file
     sd: Dict[str, np.ndarray] = {}

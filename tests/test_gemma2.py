@@ -167,3 +167,33 @@ class TestGemma2Quantized:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(g), atol=0.2,
                                    rtol=0.2)
         assert (jnp.argmax(g, -1) == jnp.argmax(gq, -1)).all()
+
+
+class TestGemma2Checkpoint:
+    def test_save_pretrained_roundtrip(self, tmp_path):
+        """A real HF gemma2 checkpoint directory (save_pretrained) loads
+        through load_hf_checkpoint and reproduces HF logits."""
+        import torch
+        from llm_inference_tpu.utils import checkpoint
+        cfg = tiny_gemma2()
+        model, _ = hf_model_and_params(cfg, seed=3)
+        d = str(tmp_path / "ck")
+        model.save_pretrained(d, safe_serialization=True)
+        lcfg, params = checkpoint.load_hf_checkpoint(d, dtype="float32")
+        assert lcfg.name.startswith("gemma")
+        assert lcfg.attn_logit_softcap == cfg.attn_logit_softcap
+        assert lcfg.scale_embeddings and lcfg.tie_word_embeddings
+        assert lcfg.sliding_pattern == "alternating"
+        rng = np.random.default_rng(3)
+        B, T = 1, 9
+        ids = rng.integers(0, cfg.vocab_size, (B, T))
+        with torch.no_grad():
+            hf = model(torch.tensor(ids)).logits.numpy()
+        cache = kvcache.init_cache(lcfg.num_layers, B, lcfg.num_kv_heads,
+                                   16, lcfg.head_dim, jnp.float32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        ours, _ = gemma2.forward(lcfg, params,
+                                 jnp.asarray(ids, jnp.int32), pos, cache,
+                                 logits_mode="all")
+        np.testing.assert_allclose(np.asarray(ours), hf, atol=2e-3,
+                                   rtol=2e-3)
