@@ -161,7 +161,9 @@ def forward(
     paged_history: bool = False,
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Same contract as models/llama.forward (dense cache)."""
-    if tp_axis is not None or paged_history:
+    from llm_inference_tpu.ops import paged_kvcache as _pk
+    if (tp_axis is not None or paged_history
+            or isinstance(cache, _pk.PagedKVCache)):
         raise NotImplementedError(
             "gemma2: tensor-parallel / paged serving not wired yet "
             "(single-device dense-cache engine path)")
