@@ -43,8 +43,12 @@ def build_engine(args):
         params = llama.quantize_params(params, qcfg, row_shards=args.tp)
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
-        # (gemma2 runs the jnp path — raw layer keys)
         params = llama.prepare_params(params, tp_size=args.tp)
+    elif args.quant != "none":
+        # gemma2 keeps raw layer keys (no qkv fusion) but still needs the
+        # column-blocked streaming layout for the Pallas quant matmul —
+        # without it every projection falls back to the slow XLA dequant
+        params = llama.prepare_params(params, fuse=False)
 
     tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
     mesh = None

@@ -391,7 +391,7 @@ class ChatSession:
     def __init__(self, engine: InferenceEngine,
                  template: Optional[Callable[[str, int], str]] = None):
         self.engine = engine
-        self.template = template or llama2_chat_template
+        self.template = template or chat_template_for(engine.cfg.name)
         self.cache = None
         self.pos = 0          # next unwritten cache slot / absolute position
         self.round = 0
@@ -466,6 +466,19 @@ def llama2_chat_template(user_text: str, round_idx: int) -> str:
     """LLaMA-2-chat prompt format (equivalent of the reference's MakeInput
     history splicing, src/models/basemodel.h:24-33)."""
     return f"[INST] {user_text} [/INST]"
+
+
+def gemma_chat_template(user_text: str, round_idx: int) -> str:
+    """Gemma instruction format (<start_of_turn> markers)."""
+    return (f"<start_of_turn>user\n{user_text}<end_of_turn>\n"
+            f"<start_of_turn>model\n")
+
+
+def chat_template_for(model_name: str):
+    """Per-family chat template (ChatSession default selection)."""
+    if model_name.split("-")[0].startswith("gemma"):
+        return gemma_chat_template
+    return llama2_chat_template
 
 
 def format_chat_messages(messages: Sequence[dict]) -> str:

@@ -60,14 +60,14 @@ class SpeculativeDecoder:
     """Greedy speculative decoding over an InferenceEngine (batch 1)."""
 
     def __init__(self, engine, gamma: int = 4, ngram: int = 3):
-        from llm_inference_tpu.models import llama
         self.engine = engine
         self.gamma = gamma
         self.ngram = ngram
         cfg = engine.cfg
+        model = engine._model        # registry-dispatched (gemma2 included)
 
         def verify(params, ids, positions, cache):
-            return llama.forward(cfg, params, ids, positions, cache,
+            return model.forward(cfg, params, ids, positions, cache,
                                  logits_mode="all")
 
         self._verify_jit = jax.jit(verify, donate_argnums=(3,))

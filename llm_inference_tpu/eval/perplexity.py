@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig
 from llm_inference_tpu.models import llama
+from llm_inference_tpu.models import registry as _registry
 from llm_inference_tpu.ops import kvcache
 
 
@@ -50,7 +51,8 @@ def score_token_logprobs(
     window = min(window, N)
 
     fwd = jax.jit(
-        lambda p, i, q, c: llama.forward(cfg, p, i, q, c, logits_mode="all"),
+        lambda p, i, q, c: _registry.get_model(cfg.name).forward(
+            cfg, p, i, q, c, logits_mode="all"),
         donate_argnums=(3,))
 
     out = np.full((N - 1,), np.nan, np.float32)

@@ -201,8 +201,12 @@ def forward(
         if last_idx is None:
             last_idx = jnp.full((B,), T - 1, jnp.int32)
         h = h[jnp.arange(B), last_idx]
-    logits = jnp.dot(h.astype(jnp.float32),
-                     params["embed"].T.astype(jnp.float32))
+    lm_head = params.get("lm_head")
+    if lm_head is None:          # tied (the gemma2 default)
+        logits = jnp.dot(h.astype(jnp.float32),
+                         params["embed"].T.astype(jnp.float32))
+    else:                        # untied finetunes
+        logits = matmul(h, lm_head).astype(jnp.float32)
     if cfg.final_logit_softcap > 0.0:
         logits = (jnp.tanh(logits / cfg.final_logit_softcap)
                   * cfg.final_logit_softcap)

@@ -60,7 +60,11 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
     if rope_scaling is not None and not isinstance(rope_scaling, dict):
         rope_scaling = dict(rope_scaling)
     family = g("model_type", "llama")
-    gemma = str(family).startswith("gemma")
+    if str(family).startswith("gemma") and family != "gemma2":
+        raise NotImplementedError(
+            f"model_type {family!r}: only the gemma2 generation is wired "
+            f"(gemma-1 lacks the sandwich norms; gemma3 adds qk-norms)")
+    gemma = family == "gemma2"
     return ModelConfig(
         name=family,
         vocab_size=g("vocab_size"),
@@ -116,7 +120,7 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         return _np(sd[name]).astype(np.float32)
 
     L = cfg.num_layers
-    gemma = cfg.name.startswith("gemma")
+    gemma = cfg.name.split("-")[0] == "gemma2"
     acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                            "w_gate", "w_up", "w_down", "bq", "bk", "bv",
                            "post_attn_norm", "post_ffn_norm")}

@@ -197,3 +197,27 @@ class TestGemma2Checkpoint:
                                  logits_mode="all")
         np.testing.assert_allclose(np.asarray(ours), hf, atol=2e-3,
                                    rtol=2e-3)
+
+    def test_blocked_streaming_layout(self):
+        """prepare_params(fuse=False) gives gemma the column-blocked QTensor
+        layout the Pallas quant matmul needs (CLI quantized path)."""
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.models import llama
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          head_dim=32)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        q = llama.quantize_params(params, QuantConfig(weights="int8"))
+        qb = llama.prepare_params(q, fuse=False, donate=False)
+        assert qb["layers"]["wq"].block_n > 0
+        ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+
+        def run(p):
+            cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                       32, cfg.head_dim, jnp.float32)
+            out, _ = gemma2.forward(cfg, p, ids, pos, cache)
+            return out
+        # blocked ref path accumulates per column-block → small numeric
+        # reordering vs the flat path; layout plumbing is what's under test
+        np.testing.assert_allclose(np.asarray(run(qb)), np.asarray(run(q)),
+                                   atol=3e-2, rtol=3e-2)
