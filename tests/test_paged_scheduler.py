@@ -149,3 +149,20 @@ class TestPagedScheduler:
                                                max_new_tokens=5)]
         assert got == want
         assert sched.store.hit_tokens >= 32      # 4 full pages reused
+
+    def test_drain_inflight_paged_releases_pages(self, engine):
+        """Elastic-recovery drain on the PAGED backend: pages return to the
+        pool (prefix refs released) and replay completes identically."""
+        paged = PagedScheduler(engine, GEN, slots=2, prefix_cache=True)
+        free0 = paged.alloc.free_pages
+        r1 = paged.submit([5, 6, 7, 8, 9, 10, 11, 12, 13], max_new_tokens=8)
+        paged.step()     # admit + first decode chunk (budget not exhausted)
+        assert any(r is r1 for r in paged.slot_req)
+        drained = paged.drain_inflight()
+        assert drained and drained[0] is r1
+        # pages back (cached prefix pages stay in the store, rc=0)
+        cached = len(paged.store)
+        assert paged.alloc.free_pages == free0 - cached
+        while paged.step():
+            pass
+        assert len(r1.output_ids) == 8
