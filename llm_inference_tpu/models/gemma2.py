@@ -17,8 +17,9 @@ just by hyperparameters:
 - Embeddings scaled by sqrt(hidden); lm_head tied.
 
 Shares the framework's cache/rope/attention/sampling machinery and the
-engine serves it through the model registry. Scope (honest): single-device
-and dense-cache; the jnp attention path is used throughout (the Pallas
+engine serves it through the model registry. Scope (honest): single-device,
+dense OR paged KV cache (paged serving incl. prefix caching goes through
+the gather path); the jnp attention path is used throughout (the Pallas
 kernels take a static window — a mixed-window scan needs a kernel variant;
 planned). Quantization reuses the same QTensor layer keys.
 
@@ -34,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig
-from llm_inference_tpu.ops import attention, kvcache, rope
+from llm_inference_tpu.ops import attention, kvcache, paged_kvcache, rope
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.quantization import QTensor
 
@@ -97,7 +98,7 @@ def _layer_windows(cfg: ModelConfig) -> jnp.ndarray:
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, base_mask, cos, sin, window):
+           write_offsets, cos, sin, window):
     """One Gemma-2 layer: sandwich-normed attention + GeGLU FFN.
     `window` is this layer's sliding-window size (0 = global), a traced
     per-layer scalar from the scan xs."""
@@ -118,24 +119,40 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
-    cache = kvcache.update_cache_layer(cache, layer_idx, k, v, write_offsets)
-    S = cache.max_seq_len
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
+    if paged:
+        from llm_inference_tpu.models.llama import _gather_paged
+        if T == 1:
+            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
+                                              positions[:, 0])
+        else:
+            start_blocks = write_offsets // cache.page_size
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k, v, T // cache.page_size, start_blocks)
+        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+        S = cache.max_blocks * cache.page_size
+    else:
+        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
+                                           write_offsets)
+        S = cache.max_seq_len
+
+        def at_layer(x):
+            return (None if x is None else
+                    jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                                 keepdims=False))
+        kd, vd = at_layer(cache.k), at_layer(cache.v)
+        ksd, vsd = at_layer(cache.k_scale), at_layer(cache.v_scale)
     # per-layer dynamic window folded into the causal mask (window 0 ⇒ the
     # >= condition is trivially true for in-range slots)
     slots = jnp.arange(S, dtype=positions.dtype)
+    causal = slots[None, None, :] <= positions[:, :, None]
     win_ok = (window <= 0) | (slots[None, None, :]
                               > positions[:, :, None] - window)
-    mask = base_mask & win_ok[:, None, :, :]
-
-    def at_layer(x):
-        return (None if x is None else
-                jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
-                                             keepdims=False))
-    attn = attention.attend(q, at_layer(cache.k), at_layer(cache.v), mask,
+    mask = (causal & win_ok)[:, None, :, :]
+    attn = attention.attend(q, kd, vd, mask,
                             scale=scale,
                             logit_softcap=cfg.attn_logit_softcap,
-                            k_scale=at_layer(cache.k_scale),
-                            v_scale=at_layer(cache.v_scale))
+                            k_scale=ksd, v_scale=vsd)
     attn = mm("wo", attn.reshape(B, T, -1))
     h = h + gemma_rms_norm(attn, lp["post_attn_norm"], eps)
 
@@ -161,20 +178,19 @@ def forward(
     paged_history: bool = False,
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Same contract as models/llama.forward (dense cache)."""
-    from llm_inference_tpu.ops import paged_kvcache as _pk
-    if (tp_axis is not None or paged_history
-            or isinstance(cache, _pk.PagedKVCache)):
+    if tp_axis is not None:
         raise NotImplementedError(
-            "gemma2: tensor-parallel / paged serving not wired yet "
-            "(single-device dense-cache engine path)")
+            "gemma2: tensor-parallel serving not wired yet "
+            "(single-device engine path; dense or paged cache)")
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
     B, T = ids.shape
-    S = cache.max_seq_len
+    S = (cache.max_blocks * cache.page_size if paged
+         else cache.max_seq_len)
     dtype = jnp.dtype(cfg.dtype)
 
     h = params["embed"][ids].astype(dtype)
     if cfg.scale_embeddings:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
-    base_mask = attention.make_attention_mask(positions, S)
     write_offsets = positions[:, 0]
     cos, sin = rope.make_rope_table(
         min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
@@ -189,7 +205,7 @@ def forward(
         h, cache, idx = carry
         window = lp.pop("_window")
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, base_mask, cos, sin, window)
+                          write_offsets, cos, sin, window)
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)

@@ -221,3 +221,43 @@ class TestGemma2Checkpoint:
         # reordering vs the flat path; layout plumbing is what's under test
         np.testing.assert_allclose(np.asarray(run(qb)), np.asarray(run(q)),
                                    atol=3e-2, rtol=3e-2)
+
+
+class TestGemma2Paged:
+    def _engine(self):
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16), page_size=8))
+
+    def test_paged_first_token_matches_dense(self):
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler, PagedScheduler)
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=4,
+                               eos_token_ids=(1,))
+        prompts = [[5, 6, 7, 8, 9], [20, 21]]
+        dense = ContinuousBatchingScheduler(eng, gen, slots=2)
+        want = [r.output_ids[0] for r in dense.run(
+            [list(p) for p in prompts], max_new_tokens=1)]
+        paged = PagedScheduler(eng, gen, slots=2)
+        got = [r.output_ids[0] for r in paged.run(
+            [list(p) for p in prompts], max_new_tokens=1)]
+        assert got == want
+
+    def test_paged_prefix_cache_gemma(self):
+        from llm_inference_tpu.engine.scheduler import PagedScheduler
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=5,
+                               eos_token_ids=(1,))
+        rng = np.random.default_rng(4)
+        prompt = list(rng.integers(2, 120, 19))
+        golden = PagedScheduler(eng, gen, slots=2)
+        want = [r.output_ids for r in golden.run([list(prompt)] * 2)]
+        sched = PagedScheduler(eng, gen, slots=2, prefix_cache=True)
+        got = [r.output_ids for r in sched.run([list(prompt)] * 2)]
+        assert got == want
+        assert sched.store.hit_tokens > 0
