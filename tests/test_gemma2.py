@@ -261,3 +261,30 @@ class TestGemma2Paged:
         got = [r.output_ids for r in sched.run([list(prompt)] * 2)]
         assert got == want
         assert sched.store.hit_tokens > 0
+
+
+class TestGemma2Decoders:
+    def test_beam_and_speculative_work(self):
+        """Beam search and n-gram speculative decoding run gemma through
+        the registry-dispatched forwards (greedy-exact where applicable)."""
+        from llm_inference_tpu.engine.beam_search import beam_search
+        from llm_inference_tpu.engine.speculative import SpeculativeDecoder
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=4,
+                                    prefill_buckets=(8, 16)))
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
+                               eos_token_ids=(1,))
+        want = eng.generate([[5, 6, 7, 8]], gen)[0].token_ids
+        # beam W=1 == greedy
+        hyps = beam_search(eng, [5, 6, 7, 8], beam_width=1,
+                           max_new_tokens=8, eos_token_ids=(1,))
+        assert hyps[0].token_ids == want
+        # speculative == greedy
+        got, _ = SpeculativeDecoder(eng, gamma=3).generate([5, 6, 7, 8], gen)
+        if 1 in got:
+            got = got[:got.index(1)]
+        assert got == want
