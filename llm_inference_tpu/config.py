@@ -59,6 +59,9 @@ class ModelConfig:
     # (0 → head_dim), embeddings scaled by sqrt(hidden_size).
     query_pre_attn_scalar: float = 0.0
     scale_embeddings: bool = False
+    # Mixture-of-experts (mixtral): 0 = dense FFN.
+    num_experts: int = 0
+    experts_per_token: int = 2
 
     @property
     def q_per_kv(self) -> int:
@@ -157,6 +160,16 @@ def qwen2_7b(**kw) -> ModelConfig:
                        qkv_bias=True, tie_word_embeddings=False, **kw)
 
 
+def mixtral_8x7b(**kw) -> ModelConfig:
+    """Mixtral-8x7B: llama attention + top-2 of 8 experts per token."""
+    return ModelConfig(name="mixtral-8x7b", vocab_size=32000,
+                       hidden_size=4096, intermediate_size=14336,
+                       num_layers=32, num_heads=32, num_kv_heads=8,
+                       head_dim=128, rms_norm_eps=1e-5,
+                       rope_theta=1000000.0, max_position_embeddings=32768,
+                       num_experts=8, experts_per_token=2, **kw)
+
+
 def gemma2_2b(**kw) -> ModelConfig:
     """Gemma-2-2B: sandwich norms, GeGLU, logit softcaps, alternating
     sliding-window attention, tied + scaled embeddings."""
@@ -205,6 +218,7 @@ PRESETS = {
     "llama3.1-70b": llama3_1_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
+    "mixtral-8x7b": mixtral_8x7b,
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
     "tiny-llama": tiny_llama,

@@ -1,0 +1,223 @@
+"""Mixtral (sparse mixture-of-experts) decoder as a pure JAX function.
+
+Third model family; adds the MoE dimension the reference never had
+(LLaMA-only, src/models/llama/*) and completes the parallelism inventory:
+expert parallelism (see expert_axis below) joins dp/tp/pp/sp.
+
+Architecture = llama attention (GQA + RoPE) with the FFN replaced by a
+top-k routed expert mixture (HF MixtralSparseMoeBlock semantics, matched
+exactly):
+    probs  = softmax(router(x))             # over ALL experts
+    top-k  = highest-k probs, renormalized to sum 1
+    y      = Σ_{e ∈ top-k} w_e · SwiGLU_e(x)
+
+TPU-first evaluation: DENSE-MASKED compute — every expert runs on every
+token and the router mask zeroes the non-selected terms. At serving batch
+sizes this is the right trade: with B·T tokens ≪ E·capacity there is no
+MXU-friendly way to pack ragged per-expert token groups, while dense
+compute keeps every matmul static-shaped (XLA-tileable) and makes expert
+parallelism trivially correct: shard the EXPERT axis of the stacked
+weights [L, E, ...] over a mesh axis, let each shard compute its local
+experts' masked contributions, and psum — one collective per layer, no
+all-to-all. (A capacity-based gather path is the known optimization for
+prefill-heavy workloads; the shard-local structure here composes with it.)
+
+Dense and paged caches; single device or expert-parallel via
+`expert_axis` inside shard_map (parallel/sharding.shard_moe_params).
+Validated against transformers' MixtralForCausalLM
+(tests/test_mixtral.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.config import ModelConfig
+from llm_inference_tpu.ops import (activations, attention, kvcache, norms,
+                                   paged_kvcache, rope)
+from llm_inference_tpu.ops.linear import matmul
+from llm_inference_tpu.ops.quantization import QTensor
+
+Params = Dict[str, Any]
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
+    """Random dummy weights (perf/testing path)."""
+    assert cfg.num_experts > 0, "mixtral needs num_experts > 0"
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    H, L, E = cfg.hidden_size, cfg.num_layers, cfg.num_experts
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(key, 10)
+    std = 0.02
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dtype),
+        "wq": rnd(ks[0], (L, H, Hq * D)),
+        "wk": rnd(ks[1], (L, H, Hkv * D)),
+        "wv": rnd(ks[2], (L, H, Hkv * D)),
+        "wo": rnd(ks[3], (L, Hq * D, H)),
+        "ffn_norm": jnp.ones((L, H), dtype),
+        "router": rnd(ks[4], (L, H, E)),
+        "e_gate": rnd(ks[5], (L, E, H, I)),
+        "e_up": rnd(ks[6], (L, E, H, I)),
+        "e_down": rnd(ks[7], (L, E, I, H)),
+    }
+    return {
+        "embed": rnd(ks[8], (V, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": rnd(ks[9], (H, V)),
+    }
+
+
+def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
+            e_down, expert_axis: Optional[str] = None) -> jnp.ndarray:
+    """Top-k routed expert mixture over tokens x [B, T, H] (HF semantics:
+    full softmax, select top-k, renormalize). Dense-masked: every local
+    expert computes, router weights zero the unselected terms.
+
+    Under expert parallelism the caller passes shard-local expert slices
+    and the EP axis name; the psum completes the mixture."""
+    E, k = cfg.num_experts, cfg.experts_per_token
+    logits = jnp.einsum("bth,he->bte", x.astype(jnp.float32),
+                        router_w.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)                   # [B, T, E]
+    top_vals, _ = jax.lax.top_k(probs, k)
+    kth = top_vals[..., -1:]                                  # k-th largest
+    sel = jnp.where(probs >= kth, probs, 0.0)
+    sel = sel / jnp.maximum(jnp.sum(sel, axis=-1, keepdims=True), 1e-9)
+    if expert_axis is not None:
+        # local slice of the expert axis: offset the weight columns
+        e_local = e_gate.shape[0]
+        off = jax.lax.axis_index(expert_axis) * e_local
+        sel = jax.lax.dynamic_slice_in_dim(sel, off, e_local, axis=2)
+    e_local = e_gate.shape[0]
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(e_local):                                  # static loop
+        act = activations.swiglu_split(
+            matmul(x, e_gate[e]), matmul(x, e_up[e]))
+        y = matmul(act, e_down[e]).astype(jnp.float32)
+        out = out + sel[..., e:e + 1] * y
+    if expert_axis is not None:
+        out = jax.lax.psum(out, expert_axis)
+    return out.astype(x.dtype)
+
+
+def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
+           write_offsets, cos, sin, expert_axis):
+    B, T, H = h.shape
+    D = cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    def mm(name, x):
+        if name in qw:
+            return matmul(x, qw[name], layer=layer_idx)
+        return matmul(x, lp[name])
+
+    normed = norms.rms_norm(h, lp["attn_norm"], eps)
+    q = mm("wq", normed).reshape(B, T, -1, D)
+    k = mm("wk", normed).reshape(B, T, -1, D)
+    v = mm("wv", normed).reshape(B, T, -1, D)
+    q = rope.apply_rope(q, positions, cos, sin)
+    k = rope.apply_rope(k, positions, cos, sin)
+
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
+    if paged:
+        from llm_inference_tpu.models.llama import _gather_paged
+        if T == 1:
+            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
+                                              positions[:, 0])
+        else:
+            start_blocks = write_offsets // cache.page_size
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k, v, T // cache.page_size, start_blocks)
+        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+        S = cache.max_blocks * cache.page_size
+    else:
+        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
+                                           write_offsets)
+        S = cache.max_seq_len
+
+        def at_layer(x):
+            return (None if x is None else
+                    jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                                 keepdims=False))
+        kd, vd = at_layer(cache.k), at_layer(cache.v)
+        ksd, vsd = at_layer(cache.k_scale), at_layer(cache.v_scale)
+    mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
+    attn = attention.attend(q, kd, vd, mask, k_scale=ksd, v_scale=vsd)
+    h = h + mm("wo", attn.reshape(B, T, -1))
+
+    normed = norms.rms_norm(h, lp["ffn_norm"], eps)
+    h = h + moe_ffn(cfg, normed, lp["router"], lp["e_gate"], lp["e_up"],
+                    lp["e_down"], expert_axis)
+    return h, cache
+
+
+def forward(
+    cfg: ModelConfig,
+    params: Params,
+    ids: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: kvcache.KVCache,
+    *,
+    logits_mode: str = "last",
+    last_idx: Optional[jnp.ndarray] = None,
+    tp_axis: Optional[str] = None,       # reused as the EXPERT axis here
+    paged_history: bool = False,
+) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
+    """Same contract as models/llama.forward. `tp_axis` names the EXPERT-
+    parallel mesh axis when running inside shard_map (attention and
+    non-expert weights replicated; expert weights sharded on E)."""
+    expert_axis = tp_axis
+    B, T = ids.shape
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
+    S = (cache.max_blocks * cache.page_size if paged
+         else cache.max_seq_len)
+    dtype = jnp.dtype(cfg.dtype)
+
+    h = params["embed"][ids].astype(dtype)
+    write_offsets = positions[:, 0]
+    cos, sin = rope.make_rope_table(
+        min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scaling)
+
+    qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
+    xs = {k: v for k, v in params["layers"].items()
+          if not isinstance(v, QTensor)}
+
+    def body(carry, lp):
+        h, cache, idx = carry
+        h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
+                          write_offsets, cos, sin, expert_axis)
+        return (h, cache, idx + 1), None
+
+    (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)
+
+    if logits_mode == "none":
+        return None, new_cache
+    h = norms.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if logits_mode == "last":
+        if last_idx is None:
+            last_idx = jnp.full((B,), T - 1, jnp.int32)
+        h = h[jnp.arange(B), last_idx]
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(h.astype(jnp.float32),
+                         params["embed"].T.astype(jnp.float32))
+    else:
+        logits = matmul(h, lm_head).astype(jnp.float32)
+    return logits, new_cache
+
+
+# register with the factory
+from llm_inference_tpu.models import registry as _registry  # noqa: E402
+import sys as _sys  # noqa: E402
+_registry.register_model("mixtral", _sys.modules[__name__])
