@@ -65,6 +65,10 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
             f"model_type {family!r}: only the gemma2 generation is wired "
             f"(gemma-1 lacks the sandwich norms; gemma3 adds qk-norms)")
     gemma = family == "gemma2"
+    moe_kw = {}
+    if family == "mixtral":
+        moe_kw = dict(num_experts=g("num_local_experts", 8),
+                      experts_per_token=g("num_experts_per_tok", 2))
     return ModelConfig(
         name=family,
         vocab_size=g("vocab_size"),
@@ -86,6 +90,7 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         final_logit_softcap=g("final_logit_softcapping") or 0.0,
         query_pre_attn_scalar=g("query_pre_attn_scalar") or 0.0,
         scale_embeddings=gemma,
+        **moe_kw,
     )
 
 
@@ -121,9 +126,11 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
 
     L = cfg.num_layers
     gemma = cfg.name.split("-")[0] == "gemma2"
+    moe = cfg.num_experts > 0
     acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                            "w_gate", "w_up", "w_down", "bq", "bk", "bv",
-                           "post_attn_norm", "post_ffn_norm")}
+                           "post_attn_norm", "post_ffn_norm",
+                           "router", "e_gate", "e_up", "e_down")}
     for i in range(L):
         p = f"layers.{i}."
         acc["attn_norm"].append(get(p + "input_layernorm.weight"))
@@ -147,9 +154,23 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         else:
             acc["ffn_norm"].append(
                 get(p + "post_attention_layernorm.weight"))
-        acc["w_gate"].append(get(p + "mlp.gate_proj.weight").T)  # [H, I]
-        acc["w_up"].append(get(p + "mlp.up_proj.weight").T)
-        acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
+        if moe:
+            # mixtral sparse MoE block: router gate + per-expert w1/w3/w2
+            acc["router"].append(
+                get(p + "block_sparse_moe.gate.weight").T)   # [H, E]
+            acc["e_gate"].append(np.stack(
+                [get(p + f"block_sparse_moe.experts.{e}.w1.weight").T
+                 for e in range(cfg.num_experts)]))
+            acc["e_up"].append(np.stack(
+                [get(p + f"block_sparse_moe.experts.{e}.w3.weight").T
+                 for e in range(cfg.num_experts)]))
+            acc["e_down"].append(np.stack(
+                [get(p + f"block_sparse_moe.experts.{e}.w2.weight").T
+                 for e in range(cfg.num_experts)]))
+        else:
+            acc["w_gate"].append(get(p + "mlp.gate_proj.weight").T)  # [H, I]
+            acc["w_up"].append(get(p + "mlp.up_proj.weight").T)
+            acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
 
     layers = {k: _as_jnp(np.stack(v), dtype)
               for k, v in acc.items() if v}

@@ -177,3 +177,29 @@ class TestMixtralServing:
         got = [r.output_ids for r in sched.run([list(prompt)] * 2)]
         assert got == want
         assert sched.store.hit_tokens > 0
+
+
+class TestMixtralCheckpoint:
+    def test_save_pretrained_roundtrip(self, tmp_path):
+        import torch
+        from llm_inference_tpu.utils import checkpoint
+        cfg = tiny_mixtral()
+        model, _ = hf_model_and_params(cfg, seed=3)
+        d = str(tmp_path / "ck")
+        model.save_pretrained(d, safe_serialization=True)
+        lcfg, params = checkpoint.load_hf_checkpoint(d, dtype="float32")
+        assert lcfg.num_experts == cfg.num_experts
+        assert lcfg.experts_per_token == cfg.experts_per_token
+        rng = np.random.default_rng(3)
+        B, T = 1, 7
+        ids = rng.integers(0, cfg.vocab_size, (B, T))
+        with torch.no_grad():
+            hf = model(torch.tensor(ids)).logits.numpy()
+        cache = kvcache.init_cache(lcfg.num_layers, B, lcfg.num_kv_heads,
+                                   16, lcfg.head_dim, jnp.float32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        ours, _ = mixtral.forward(lcfg, params,
+                                  jnp.asarray(ids, jnp.int32), pos, cache,
+                                  logits_mode="all")
+        np.testing.assert_allclose(np.asarray(ours), hf, atol=2e-3,
+                                   rtol=2e-3)
