@@ -25,17 +25,30 @@ def build_engine(args):
     from llm_inference_tpu.models import registry
 
     if args.checkpoint:
-        cfg, params = checkpoint.load_hf_checkpoint(args.checkpoint,
-                                                    dtype=args.dtype)
+        with open(f"{args.checkpoint}/config.json") as f:
+            import json as _json
+            cfg = checkpoint.model_config_from_hf(_json.load(f))
     else:
         preset = C.PRESETS.get(args.model, C.tiny_llama)
         cfg = preset()
+
+    # validate BEFORE materializing weights (an 8x7B dummy build is minutes)
+    is_llama = registry.get_model(cfg.name) is llama
+    if args.tp > 1 and not is_llama:
+        raise SystemExit(f"--tp is wired for the llama family only "
+                         f"(got {cfg.name})")
+    if args.quant != "none" and cfg.num_experts > 0:
+        raise SystemExit(f"--quant needs the dense-FFN layer layout; "
+                         f"{cfg.name} (MoE) keeps bf16 weights for now")
+
+    if args.checkpoint:
+        cfg, params = checkpoint.load_hf_checkpoint(args.checkpoint,
+                                                    dtype=args.dtype)
+    else:
         print(f"[cli] no checkpoint given — dummy weights for {cfg.name} "
               f"(the reference CLI does the same, user_entry.cpp:21)")
         params = registry.get_model(cfg.name).init_params(
             cfg, jax.random.PRNGKey(0), dtype=args.dtype)
-
-    is_llama = registry.get_model(cfg.name) is llama
     if args.tp > 1:
         params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":

@@ -98,7 +98,7 @@ def _layer_windows(cfg: ModelConfig) -> jnp.ndarray:
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, cos, sin, window):
+           write_offsets, base_mask, cos, sin, window):
     """One Gemma-2 layer: sandwich-normed attention + GeGLU FFN.
     `window` is this layer's sliding-window size (0 = global), a traced
     per-layer scalar from the scan xs."""
@@ -119,36 +119,15 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
-    paged = isinstance(cache, paged_kvcache.PagedKVCache)
-    if paged:
-        from llm_inference_tpu.models.llama import _gather_paged
-        if T == 1:
-            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
-                                              positions[:, 0])
-        else:
-            start_blocks = write_offsets // cache.page_size
-            cache = paged_kvcache.write_prompt_batch(
-                cache, layer_idx, k, v, T // cache.page_size, start_blocks)
-        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
-        S = cache.max_blocks * cache.page_size
-    else:
-        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
-                                           write_offsets)
-        S = cache.max_seq_len
-
-        def at_layer(x):
-            return (None if x is None else
-                    jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
-                                                 keepdims=False))
-        kd, vd = at_layer(cache.k), at_layer(cache.v)
-        ksd, vsd = at_layer(cache.k_scale), at_layer(cache.v_scale)
-    # per-layer dynamic window folded into the causal mask (window 0 ⇒ the
-    # >= condition is trivially true for in-range slots)
+    from llm_inference_tpu.models.llama import write_kv_and_views
+    cache, kd, vd, ksd, vsd, S = write_kv_and_views(
+        cache, layer_idx, k, v, positions, write_offsets, B, T)
+    # only the per-layer WINDOW term is layer-varying; the causal mask is
+    # computed once in forward
     slots = jnp.arange(S, dtype=positions.dtype)
-    causal = slots[None, None, :] <= positions[:, :, None]
     win_ok = (window <= 0) | (slots[None, None, :]
                               > positions[:, :, None] - window)
-    mask = (causal & win_ok)[:, None, :, :]
+    mask = base_mask & win_ok[:, None, :, :]
     attn = attention.attend(q, kd, vd, mask,
                             scale=scale,
                             logit_softcap=cfg.attn_logit_softcap,
@@ -192,6 +171,7 @@ def forward(
     if cfg.scale_embeddings:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
     write_offsets = positions[:, 0]
+    base_mask = attention.make_attention_mask(positions, S)
     cos, sin = rope.make_rope_table(
         min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling)
@@ -205,7 +185,7 @@ def forward(
         h, cache, idx = carry
         window = lp.pop("_window")
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, cos, sin, window)
+                          write_offsets, base_mask, cos, sin, window)
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)

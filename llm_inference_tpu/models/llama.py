@@ -410,6 +410,37 @@ def _gather_paged(cache, layer_idx, B):
     return kd, vd, ksd, vsd
 
 
+def write_kv_and_views(cache, layer_idx, k, v, positions, write_offsets,
+                       B, T):
+    """Shared cache-dispatch for the jnp attention path (gemma2/mixtral):
+    write this layer's K/V into a dense OR paged cache and return dense
+    views + scales + the slot count. Paged prefill writes at per-sequence
+    start blocks (positions need not start at 0), so chunked admission and
+    prefix-cache suffix prefill work for every family."""
+    if isinstance(cache, paged_kvcache.PagedKVCache):
+        if T == 1:
+            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
+                                              positions[:, 0])
+        else:
+            start_blocks = write_offsets // cache.page_size
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k, v, T // cache.page_size, start_blocks)
+        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+        S = cache.max_blocks * cache.page_size
+        return cache, kd, vd, ksd, vsd, S
+
+    cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
+                                       write_offsets)
+
+    def at_layer(x):
+        return (None if x is None else
+                jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                             keepdims=False))
+    return (cache, at_layer(cache.k), at_layer(cache.v),
+            at_layer(cache.k_scale), at_layer(cache.v_scale),
+            cache.max_seq_len)
+
+
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str],
            paged_history: bool = False):

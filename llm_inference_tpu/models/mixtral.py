@@ -23,7 +23,7 @@ all-to-all. (A capacity-based gather path is the known optimization for
 prefill-heavy workloads; the shard-local structure here composes with it.)
 
 Dense and paged caches; single device or expert-parallel via
-`expert_axis` inside shard_map (parallel/sharding.shard_moe_params).
+`expert_axis` inside shard_map (specs: parallel/sharding.moe_param_pspecs).
 Validated against transformers' MixtralForCausalLM
 (tests/test_mixtral.py).
 """
@@ -89,16 +89,17 @@ def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
     logits = jnp.einsum("bth,he->bte", x.astype(jnp.float32),
                         router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                   # [B, T, E]
-    top_vals, _ = jax.lax.top_k(probs, k)
-    kth = top_vals[..., -1:]                                  # k-th largest
-    sel = jnp.where(probs >= kth, probs, 0.0)
+    # exactly k experts, index-tie-broken like torch.topk (a >=kth-value
+    # mask would select extras on ties)
+    top_vals, top_idx = jax.lax.top_k(probs, k)
+    sel = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=probs.dtype)
+                  * top_vals[..., None], axis=-2)             # [B, T, E]
     sel = sel / jnp.maximum(jnp.sum(sel, axis=-1, keepdims=True), 1e-9)
+    e_local = e_gate.shape[0]
     if expert_axis is not None:
         # local slice of the expert axis: offset the weight columns
-        e_local = e_gate.shape[0]
         off = jax.lax.axis_index(expert_axis) * e_local
         sel = jax.lax.dynamic_slice_in_dim(sel, off, e_local, axis=2)
-    e_local = e_gate.shape[0]
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(e_local):                                  # static loop
         act = activations.swiglu_split(
@@ -111,7 +112,7 @@ def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, cos, sin, expert_axis):
+           write_offsets, mask, cos, sin, expert_axis):
     B, T, H = h.shape
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -128,30 +129,9 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
-    paged = isinstance(cache, paged_kvcache.PagedKVCache)
-    if paged:
-        from llm_inference_tpu.models.llama import _gather_paged
-        if T == 1:
-            cache = paged_kvcache.write_token(cache, layer_idx, k, v,
-                                              positions[:, 0])
-        else:
-            start_blocks = write_offsets // cache.page_size
-            cache = paged_kvcache.write_prompt_batch(
-                cache, layer_idx, k, v, T // cache.page_size, start_blocks)
-        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
-        S = cache.max_blocks * cache.page_size
-    else:
-        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
-                                           write_offsets)
-        S = cache.max_seq_len
-
-        def at_layer(x):
-            return (None if x is None else
-                    jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
-                                                 keepdims=False))
-        kd, vd = at_layer(cache.k), at_layer(cache.v)
-        ksd, vsd = at_layer(cache.k_scale), at_layer(cache.v_scale)
-    mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
+    from llm_inference_tpu.models.llama import write_kv_and_views
+    cache, kd, vd, ksd, vsd, _ = write_kv_and_views(
+        cache, layer_idx, k, v, positions, write_offsets, B, T)
     attn = attention.attend(q, kd, vd, mask, k_scale=ksd, v_scale=vsd)
     h = h + mm("wo", attn.reshape(B, T, -1))
 
@@ -185,6 +165,7 @@ def forward(
 
     h = params["embed"][ids].astype(dtype)
     write_offsets = positions[:, 0]
+    mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
     cos, sin = rope.make_rope_table(
         min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling)
@@ -196,7 +177,7 @@ def forward(
     def body(carry, lp):
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, cos, sin, expert_axis)
+                          write_offsets, mask, cos, sin, expert_axis)
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)

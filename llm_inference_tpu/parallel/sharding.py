@@ -108,6 +108,21 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
         params)
 
 
+def moe_param_pspecs(params, expert_axis: str = "expert"):
+    """PartitionSpecs for expert parallelism over a mixtral params pytree:
+    stacked expert weights [L, E, H, I] shard their EXPERT axis; router,
+    attention, norms, and embeddings replicate (models/mixtral.moe_ffn
+    completes the mixture with one psum per layer)."""
+    espec = {"layers": {
+        k: (P(None, expert_axis, None, None)
+            if k in ("e_gate", "e_up", "e_down") else P())
+        for k in params["layers"]}}
+    for k in params:
+        if k != "layers":
+            espec[k] = P()
+    return espec
+
+
 def paged_cache_pspec(tensor_axis: str = "tensor", quantized: bool = False):
     """Paged pool [L, P, Hkv, ps, D]: kv heads over tensor, the page pool
     itself replicated across data (the pool is request-global — per-page

@@ -136,11 +136,8 @@ class TestExpertParallel:
         golden, _ = mixtral.forward(cfg, params, ids, pos, new_cache())
 
         mesh = Mesh(np.asarray(jax.devices()[:ep]).reshape(ep), ("expert",))
-        espec = {"layers": {
-            k: (P(None, "expert", None, None)
-                if k in ("e_gate", "e_up", "e_down") else P())
-            for k in params["layers"]}}
-        espec.update({"embed": P(), "final_norm": P(), "lm_head": P()})
+        from llm_inference_tpu.parallel.sharding import moe_param_pspecs
+        espec = moe_param_pspecs(params, "expert")
         sharded = jax.device_put(
             params, jax.tree.map(lambda s: NamedSharding(mesh, s), espec,
                                  is_leaf=lambda x: isinstance(x, P)))
