@@ -37,9 +37,9 @@ def build_engine(args):
     if args.tp > 1 and not is_llama:
         raise SystemExit(f"--tp is wired for the llama family only "
                          f"(got {cfg.name})")
-    if args.quant != "none" and cfg.num_experts > 0:
-        raise SystemExit(f"--quant needs the dense-FFN layer layout; "
-                         f"{cfg.name} (MoE) keeps bf16 weights for now")
+    model_mod = registry.get_model(cfg.name)
+    quantize_fn = getattr(model_mod, "quantize_params",
+                          llama.quantize_params)
 
     if args.checkpoint:
         cfg, params = checkpoint.load_hf_checkpoint(args.checkpoint,
@@ -53,7 +53,7 @@ def build_engine(args):
         params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":
         qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
-        params = llama.quantize_params(params, qcfg, row_shards=args.tp)
+        params = quantize_fn(params, qcfg, row_shards=args.tp)
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
         params = llama.prepare_params(params, tp_size=args.tp)

@@ -78,14 +78,22 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
 
 
 def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
-            e_down, expert_axis: Optional[str] = None) -> jnp.ndarray:
+            e_down, expert_axis: Optional[str] = None,
+            layer_idx=None) -> jnp.ndarray:
     """Top-k routed expert mixture over tokens x [B, T, H] (HF semantics:
     full softmax, select top-k, renormalize). Dense-masked: every local
     expert computes, router weights zero the unselected terms.
 
+    Expert weights are either dense per-layer slices [E, K, N] (scan xs)
+    or QUANTIZED whole-model stacks: QTensors flattened to [L·E, K', N]
+    (quantize_params below), indexed inside the kernel at layer_idx·E + e —
+    the stacked-operand/scalar-prefetch rule that keeps scanned custom
+    calls copy-free (CLAUDE.md invariant) applied to a second stack axis.
+
     Under expert parallelism the caller passes shard-local expert slices
     and the EP axis name; the psum completes the mixture."""
     E, k = cfg.num_experts, cfg.experts_per_token
+    quantized = isinstance(e_gate, QTensor)
     logits = jnp.einsum("bth,he->bte", x.astype(jnp.float32),
                         router_w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                   # [B, T, E]
@@ -95,20 +103,54 @@ def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
     sel = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=probs.dtype)
                   * top_vals[..., None], axis=-2)             # [B, T, E]
     sel = sel / jnp.maximum(jnp.sum(sel, axis=-1, keepdims=True), 1e-9)
-    e_local = e_gate.shape[0]
+    e_local = E if quantized else e_gate.shape[0]
     if expert_axis is not None:
+        if quantized:
+            raise NotImplementedError(
+                "expert parallelism over quantized experts: shard the "
+                "flattened [L*E] stack before calling (not wired)")
         # local slice of the expert axis: offset the weight columns
         off = jax.lax.axis_index(expert_axis) * e_local
         sel = jax.lax.dynamic_slice_in_dim(sel, off, e_local, axis=2)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(e_local):                                  # static loop
-        act = activations.swiglu_split(
-            matmul(x, e_gate[e]), matmul(x, e_up[e]))
-        y = matmul(act, e_down[e]).astype(jnp.float32)
+        if quantized:
+            idx = layer_idx * E + e
+            act = activations.swiglu_split(
+                matmul(x, e_gate, layer=idx), matmul(x, e_up, layer=idx))
+            y = matmul(act, e_down, layer=idx).astype(jnp.float32)
+        else:
+            act = activations.swiglu_split(
+                matmul(x, e_gate[e]), matmul(x, e_up[e]))
+            y = matmul(act, e_down[e]).astype(jnp.float32)
         out = out + sel[..., e:e + 1] * y
     if expert_axis is not None:
         out = jax.lax.psum(out, expert_axis)
     return out.astype(x.dtype)
+
+
+def quantize_params(params: Params, qcfg, row_shards: int = 1) -> Params:
+    """Quantize attention weights (stacked [L, K, N]) AND expert weights
+    (flattened to [L·E, K, N] so the layer-indexed quant-matmul kernels
+    serve them with index layer·E + e). The router stays dense (it is a
+    [H, E] sliver and accuracy-critical)."""
+    from llm_inference_tpu.ops.quantization import quantize
+    if not qcfg.enabled:
+        return params
+    bits = {"int8": 8, "int4": 4}[qcfg.weights]
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo"):
+        layers[name] = jax.vmap(
+            lambda m: quantize(m, bits, qcfg.group_size))(layers[name])
+    for name in ("e_gate", "e_up", "e_down"):
+        w = layers[name]                       # [L, E, K, N]
+        L_, E_, K, N = w.shape
+        layers[name] = jax.vmap(
+            lambda m: quantize(m, bits, qcfg.group_size))(
+                w.reshape(L_ * E_, K, N))
+    out["layers"] = layers
+    return out
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
@@ -136,8 +178,11 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     h = h + mm("wo", attn.reshape(B, T, -1))
 
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
-    h = h + moe_ffn(cfg, normed, lp["router"], lp["e_gate"], lp["e_up"],
-                    lp["e_down"], expert_axis)
+    eg = qw.get("e_gate", lp.get("e_gate"))
+    eu = qw.get("e_up", lp.get("e_up"))
+    ed = qw.get("e_down", lp.get("e_down"))
+    h = h + moe_ffn(cfg, normed, lp["router"], eg, eu, ed, expert_axis,
+                    layer_idx=layer_idx)
     return h, cache
 
 

@@ -200,3 +200,28 @@ class TestMixtralCheckpoint:
                                   logits_mode="all")
         np.testing.assert_allclose(np.asarray(ours), hf, atol=2e-3,
                                    rtol=2e-3)
+
+
+class TestMixtralQuantized:
+    def test_int8_experts_same_argmax(self):
+        """Attention AND expert weights quantized (experts as [L*E, K, N]
+        stacks, kernel-indexed at layer*E + e): argmax-consistent."""
+        from llm_inference_tpu.config import QuantConfig
+        cfg = tiny_mixtral(hidden_size=128, intermediate_size=128,
+                           head_dim=32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        q = mixtral.quantize_params(params, QuantConfig(weights="int8"))
+        assert q["layers"]["e_gate"].q.shape[0] == (cfg.num_layers
+                                                    * cfg.num_experts)
+        ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+
+        def run(p):
+            cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                       16, cfg.head_dim, jnp.float32)
+            out, _ = mixtral.forward(cfg, p, ids, pos, cache)
+            return out
+        g, gq = run(params), run(q)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(g), atol=0.2,
+                                   rtol=0.2)
+        assert (jnp.argmax(g, -1) == jnp.argmax(gq, -1)).all()
