@@ -100,6 +100,31 @@ def main():
                                    vseq.transpose(0, 2, 1, 3), pos[:, None])
     ok &= check("paged_decode_attention", got, want)
 
+    # --- compiled quantized-MoE forward: the quant-matmul kernel serving
+    #     an [L*E]-stacked expert weight (index layer*E + e) ---
+    from llm_inference_tpu.config import ModelConfig, QuantConfig
+    from llm_inference_tpu.models import mixtral, llama as _llama
+    from llm_inference_tpu.ops import kvcache as _kv
+    mcfg = ModelConfig(name="mixtral-smoke", vocab_size=512,
+                       hidden_size=512, intermediate_size=1024,
+                       num_layers=2, num_heads=4, num_kv_heads=2,
+                       head_dim=128, num_experts=4, experts_per_token=2,
+                       dtype="bfloat16")
+    mp = mixtral.init_params(mcfg, jax.random.PRNGKey(7))
+    mq = mixtral.quantize_params(mp, QuantConfig(weights="int8"))
+    mq = _llama.prepare_params(mq, fuse=False, donate=False)
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+
+    def mrun(p):
+        c = _kv.init_cache(mcfg.num_layers, 1, mcfg.num_kv_heads, 64,
+                           mcfg.head_dim, jnp.bfloat16)
+        out, _ = jax.jit(lambda pp, cc: mixtral.forward(mcfg, pp, ids, pos,
+                                                        cc))(p, c)
+        return out.astype(jnp.float32)
+    ok &= check("mixtral int8 experts (L*E stack)", mrun(mq), mrun(mp),
+                tol=6e-2)
+
     log("ALL OK" if ok else "FAILURES — see above")
     sys.exit(0 if ok else 1)
 
