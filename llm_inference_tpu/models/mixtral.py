@@ -77,6 +77,57 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
     }
 
 
+def init_params_quantized(cfg: ModelConfig, key: jax.Array, qcfg,
+                          dtype=None) -> Params:
+    """Random quantized dummy weights built directly as QTensors — the
+    perf path for 8x7B-class models (a dense bf16 init would need ~93 GB
+    before quantization ever ran; cf. llama.init_params_quantized)."""
+    if not qcfg.enabled:
+        return init_params(cfg, key, dtype)
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    bits = {"int8": 8, "int4": 4}[qcfg.weights]
+    H, L, E = cfg.hidden_size, cfg.num_layers, cfg.num_experts
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    ks = iter(jax.random.split(key, 16))
+    qmax = 2 ** (bits - 1) - 1
+    scale_val = 0.02 / qmax
+
+    def qrnd(k, n_stack, K, N):
+        rows = K // 2 if bits == 4 else K
+        q = jax.random.randint(k, (n_stack, rows, N), -128, 128,
+                               jnp.int32).astype(jnp.int8)
+        gs = qcfg.group_size
+        groups = K // gs if (0 < gs < K) else 1
+        scale = jnp.full((n_stack, groups, N), scale_val, jnp.float32)
+        return QTensor(q=q, scale=scale, bits=bits,
+                       group_size=qcfg.group_size, orig_dtype=str(dtype),
+                       block_rows=(K // 2 if bits == 4 else 0))
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02
+                ).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dtype),
+        "wq": qrnd(next(ks), L, H, Hq * D),
+        "wk": qrnd(next(ks), L, H, Hkv * D),
+        "wv": qrnd(next(ks), L, H, Hkv * D),
+        "wo": qrnd(next(ks), L, Hq * D, H),
+        "ffn_norm": jnp.ones((L, H), dtype),
+        "router": rnd(next(ks), (L, H, E)),
+        "e_gate": qrnd(next(ks), L * E, H, I),
+        "e_up": qrnd(next(ks), L * E, H, I),
+        "e_down": qrnd(next(ks), L * E, I, H),
+    }
+    return {
+        "embed": rnd(next(ks), (V, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": rnd(next(ks), (H, V)),
+    }
+
+
 def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
             e_down, expert_axis: Optional[str] = None,
             layer_idx=None) -> jnp.ndarray:

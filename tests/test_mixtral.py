@@ -225,3 +225,26 @@ class TestMixtralQuantized:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(g), atol=0.2,
                                    rtol=0.2)
         assert (jnp.argmax(g, -1) == jnp.argmax(gq, -1)).all()
+
+    def test_init_params_quantized_matches_layout(self):
+        """Direct-QTensor dummy builder (the 8x7B perf path — a dense init
+        would need ~93 GB) produces the same pytree layout quantize_params
+        does, and the forward runs."""
+        from llm_inference_tpu.config import QuantConfig
+        cfg = tiny_mixtral(hidden_size=128, intermediate_size=128,
+                           head_dim=32)
+        q = mixtral.init_params_quantized(cfg, jax.random.PRNGKey(0),
+                                          QuantConfig(weights="int8"))
+        ref = mixtral.quantize_params(
+            mixtral.init_params(cfg, jax.random.PRNGKey(0)),
+            QuantConfig(weights="int8"))
+        assert (jax.tree_util.tree_structure(q)
+                == jax.tree_util.tree_structure(ref))
+        for a, b in zip(jax.tree.leaves(q), jax.tree.leaves(ref)):
+            assert a.shape == b.shape, (a.shape, b.shape)
+        cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 16,
+                                   cfg.head_dim, jnp.float32)
+        ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+        pos = jnp.arange(3, dtype=jnp.int32)[None]
+        out, _ = mixtral.forward(cfg, q, ids, pos, cache)
+        assert out.shape == (1, cfg.vocab_size)
