@@ -441,50 +441,18 @@ def write_kv_and_views(cache, layer_idx, k, v, positions, write_offsets,
             cache.max_seq_len)
 
 
-def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, mask, cos, sin, tp_axis: Optional[str],
-           paged_history: bool = False):
-    """One decoder layer. h: [B, T, H] (replicated across TP).
+def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
+                     positions, write_offsets, mask,
+                     paged_history: bool = False):
+    """Write this layer's K/V into the (dense or paged) cache and attend —
+    with the full Pallas kernel dispatch (decode / flash / paged kernels,
+    jnp fallbacks). Shared by llama and mixtral (mixtral has no per-layer
+    window or custom scale, so the same kernels serve it); gemma2's
+    per-layer alternating window keeps it on write_kv_and_views + jnp.
 
-    Layer-varying state is split three ways:
-    - `lp`: small per-layer tensors (norms, biases, dense weights) — scanned
-      xs, sliced by the scan itself.
-    - `qw`: stacked QTensor weights, passed WHOLE and indexed by `layer_idx`
-      inside the matmul kernel (a scan-sliced operand to an opaque Pallas
-      call would be materialized — an HBM→HBM copy of every weight every
-      step; see ops/pallas/quant_matmul._quant_matmul_blocked).
-    - the FULL stacked cache (k_all [L, B, Hkv_local, D, S], v_all
-      [L, B, Hkv_local, S, D]) — scan CARRY, updated in place via while-loop
-      carry aliasing, pages addressed by `layer_idx` (kvcache.
-      update_kv_cache_layer)."""
-    B, T, H = h.shape
-    D = cfg.head_dim
-    eps = cfg.rms_norm_eps
-
-    def mm(name, x, bias=None):
-        if name in qw:
-            return matmul(x, qw[name], bias=bias, layer=layer_idx)
-        return matmul(x, lp[name], bias=bias)
-
-    # --- attention block ---
-    normed = norms.rms_norm(h, lp["attn_norm"], eps)
-    if "wqkv" in qw or "wqkv" in lp:
-        # load-time fused projection (fuse_params); split is shard-local
-        qkv = mm("wqkv", normed, bias=lp.get("bqkv"))
-        n_local = qkv.shape[-1]
-        nq = n_local * cfg.num_heads // (cfg.num_heads + 2 * cfg.num_kv_heads)
-        nkv = (n_local - nq) // 2
-        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv], qkv[..., nq + nkv:])
-    else:
-        q = mm("wq", normed, bias=lp.get("bq"))
-        k = mm("wk", normed, bias=lp.get("bk"))
-        v = mm("wv", normed, bias=lp.get("bv"))
-    q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
-    k = k.reshape(B, T, -1, D)
-    v = v.reshape(B, T, -1, D)
-    q = rope.apply_rope(q, positions, cos, sin)
-    k = rope.apply_rope(k, positions, cos, sin)
-
+    q/k/v: [B, T, H*, D] (post-rope). Returns (attn [B, T, Hq, D], cache).
+    """
+    B, T = q.shape[:2]
     if isinstance(cache, paged_kvcache.PagedKVCache):
         # ---- paged path (vLLM-style pool; see ops/paged_kvcache.py) ----
         if T == 1:
@@ -529,17 +497,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
             attn = attention.attend(q, k.transpose(0, 2, 1, 3),
                                     v.transpose(0, 2, 1, 3), mask,
                                     logit_softcap=cfg.attn_logit_softcap)
-        attn = mm("wo", attn.reshape(B, T, -1))
-        h = h + _psum(attn, tp_axis)
-        normed = norms.rms_norm(h, lp["ffn_norm"], eps)
-        if "w_gateup" in qw or "w_gateup" in lp:
-            gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
-            act = activations.swiglu_split(gate, up)
-        else:
-            act = activations.swiglu_split(mm("w_gate", normed),
-                                           mm("w_up", normed))
-        h = h + _psum(mm("w_down", act), tp_axis)
-        return h, cache
+        return attn, cache
 
     cache = kvcache.update_cache_layer(cache, layer_idx, k, v, write_offsets)
     S = cache.max_seq_len
@@ -562,6 +520,56 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                 mask, logit_softcap=cfg.attn_logit_softcap,
                                 k_scale=at_layer(cache.k_scale),
                                 v_scale=at_layer(cache.v_scale))
+    return attn, cache
+
+
+def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
+           write_offsets, mask, cos, sin, tp_axis: Optional[str],
+           paged_history: bool = False):
+    """One decoder layer. h: [B, T, H] (replicated across TP).
+
+    Layer-varying state is split three ways:
+    - `lp`: small per-layer tensors (norms, biases, dense weights) — scanned
+      xs, sliced by the scan itself.
+    - `qw`: stacked QTensor weights, passed WHOLE and indexed by `layer_idx`
+      inside the matmul kernel (a scan-sliced operand to an opaque Pallas
+      call would be materialized — an HBM→HBM copy of every weight every
+      step; see ops/pallas/quant_matmul._quant_matmul_blocked).
+    - the FULL stacked cache (k_all [L, B, Hkv_local, D, S], v_all
+      [L, B, Hkv_local, S, D]) — scan CARRY, updated in place via while-loop
+      carry aliasing, pages addressed by `layer_idx` (kvcache.
+      update_kv_cache_layer)."""
+    B, T, H = h.shape
+    D = cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    def mm(name, x, bias=None):
+        if name in qw:
+            return matmul(x, qw[name], bias=bias, layer=layer_idx)
+        return matmul(x, lp[name], bias=bias)
+
+    # --- attention block ---
+    normed = norms.rms_norm(h, lp["attn_norm"], eps)
+    if "wqkv" in qw or "wqkv" in lp:
+        # load-time fused projection (fuse_params); split is shard-local
+        qkv = mm("wqkv", normed, bias=lp.get("bqkv"))
+        n_local = qkv.shape[-1]
+        nq = n_local * cfg.num_heads // (cfg.num_heads + 2 * cfg.num_kv_heads)
+        nkv = (n_local - nq) // 2
+        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nkv], qkv[..., nq + nkv:])
+    else:
+        q = mm("wq", normed, bias=lp.get("bq"))
+        k = mm("wk", normed, bias=lp.get("bk"))
+        v = mm("wv", normed, bias=lp.get("bv"))
+    q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
+    k = k.reshape(B, T, -1, D)
+    v = v.reshape(B, T, -1, D)
+    q = rope.apply_rope(q, positions, cos, sin)
+    k = rope.apply_rope(k, positions, cos, sin)
+
+    attn, cache = cached_attention(cfg, q, k, v, cache, layer_idx,
+                                   positions, write_offsets, mask,
+                                   paged_history)
     attn = mm("wo", attn.reshape(B, T, -1))
     h = h + _psum(attn, tp_axis)
 

@@ -222,10 +222,9 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
-    from llm_inference_tpu.models.llama import write_kv_and_views
-    cache, kd, vd, ksd, vsd, _ = write_kv_and_views(
-        cache, layer_idx, k, v, positions, write_offsets, B, T)
-    attn = attention.attend(q, kd, vd, mask, k_scale=ksd, v_scale=vsd)
+    from llm_inference_tpu.models.llama import cached_attention
+    attn, cache = cached_attention(cfg, q, k, v, cache, layer_idx,
+                                   positions, write_offsets, mask)
     h = h + mm("wo", attn.reshape(B, T, -1))
 
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
@@ -261,7 +260,10 @@ def forward(
 
     h = params["embed"][ids].astype(dtype)
     write_offsets = positions[:, 0]
-    mask = attention.make_attention_mask(positions, S, cfg.sliding_window)
+    # llama's mask convention: paged prefill attends the FRESH tokens only
+    # (history attendance goes through cached_attention's gather branches)
+    mask = attention.make_attention_mask(positions, T if paged else S,
+                                         cfg.sliding_window)
     cos, sin = rope.make_rope_table(
         min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
         cfg.rope_scaling)
