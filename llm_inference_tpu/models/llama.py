@@ -397,16 +397,21 @@ def _gather_paged(cache, layer_idx, B):
     nb_, ps_ = cache.max_blocks, cache.page_size
 
     def gather(pages):
-        g = pages[layer_idx][cache.page_table]
-        # [B, NB, Hkv, ps(, D)] → [B, Hkv, NB·ps(, D)]
-        perm = (0, 2, 1, 3) if g.ndim == 4 else (0, 2, 1, 3, 4)
-        g = g.transpose(perm)
-        return g.reshape(B, g.shape[1], nb_ * ps_, *g.shape[4:])
+        # [B, NB, Hkv, ps, D] → [B, Hkv, NB·ps, D]
+        g = pages[layer_idx][cache.page_table].transpose(0, 2, 1, 3, 4)
+        return g.reshape(B, g.shape[1], nb_ * ps_, g.shape[4])
+
+    def gather_scales(s):
+        # slot-major pool scales [L, P, ps, Hkv] → [B, NB·ps, Hkv]
+        # (ops.attention.attend's scale convention) — a pure gather+merge
+        g = s[layer_idx][cache.page_table]
+        return g.reshape(B, nb_ * ps_, g.shape[3])
 
     kd, vd = gather(cache.k_pages), gather(cache.v_pages)
     ksd = vsd = None
     if cache.quantized:
-        ksd, vsd = gather(cache.k_scale), gather(cache.v_scale)
+        ksd = gather_scales(cache.k_scale)
+        vsd = gather_scales(cache.v_scale)
     return kd, vd, ksd, vsd
 
 

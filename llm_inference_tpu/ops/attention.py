@@ -51,7 +51,7 @@ def attend(
     mask: jnp.ndarray,         # [B, 1, T, S] bool
     scale: Optional[float] = None,
     logit_softcap: float = 0.0,
-    k_scale: Optional[jnp.ndarray] = None,   # [B, Hkv, S] — int8 cache mode
+    k_scale: Optional[jnp.ndarray] = None,   # [B, S, Hkv] — int8 cache mode
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Masked multi-head attention with GQA, fp32 softmax.
@@ -73,14 +73,14 @@ def attend(
     scores = jnp.einsum("bhgtd,bhsd->bhgts", qg, k.astype(qg.dtype),
                         preferred_element_type=jnp.float32)
     scores = scores.astype(jnp.float32) * scale
-    if k_scale is not None:
-        scores = scores * k_scale[:, :, None, None, :]
+    if k_scale is not None:     # [B, S, Hkv] slot-major → [B, Hkv, 1, 1, S]
+        scores = scores * jnp.swapaxes(k_scale, 1, 2)[:, :, None, None, :]
     if logit_softcap > 0.0:
         scores = jnp.tanh(scores / logit_softcap) * logit_softcap
     scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
-        probs = probs * v_scale[:, :, None, None, :]
+        probs = probs * jnp.swapaxes(v_scale, 1, 2)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(q.dtype),
                      v.astype(q.dtype), preferred_element_type=jnp.float32)
     out = out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)

@@ -41,9 +41,12 @@ class PagedKVCache:
                       unallocated entries may hold any valid page id — reads
                       beyond a sequence's length are masked by position)
 
-    INT8 mode: pages hold int8 codes and k_scale/v_scale hold per-(head,
-    row) float32 scales [L, P, Hkv, page_size] — the same exact outside-the-
-    dot scale folding as the dense int8 cache (ops/kvcache.py).
+    INT8 mode: pages hold int8 codes and k_scale/v_scale hold per-(row,
+    head) float32 scales stored SLOT-MAJOR [L, P, page_size, Hkv] — same
+    rationale as the dense int8 cache (ops/kvcache.py): the attention
+    kernel consumes [ps, hb] scale blocks with rows on sublanes and
+    dequantizes codes in VMEM; head-major storage forced a relayout copy
+    of the whole scale pool every layer every step.
     """
     k_pages: jnp.ndarray
     v_pages: jnp.ndarray
@@ -74,7 +77,7 @@ def init_paged_cache(num_layers: int, num_pages: int, num_kv_heads: int,
     shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
     pt = jnp.zeros((batch, max_blocks), jnp.int32)
     if dtype == jnp.int8 or dtype == "int8":
-        sshape = shape[:-1]
+        sshape = (num_layers, num_pages, page_size, num_kv_heads)
         return PagedKVCache(k_pages=jnp.zeros(shape, jnp.int8),
                             v_pages=jnp.zeros(shape, jnp.int8),
                             page_table=pt,
@@ -155,11 +158,11 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
         v_pages = jax.lax.dynamic_update_slice(
             v_pages, v_rows[b][None, None, :, None], idx)
         if cache.quantized:
-            sidx = (layer, pages[b], zero, row[b])
+            sidx = (layer, pages[b], row[b], zero)
             k_sc = jax.lax.dynamic_update_slice(
-                k_sc, ks_rows[b][None, None, :, None], sidx)
+                k_sc, ks_rows[b][None, None, None, :], sidx)
             v_sc = jax.lax.dynamic_update_slice(
-                v_sc, vs_rows[b][None, None, :, None], sidx)
+                v_sc, vs_rows[b][None, None, None, :], sidx)
     return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
                         page_table=cache.page_table,
                         k_scale=k_sc, v_scale=v_sc)
@@ -196,8 +199,8 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
         from llm_inference_tpu.ops.quantization import quantize_kv
         k_new, ks = quantize_kv(k_new)          # [B, T, H, D], [B, T, H, 1]
         v_new, vs = quantize_kv(v_new)
-        sb = ks[..., 0].reshape(B, num_blocks, ps, H).transpose(0, 1, 3, 2)
-        vb_s = vs[..., 0].reshape(B, num_blocks, ps, H).transpose(0, 1, 3, 2)
+        sb = ks[..., 0].reshape(B, num_blocks, ps, H)     # slot-major pages
+        vb_s = vs[..., 0].reshape(B, num_blocks, ps, H)
     kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
     vb = v_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
     if start_blocks is None:

@@ -4,32 +4,49 @@ Reference analogue: `launchDecoderMaskedMHA` (reference:
 src/kernels/fused_decoder_self_attention.cu:80-390) — one fused kernel doing
 q·K over the cache, online softmax, and P·V per (batch, head). The reference
 assigns one CUDA block per (batch, q-head) and loops over cached tokens; on
-TPU the design criteria are DMA size (HBM streaming of KV pages) and keeping
-the per-step compute in a FIXED, small number of MXU ops:
+TPU the design criteria are DMA size (HBM streaming of KV pages), skipping
+the UNWRITTEN tail of the cache, and keeping the per-step compute in a
+FIXED, small number of MXU ops:
 
-- Grid (B, Hkv/hb): each invocation streams `hb` whole KV head pages
-  k/v [hb, S, D] (natural cache layout — see kvcache.py for why K is NOT
-  stored transposed), sized so k+v give the pipeline enough grid steps to
-  hide DMA latency while staying well within VMEM.
+- Grid (B, Hkv/hb, S/sb) with the online-softmax recurrence over the slot
+  blocks (running max/sum and the [hb·G, D] accumulator live in VMEM
+  scratch; output written once at the last block). hb and sb are chosen so
+  one k block [hb, sb, D] is ~1 MB — big enough to stream at HBM bandwidth,
+  while sb stays small so the skip granularity is fine.
+- LENGTH-AWARE STREAMING: the k/v/scale index maps clamp the slot-block
+  index at each sequence's fill (`min(j, pos // sb)`). Mosaic's pipeline
+  elides the DMA when consecutive grid steps map the same block, so slot
+  blocks beyond `pos` are never fetched — the kernel streams
+  ceil((pos+1)/sb)·sb slots, not the allocated S. (A serving-bucket cache
+  is typically 2-3x longer than the live sequence; the previous whole-S
+  kernel paid that multiple in HBM reads every layer.) A `pl.when` guard
+  skips the compute for those blocks too.
 - ALL hb pages fold into ONE MXU dot per tensor by flattening pages into the
   contraction/row dims (a per-head Python loop would serialize 3·hb tiny
   MXU ops):
-    scoresᵀ = K.reshape(hb·S, D) ·ᵀ q.reshape(hb·G, D)   → [hb·S, hb·G]
+    scoresᵀ = K.reshape(hb·sb, D) ·ᵀ q.reshape(hb·G, D)   → [hb·sb, hb·G]
               (dot_general contracting D of both — NT form, MXU-native)
-    out     = Pᵀ(hb·S, hb·G) ·ᵀᴺ V.reshape(hb·S, D)      → [hb·G, D]
-              (dot_general contracting the hb·S rows of both — TN form)
+    out     = Pᵀ(hb·sb, hb·G) ·ᵀᴺ V.reshape(hb·sb, D)     → [hb·G, D]
+              (dot_general contracting the hb·sb rows of both — TN form)
   Cross-head entries (row page ≠ column head) are masked to -inf before the
   softmax, so they contribute exp(-inf)=0 to the P·V sum — correctness
   without any block-diagonal data movement. The hb× extra MXU work rides
   idle MXU columns; decode attention is HBM-bound.
-- Softmax runs in f32 over the hb·S row dim (sublane reductions), masked by
-  `slot <= position` — the same rule as ops.attention.make_attention_mask.
-  Positions arrive via scalar prefetch; no [B, 1, T, S] mask tensor exists.
+- Masking is computed in-kernel from the scalar-prefetched positions
+  (`slot <= position` — the ops.attention.make_attention_mask rule); no
+  [B, 1, T, S] mask tensor exists.
 - GQA folds the q-head group G into the dot's N dimension — the kernel never
   materializes repeated KV heads (the reference needs a separate repeat_kv
   gather kernel for prefill; its decode kernel is MHA-only).
-- INT8 KV cache: per-(head, slot) scales fold EXACTLY outside the dots —
-  scoresᵀ rows scale by k_scale, softmaxed P rows scale by v_scale.
+- INT8 KV cache: per-(slot, head) scales are stored SLOT-MAJOR
+  ([L, B, S, Hkv] — slots on sublanes) so each grid step's scale block
+  [sb, hb] arrives in the natural VMEM layout, and K/V codes are
+  dequantized in VMEM right after the DMA (one extra VPU multiply per
+  element next to the int8→bf16 convert the dot needs anyway). The
+  previous head-major [L, B, Hkv, S] layout needed a [1, hb·S] lane-vector
+  reshape OUTSIDE the kernel, which XLA materialized as a full relayout
+  copy of the whole scale array EVERY LAYER EVERY STEP (measured 96 µs per
+  layer at B=8·S=512 — 3.1 ms/step, dwarfing the 47 µs attention kernel).
 - The layer index rides scalar prefetch so pages are read straight out of
   the FULL stacked cache (a scan-sliced operand into an opaque Pallas call
   would be materialized by XLA — an HBM→HBM copy every layer every step).
@@ -53,53 +70,95 @@ from llm_inference_tpu.ops.pallas import use_interpret
 
 NEG_INF = -1e30
 
-# Per-grid-step KV bytes: small enough that Hkv/hb gives the pipeline ≥4-8
-# steps to hide DMA latency, big enough for efficient DMA (≥0.5 MB/page set).
+# Per-grid-step KV bytes: small enough that the grid gives the pipeline
+# enough steps to hide DMA latency, big enough for efficient DMA.
 _KV_BYTES_PER_STEP = 1024 * 1024
-# Above this cache length the XLA path is used (needs S-blocked online
-# softmax to go longer; engine buckets keep S at or below this).
-_MAX_S = 8192
+# Above this cache length the XLA path is used (engine buckets keep S at or
+# below this).
+_MAX_S = 16384
 
 
-def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
-            hb: int, scale: float, softcap: float, quantized: bool):
+def _pick_blocks(Hkv: int, S: int, D: int, itemsize: int):
+    """(hb, sb): one k block [hb, sb, D] ≈ _KV_BYTES_PER_STEP, with sb as
+    small as possible (it is the skip granularity for unwritten slots)."""
+    hb = max(1, min(Hkv, _KV_BYTES_PER_STEP // (128 * D * itemsize)))
+    while Hkv % hb:
+        hb -= 1
+    sb = max(128, min(S, _KV_BYTES_PER_STEP // (hb * D * itemsize)))
+    sb -= sb % 128
+    while S % sb:
+        sb -= 128
+    return hb, sb
+
+
+def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+            acc_ref, m_ref, l_ref, *, hb: int, sb: int, ns: int, scale: float,
+            softcap: float, quantized: bool):
     b = pl.program_id(0)
+    j = pl.program_id(2)
     pos = pos_ref[b]
     _, _, G, D = q_ref.shape
-    S = k_ref.shape[3]
     HG = hb * G
-    HS = hb * S
+    HS = hb * sb
 
-    q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
-    kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, s)
-    # scores[(h',g), (h,s)] — contract D of both operands (NT form)
-    scores = jax.lax.dot_general(
-        q, kb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    if quantized:
-        # per-(head, slot) k scales fold EXACTLY into score columns;
-        # ks arrives pre-flattened as a [1, hb·S] lane vector (see caller)
-        scores = scores * ks_ref[0, 0, 0]
-    if softcap > 0.0:
-        scores = jnp.tanh(scores / softcap) * softcap
-    row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
-    ok = ((col // S) == (row // G)) & ((col % S) <= pos)
-    scores = jnp.where(ok, scores, NEG_INF)
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    m = jnp.max(scores, axis=1, keepdims=True)             # [HG, 1]
-    p = jnp.exp(scores - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)              # [HG, HS] f32
+    # blocks past the sequence fill are clamped to the same (last valid)
+    # block by the index maps — no DMA happens for them; skip compute too
+    @pl.when(j * sb <= pos)
+    def _():
+        q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)      # rows (h, g)
+        if quantized:
+            # Dequantize K/V in VMEM: per-(slot, head) scales arrive as a
+            # [sb, hb] block (slot-major storage — natural sublane layout,
+            # no relayout anywhere). One f32 multiply rides the int8→bf16
+            # convert the dots need anyway; rounding the scaled codes to
+            # bf16 matches the precision of a bf16 cache.
+            ks = ks_ref[0, 0]                                 # [sb, hb] f32
+            vs = vs_ref[0, 0]
+            kparts, vparts = [], []
+            for h in range(hb):
+                kparts.append((k_ref[0, 0, h].astype(jnp.float32)
+                               * ks[:, h:h + 1]).astype(jnp.bfloat16))
+                vparts.append((v_ref[0, 0, h].astype(jnp.float32)
+                               * vs[:, h:h + 1]).astype(jnp.bfloat16))
+            kb = jnp.concatenate(kparts, 0)                   # [hb·sb, D]
+            vb = jnp.concatenate(vparts, 0)
+        else:
+            kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # (h, s)
+            vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+        # scores[(h',g), (h,s)] — contract D of both operands (NT form)
+        scores = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+        slot = j * sb + col % sb
+        ok = ((col // sb) == (row // G)) & (slot <= pos)
+        scores = jnp.where(ok, scores, NEG_INF)
 
-    if quantized:
-        # ... and v scales fold into the probability columns
-        p = p * vs_ref[0, 0, 0]
-    vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
-    # cross-head entries of p are exp(-inf) = 0, so the plain [HG, HS] ×
-    # [HS, D] dot sums each output head only over its own page
-    out = jnp.dot(p.astype(jnp.bfloat16), vb,
-                  preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(hb, G, D).astype(o_ref.dtype)
+        m_prev = m_ref[:]                                     # [HG, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                           # [HG, HS] f32
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        # cross-head entries of p are exp(-inf) = 0, so the plain [HG, HS]
+        # × [HS, D] dot sums each output head only over its own page
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
+
+    @pl.when(j == ns - 1)
+    def _():
+        # slot `pos` is always written and unmasked → l > 0
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hb, G, D
+                                                   ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
@@ -108,45 +167,42 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
     B, Hkv, G, D = q.shape
     S = k_all.shape[3]
     quantized = ks_all is not None
-    hb = max(1, min(Hkv,
-                    _KV_BYTES_PER_STEP // (S * D * k_all.dtype.itemsize)))
-    while Hkv % hb:
-        hb -= 1
-    grid = (B, Hkv // hb)
-    kernel = functools.partial(_kernel, hb=hb, scale=scale, softcap=softcap,
-                               quantized=quantized)
+    hb, sb = _pick_blocks(Hkv, S, D, k_all.dtype.itemsize)
+    ns = S // sb
+    grid = (B, Hkv // hb, ns)
+    kernel = functools.partial(_kernel, hb=hb, sb=sb, ns=ns, scale=scale,
+                               softcap=softcap, quantized=quantized)
+
+    def kv_map(b, g, j, pos, lyr):
+        return (lyr[0], b, g, jnp.minimum(j, pos[b] // sb), 0)
+
     in_specs = [
         pl.BlockSpec((1, hb, G, D),
-                     lambda b, g, pos, lyr: (b, g, 0, 0)),
-        pl.BlockSpec((1, 1, hb, S, D),
-                     lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
-        pl.BlockSpec((1, 1, hb, S, D),
-                     lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
+                     lambda b, g, j, pos, lyr: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, hb, sb, D), kv_map),
+        pl.BlockSpec((1, 1, hb, sb, D), kv_map),
     ]
     operands = [q, k_all, v_all]
     if quantized:
-        # reshape scales [L, B, Hkv, S] → [L, B, Hkv/hb, 1, hb·S] (an XLA
-        # bitcast — the dims are contiguous) so the kernel receives each
-        # grid step's scales as a [1, hb·S] LANE vector: a lanes→sublanes
-        # relayout inside the kernel is an unsupported Mosaic shape cast.
-        L = k_all.shape[0]
-        ks2 = ks_all.reshape(L, B, Hkv // hb, 1, hb * S)
-        vs2 = vs_all.reshape(L, B, Hkv // hb, 1, hb * S)
+        # scales are stored slot-major [L, B, S, Hkv] — each grid step takes
+        # the natural [sb, hb] block (slots on sublanes, heads on lanes);
+        # the kernel dequantizes K/V codes with it. No reshape, no relayout.
+        def s_map(b, g, j, pos, lyr):
+            return (lyr[0], b, jnp.minimum(j, pos[b] // sb), g)
+
         in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, hb * S),
-                         lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, hb * S),
-                         lambda b, g, pos, lyr: (lyr[0], b, g, 0, 0)),
+            pl.BlockSpec((1, 1, sb, hb), s_map),
+            pl.BlockSpec((1, 1, sb, hb), s_map),
         ]
-        operands += [ks2, vs2]
+        operands += [ks_all, vs_all]
     else:
         # dummy 1-element scale blocks so the kernel arity is fixed
-        dummy = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+        dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, 128),
-                         lambda b, g, pos, lyr: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, 128),
-                         lambda b, g, pos, lyr: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr: (0, 0, 0, 0)),
         ]
         operands += [dummy, dummy]
     return pl.pallas_call(
@@ -156,11 +212,16 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, G, D),
-                                   lambda b, g, pos, lyr: (b, g, 0, 0)),
+                                   lambda b, g, j, pos, lyr: (b, g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((hb * G, D), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * G * S * D,
             bytes_accessed=(k_all.size + v_all.size) * k_all.dtype.itemsize
@@ -178,7 +239,7 @@ def decode_attention(
     positions: jnp.ndarray,    # [B] or [B, 1] absolute position of the token
     scale: float | None = None,
     logit_softcap: float = 0.0,
-    k_scale: jnp.ndarray | None = None,   # [L, B, Hkv, S] — int8 cache mode
+    k_scale: jnp.ndarray | None = None,   # [L, B, S, Hkv] — int8 cache mode
     v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused decode attention; returns [B, 1, Hq, D] in q.dtype.
@@ -193,7 +254,8 @@ def decode_attention(
         scale = 1.0 / (D ** 0.5)
     qg = q.reshape(B, Hkv, G, D)
     # positions + layer ride scalar prefetch (SMEM); the kernel indexes pos
-    # with program_id(0), and the index maps pick the cache layer.
+    # with program_id(0), and the index maps pick the cache layer and clamp
+    # slot blocks at each sequence's fill.
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr,

@@ -46,14 +46,25 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
-    kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, t)
+    if quantized:
+        # slot-major [ps, hb] scale blocks (natural layout — see
+        # decode_attention.py): dequantize the page's codes in VMEM
+        ks = ks_ref[0, 0]                                  # [ps, hb] f32
+        vs = vs_ref[0, 0]
+        kparts, vparts = [], []
+        for h in range(hb):
+            kparts.append((k_ref[0, 0, h].astype(jnp.float32)
+                           * ks[:, h:h + 1]).astype(jnp.bfloat16))
+            vparts.append((v_ref[0, 0, h].astype(jnp.float32)
+                           * vs[:, h:h + 1]).astype(jnp.bfloat16))
+        kb = jnp.concatenate(kparts, 0)                    # [hb·ps, D]
+        vb = jnp.concatenate(vparts, 0)
+    else:
+        kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, t)
+        vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
     scores = jax.lax.dot_general(
         q, kb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    if quantized:
-        # per-(head, row) k scales arrive pre-flattened as a [1, hb·ps]
-        # lane vector (see caller) — exact outside-the-dot folding
-        scores = scores * ks_ref[0, 0, 0]
     if softcap > 0.0:
         scores = jnp.tanh(scores / softcap) * softcap
     row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
@@ -68,9 +79,6 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref,
     p = jnp.exp(scores - m_new)                            # [HG, HS]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_ref[:] = m_new
-    if quantized:
-        p = p * vs_ref[0, 0, 0]
-    vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
         p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 
@@ -105,27 +113,24 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer, *,
                      (lyr[0], pt[b * NB + j], g, 0, 0)),
     ]
     if quantized:
-        # scales [L, P, Hkv, ps] → [L, P, Hkv/hb, 1, hb·ps] (contiguous
-        # merge) so each grid step gets a [1, hb·ps] LANE vector — an
-        # in-kernel lanes→sublanes relayout is an unsupported Mosaic cast
-        ks2 = ks_pages.reshape(L, P, Hkv // hb, 1, hb * ps)
-        vs2 = vs_pages.reshape(L, P, Hkv // hb, 1, hb * ps)
+        # slot-major scale pools [L, P, ps, Hkv]: the [ps, hb] block is the
+        # natural VMEM layout (rows on sublanes) — no reshape, no relayout
         in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, hb * ps),
+            pl.BlockSpec((1, 1, ps, hb),
                          lambda b, g, j, pos, lyr, pt:
-                         (lyr[0], pt[b * NB + j], g, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, hb * ps),
+                         (lyr[0], pt[b * NB + j], 0, g)),
+            pl.BlockSpec((1, 1, ps, hb),
                          lambda b, g, j, pos, lyr, pt:
-                         (lyr[0], pt[b * NB + j], g, 0, 0)),
+                         (lyr[0], pt[b * NB + j], 0, g)),
         ]
-        operands = [q, k_pages, v_pages, ks2, vs2]
+        operands = [q, k_pages, v_pages, ks_pages, vs_pages]
     else:
-        dummy = jnp.zeros((1, 1, 1, 1, 128), jnp.float32)
+        dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         in_specs += [
-            pl.BlockSpec((1, 1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 128),
+                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0)),
         ]
         operands = [q, k_pages, v_pages, dummy, dummy]
     return pl.pallas_call(
@@ -164,7 +169,7 @@ def paged_decode_attention(
     positions: jnp.ndarray,    # [B] absolute position of the new token
     scale: float | None = None,
     logit_softcap: float = 0.0,
-    k_scale: jnp.ndarray | None = None,   # [L, P, Hkv, ps] — int8 pools
+    k_scale: jnp.ndarray | None = None,   # [L, P, ps, Hkv] — int8 pools
     v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused decode attention over paged KV; returns [B, 1, Hq, D]."""

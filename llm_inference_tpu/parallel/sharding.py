@@ -130,7 +130,8 @@ def paged_cache_pspec(tensor_axis: str = "tensor", quantized: bool = False):
     table [B, nb] is host-managed and replicated."""
     from llm_inference_tpu.ops import paged_kvcache as _pk
     spec = P(None, None, tensor_axis, None, None)
-    sspec = P(None, None, tensor_axis, None) if quantized else None
+    # slot-major scale pools [L, P, ps, Hkv]: heads on the LAST axis
+    sspec = P(None, None, None, tensor_axis) if quantized else None
     return _pk.PagedKVCache(k_pages=spec, v_pages=spec,
                             page_table=P(None, None),
                             k_scale=sspec, v_scale=sspec)
@@ -146,10 +147,10 @@ def shard_paged_cache(cache, mesh: Mesh, tensor_axis: str = "tensor"):
 def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor",
                 quantized: bool = False, pipe_axis: Optional[str] = None):
     """[L, B, Hkv, ...] → layers over pipe (when set), batch over data, kv
-    heads over tensor; the int8 cache's per-(head, slot) scales
-    [L, B, Hkv, S] shard the same way."""
+    heads over tensor; the int8 cache's slot-major scales [L, B, S, Hkv]
+    shard kv-heads on their LAST axis."""
     spec = P(pipe_axis, data_axis, tensor_axis, None, None)
-    sspec = P(pipe_axis, data_axis, tensor_axis, None) if quantized else None
+    sspec = P(pipe_axis, data_axis, None, tensor_axis) if quantized else None
     return kvcache.KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 

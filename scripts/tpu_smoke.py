@@ -59,7 +59,7 @@ def main():
         ok &= check(f"decode_attn Hq={Hq} Hkv={Hkv} S={S}", got, want)
 
     kq = (jax.random.normal(key, (2, 1, 8, S, 128)) * 20).astype(jnp.int8)
-    kscale = jnp.full((2, 1, 8, S), 0.05, jnp.float32)
+    kscale = jnp.full((2, 1, S, 8), 0.05, jnp.float32)     # slot-major
     q1 = jax.random.normal(key, (1, 1, 32, 128), jnp.bfloat16)
     got = DA.decode_attention(q1, kq, kq, 1, jnp.array([300], jnp.int32),
                               k_scale=kscale, v_scale=kscale)

@@ -20,7 +20,7 @@ def test_init_quantized_cache():
     c = kvcache.init_cache(2, 3, 4, 16, 8, dtype="int8")
     assert c.quantized
     assert c.k.dtype == jnp.int8 and c.v.dtype == jnp.int8
-    assert c.k_scale.shape == (2, 3, 4, 16)
+    assert c.k_scale.shape == (2, 3, 16, 4)       # slot-major [L, B, S, Hkv]
 
 
 def test_update_writes_codes_and_scales():
@@ -31,12 +31,12 @@ def test_update_writes_codes_and_scales():
                                    jnp.array([4], jnp.int32))
     k = np.asarray(c.k); ks = np.asarray(c.k_scale)
     assert np.all(k[1, 0, :, 4:7] == 127)              # 2.5 / (2.5/127)
-    np.testing.assert_allclose(ks[1, 0, :, 4:7], 2.5 / 127.0, rtol=1e-6)
+    np.testing.assert_allclose(ks[1, 0, 4:7, :], 2.5 / 127.0, rtol=1e-6)
     assert np.all(k[0] == 0) and np.all(ks[0] == 0)    # other layer untouched
     v = np.asarray(c.v); vs = np.asarray(c.v_scale)
     np.testing.assert_allclose(
-        v[1, 0, :, 4:7].astype(np.float32) * vs[1, 0, :, 4:7, None], -1.25,
-        rtol=1e-2)
+        v[1, 0, :, 4:7].astype(np.float32)
+        * vs[1, 0, 4:7, :].T[:, :, None], -1.25, rtol=1e-2)
 
 
 @pytest.mark.parametrize("use_kernel", [False, True])

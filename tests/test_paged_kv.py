@@ -151,7 +151,7 @@ class TestPagedInt8:
         k_new = jnp.full((B, 1, H, D), 3.0, jnp.float32)
         c = pk.write_token(c, jnp.int32(0), k_new, -k_new,
                            jnp.array([ps + 3], jnp.int32))
-        # page 2, row 3 holds the token
+        # page 2, row 3 holds the token (scales are slot-major [.., ps, H])
         codes = np.asarray(c.k_pages)[0, 2, :, 3]
-        scale = np.asarray(c.k_scale)[0, 2, :, 3]
+        scale = np.asarray(c.k_scale)[0, 2, 3, :]
         np.testing.assert_allclose(codes * scale[:, None], 3.0, rtol=1e-2)
