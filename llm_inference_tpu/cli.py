@@ -33,9 +33,11 @@ def build_engine(args):
         cfg = preset()
 
     # validate BEFORE materializing weights (an 8x7B dummy build is minutes)
+    from llm_inference_tpu.models import gemma2 as _gemma2
     is_llama = registry.get_model(cfg.name) is llama
-    if args.tp > 1 and not is_llama:
-        raise SystemExit(f"--tp is wired for the llama family only "
+    is_gemma2 = registry.get_model(cfg.name) is _gemma2
+    if args.tp > 1 and not (is_llama or is_gemma2):
+        raise SystemExit(f"--tp is wired for the llama and gemma2 families "
                          f"(got {cfg.name})")
     model_mod = registry.get_model(cfg.name)
     quantize_fn = getattr(model_mod, "quantize_params",

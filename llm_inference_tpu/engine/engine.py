@@ -66,10 +66,13 @@ class InferenceEngine:
         from llm_inference_tpu.models import registry as _registry
         self._model = _registry.get_model(cfg.name)
         if self._sharded:
-            if self._model is not llama:
+            from llm_inference_tpu.models import gemma2 as _gemma2
+            if self._model not in (llama, _gemma2):
+                # mixtral's forward repurposes tp_axis as the EXPERT axis
+                # (moe_param_pspecs), so it needs its own engine wiring
                 raise NotImplementedError(
-                    f"multi-chip serving is wired for the llama family "
-                    f"only (got {cfg.name})")
+                    f"multi-chip serving is wired for the llama and gemma2 "
+                    f"families (got {cfg.name})")
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
             self.params = _sh.shard_params(params, mesh)

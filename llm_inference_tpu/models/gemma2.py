@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig
+from llm_inference_tpu.models.llama import (_psum,
+                                            _sharded_embedding_lookup)
 from llm_inference_tpu.ops import attention, kvcache, paged_kvcache, rope
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.quantization import QTensor
@@ -98,10 +100,17 @@ def _layer_windows(cfg: ModelConfig) -> jnp.ndarray:
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, base_mask, cos, sin, window):
+           write_offsets, base_mask, cos, sin, window, tp_axis):
     """One Gemma-2 layer: sandwich-normed attention + GeGLU FFN.
     `window` is this layer's sliding-window size (0 = global), a traced
-    per-layer scalar from the scan xs."""
+    per-layer scalar from the scan xs.
+
+    Under TP (tp_axis set, inside shard_map) the Megatron pattern applies
+    exactly as in llama: wq/wk/wv/w_gate/w_up are column-sharded so each
+    shard computes its local heads / FFN columns; wo/w_down are row-sharded
+    and the partial sums are completed by one psum each. The psum must land
+    BEFORE the sandwich post-norm — RMSNorm reduces over the full hidden
+    dim, so it needs the completed sum, not a partial."""
     B, T, H = h.shape
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -133,14 +142,14 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                             logit_softcap=cfg.attn_logit_softcap,
                             k_scale=ksd, v_scale=vsd)
     attn = mm("wo", attn.reshape(B, T, -1))
-    h = h + gemma_rms_norm(attn, lp["post_attn_norm"], eps)
+    h = h + gemma_rms_norm(_psum(attn, tp_axis), lp["post_attn_norm"], eps)
 
     normed = gemma_rms_norm(h, lp["ffn_norm"], eps)
     act = (jax.nn.gelu(mm("w_gate", normed).astype(jnp.float32),
                        approximate=True).astype(h.dtype)
            * mm("w_up", normed))
     ffn = mm("w_down", act)
-    h = h + gemma_rms_norm(ffn, lp["post_ffn_norm"], eps)
+    h = h + gemma_rms_norm(_psum(ffn, tp_axis), lp["post_ffn_norm"], eps)
     return h, cache
 
 
@@ -156,18 +165,18 @@ def forward(
     tp_axis: Optional[str] = None,
     paged_history: bool = False,
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
-    """Same contract as models/llama.forward (dense cache)."""
-    if tp_axis is not None:
-        raise NotImplementedError(
-            "gemma2: tensor-parallel serving not wired yet "
-            "(single-device engine path; dense or paged cache)")
+    """Same contract as models/llama.forward (dense cache), including
+    tensor parallelism (tp_axis inside shard_map — parallel/sharding.py
+    builds the wrapper; specs are family-agnostic since gemma2 reuses the
+    llama weight names)."""
     paged = isinstance(cache, paged_kvcache.PagedKVCache)
     B, T = ids.shape
     S = (cache.max_blocks * cache.page_size if paged
          else cache.max_seq_len)
     dtype = jnp.dtype(cfg.dtype)
 
-    h = params["embed"][ids].astype(dtype)
+    h = _sharded_embedding_lookup(params["embed"], ids, tp_axis
+                                  ).astype(dtype)
     if cfg.scale_embeddings:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
     write_offsets = positions[:, 0]
@@ -185,7 +194,8 @@ def forward(
         h, cache, idx = carry
         window = lp.pop("_window")
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, base_mask, cos, sin, window)
+                          write_offsets, base_mask, cos, sin, window,
+                          tp_axis)
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)
@@ -199,10 +209,17 @@ def forward(
         h = h[jnp.arange(B), last_idx]
     lm_head = params.get("lm_head")
     if lm_head is None:          # tied (the gemma2 default)
+        # embed is vocab-sharded under TP → local vocab slice of logits
         logits = jnp.dot(h.astype(jnp.float32),
                          params["embed"].T.astype(jnp.float32))
     else:                        # untied finetunes
         logits = matmul(h, lm_head).astype(jnp.float32)
+    if tp_axis:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
+    if logits.shape[-1] > cfg.vocab_size:
+        # vocab was padded for TP lane alignment (llama.pad_params_for_tp)
+        logits = logits[..., :cfg.vocab_size]
     if cfg.final_logit_softcap > 0.0:
         logits = (jnp.tanh(logits / cfg.final_logit_softcap)
                   * cfg.final_logit_softcap)

@@ -222,8 +222,11 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     dspec = P(data_axis)
     tp_axis = tensor_axis if tp_size > 1 else None
 
+    from llm_inference_tpu.models import registry as _registry
+    model = _registry.get_model(cfg.name)
+
     def fn(params, ids, positions, cache, last_idx):
-        return llama.forward(cfg, params, ids, positions, cache,
+        return model.forward(cfg, params, ids, positions, cache,
                              logits_mode=logits_mode, last_idx=last_idx,
                              tp_axis=tp_axis, paged_history=paged_history)
 

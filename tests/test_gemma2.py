@@ -288,3 +288,90 @@ class TestGemma2Decoders:
         if 1 in got:
             got = got[:got.index(1)]
         assert got == want
+
+
+class TestGemma2Sharded:
+    """Gemma2 under the family-agnostic sharded_forward: dp/tp logits must
+    match single-device exactly (sandwich post-norms sit AFTER the TP psums
+    — the parity here is what validates that ordering)."""
+
+    @pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (2, 1), (4, 2)])
+    def test_matches_single_device(self, dp, tp):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import (
+            make_mesh, shard_cache, shard_params, sharded_forward)
+
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        B, T = dp * 2, 6
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        cache = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                                   cfg.head_dim, jnp.float32)
+        golden, _ = gemma2.forward(cfg, params, ids, pos, cache)
+
+        mesh = make_mesh(ShardingConfig(data=dp, tensor=tp))
+        sparams = shard_params(params, mesh)
+        scache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32), mesh)
+        fwd = sharded_forward(cfg, mesh, sparams)
+        last = jnp.full((B,), T - 1, jnp.int32)
+        out, _ = fwd(sparams, ids, pos, scache, last)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_prefill_then_decode_sharded(self):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import (
+            make_mesh, shard_cache, shard_params, sharded_forward)
+
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        B, T = 2, 5
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        # single-device golden: prefill then one decode step
+        cache = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                                   cfg.head_dim, jnp.float32)
+        logits, cache = gemma2.forward(cfg, params, ids, pos, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        dpos = jnp.full((B, 1), T, jnp.int32)
+        golden, _ = gemma2.forward(cfg, params, nxt, dpos, cache)
+
+        mesh = make_mesh(ShardingConfig(data=2, tensor=2))
+        sparams = shard_params(params, mesh)
+        scache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32), mesh)
+        fwd = sharded_forward(cfg, mesh, sparams)
+        last = jnp.full((B,), T - 1, jnp.int32)
+        slog, scache = fwd(sparams, ids, pos, scache, last)
+        snxt = jnp.argmax(slog, axis=-1).astype(jnp.int32)[:, None]
+        sout, _ = fwd(sparams, snxt, dpos, scache, jnp.zeros((B,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(sout), np.asarray(golden),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_engine_generate_over_mesh(self):
+        """Engine-level TP serving (the gate used to llama-only this)."""
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=4, max_batch_size=4,
+                            prefill_buckets=(8,))
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=())
+        single = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        want = [r.token_ids for r in single.generate([[5, 6, 7], [9, 10, 11]],
+                                                     gen)]
+        mesh = make_mesh(ShardingConfig(data=2, tensor=2))
+        sharded = InferenceEngine(cfg, params, engine_cfg=ecfg, mesh=mesh)
+        got = [r.token_ids for r in sharded.generate([[5, 6, 7], [9, 10, 11]],
+                                                     gen)]
+        assert got == want
