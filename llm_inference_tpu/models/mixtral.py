@@ -154,19 +154,18 @@ def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
     sel = jnp.sum(jax.nn.one_hot(top_idx, E, dtype=probs.dtype)
                   * top_vals[..., None], axis=-2)             # [B, T, E]
     sel = sel / jnp.maximum(jnp.sum(sel, axis=-1, keepdims=True), 1e-9)
-    e_local = E if quantized else e_gate.shape[0]
+    # quantized stacks are [L·El, K', N] (axis 0 = stack count, El experts
+    # per shard — quantize_params' ep_shards ordering); dense are [El, K, N]
+    e_local = (e_gate.q.shape[0] // cfg.num_layers if quantized
+               else e_gate.shape[0])
     if expert_axis is not None:
-        if quantized:
-            raise NotImplementedError(
-                "expert parallelism over quantized experts: shard the "
-                "flattened [L*E] stack before calling (not wired)")
         # local slice of the expert axis: offset the weight columns
         off = jax.lax.axis_index(expert_axis) * e_local
         sel = jax.lax.dynamic_slice_in_dim(sel, off, e_local, axis=2)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(e_local):                                  # static loop
         if quantized:
-            idx = layer_idx * E + e
+            idx = layer_idx * e_local + e
             act = activations.swiglu_split(
                 matmul(x, e_gate, layer=idx), matmul(x, e_up, layer=idx))
             y = matmul(act, e_down, layer=idx).astype(jnp.float32)
@@ -180,11 +179,20 @@ def moe_ffn(cfg: ModelConfig, x: jnp.ndarray, router_w, e_gate, e_up,
     return out.astype(x.dtype)
 
 
-def quantize_params(params: Params, qcfg, row_shards: int = 1) -> Params:
+def quantize_params(params: Params, qcfg, row_shards: int = 1,
+                    ep_shards: int = 1) -> Params:
     """Quantize attention weights (stacked [L, K, N]) AND expert weights
     (flattened to [L·E, K, N] so the layer-indexed quant-matmul kernels
-    serve them with index layer·E + e). The router stays dense (it is a
-    [H, E] sliver and accuracy-critical)."""
+    serve them with index layer·e_local + e). The router stays dense (it
+    is a [H, E] sliver and accuracy-critical).
+
+    ep_shards > 1 lays the expert stack out EXPERT-BLOCK-MAJOR —
+    (shard, layer, local expert) — so a plain axis-0
+    PartitionSpec("expert") chunks it into shard-local [L·El] stacks
+    (every layer's local experts, in kernel index order layer·El + e).
+    Per-expert quantized values are identical either way (quantize is
+    per-matrix); only the stack ORDER changes, so an ep_shards stack is
+    only valid under a matching expert-parallel mesh."""
     from llm_inference_tpu.ops.quantization import quantize
     if not qcfg.enabled:
         return params
@@ -197,6 +205,13 @@ def quantize_params(params: Params, qcfg, row_shards: int = 1) -> Params:
     for name in ("e_gate", "e_up", "e_down"):
         w = layers[name]                       # [L, E, K, N]
         L_, E_, K, N = w.shape
+        if ep_shards > 1:
+            if E_ % ep_shards:
+                raise ValueError(f"num_experts={E_} not divisible by "
+                                 f"ep_shards={ep_shards}")
+            El = E_ // ep_shards
+            w = (w.reshape(L_, ep_shards, El, K, N)
+                  .transpose(1, 0, 2, 3, 4))   # [ep, L, El, K, N]
         layers[name] = jax.vmap(
             lambda m: quantize(m, bits, qcfg.group_size))(
                 w.reshape(L_ * E_, K, N))

@@ -110,13 +110,29 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
 
 def moe_param_pspecs(params, expert_axis: str = "expert"):
     """PartitionSpecs for expert parallelism over a mixtral params pytree:
-    stacked expert weights [L, E, H, I] shard their EXPERT axis; router,
-    attention, norms, and embeddings replicate (models/mixtral.moe_ffn
-    completes the mixture with one psum per layer)."""
-    espec = {"layers": {
-        k: (P(None, expert_axis, None, None)
-            if k in ("e_gate", "e_up", "e_down") else P())
-        for k in params["layers"]}}
+    stacked expert weights shard their EXPERT axis; router, attention,
+    norms, and embeddings replicate (models/mixtral.moe_ffn completes the
+    mixture with one psum per layer).
+
+    Dense expert weights are [L, E, H, I] (shard axis 1). Quantized ones
+    are flattened [L·E, ...] QTensors in mixtral.quantize_params'
+    ep_shards (expert-block-major) order, so axis 0 chunks ARE the
+    shard-local per-expert stacks — q and scale both shard axis 0."""
+    from llm_inference_tpu.ops.quantization import QTensor
+
+    def espec_for(name, v):
+        if name in ("e_gate", "e_up", "e_down"):
+            if isinstance(v, QTensor):
+                return jax.tree.map(
+                    lambda leaf: P(expert_axis,
+                                   *([None] * (leaf.ndim - 1))), v)
+            return P(None, expert_axis, None, None)
+        if isinstance(v, QTensor):        # quantized attention: replicate
+            return jax.tree.map(lambda leaf: P(), v)
+        return P()
+
+    espec = {"layers": {k: espec_for(k, v)
+                        for k, v in params["layers"].items()}}
     for k in params:
         if k != "layers":
             espec[k] = P()

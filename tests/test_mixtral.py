@@ -248,3 +248,51 @@ class TestMixtralQuantized:
         pos = jnp.arange(3, dtype=jnp.int32)[None]
         out, _ = mixtral.forward(cfg, q, ids, pos, cache)
         assert out.shape == (1, cfg.vocab_size)
+
+
+class TestQuantizedExpertParallel:
+    """Quantized expert stacks sharded over the expert axis: each shard
+    holds its experts' [L·El] stack (quantize_params' ep_shards expert-
+    block-major order — a plain axis-0 PartitionSpec is the shard map) and
+    kernel-indexes at layer·El + e; the psum completes the mixture."""
+
+    @pytest.mark.parametrize("ep,weights,gs", [(2, "int8", 0),
+                                               (4, "int8", 32),
+                                               (2, "int4", 32)])
+    def test_matches_single_device_quantized(self, ep, weights, gs):
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.parallel.sharding import moe_param_pspecs
+        cfg = tiny_mixtral(hidden_size=128, intermediate_size=128,
+                           head_dim=32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = QuantConfig(weights=weights, group_size=gs)
+        rng = np.random.default_rng(3)
+        B, T = 2, 5
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        def new_cache():
+            return kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads,
+                                      16, cfg.head_dim, jnp.float32)
+
+        # golden: layer-major quantized stack, single device (identical
+        # per-expert quantized values — only the stack ORDER differs)
+        golden, _ = mixtral.forward(cfg, mixtral.quantize_params(
+            params, qcfg), ids, pos, new_cache())
+
+        ep_params = mixtral.quantize_params(params, qcfg, ep_shards=ep)
+        mesh = Mesh(np.asarray(jax.devices()[:ep]).reshape(ep), ("expert",))
+        espec = moe_param_pspecs(ep_params, "expert")
+        sharded = jax.device_put(
+            ep_params, jax.tree.map(lambda s: NamedSharding(mesh, s), espec,
+                                    is_leaf=lambda x: isinstance(x, P)))
+        fwd = jax.shard_map(
+            lambda p, i, q, c: mixtral.forward(cfg, p, i, q, c,
+                                               tp_axis="expert"),
+            mesh=mesh,
+            in_specs=(espec, P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        out, _ = fwd(sharded, ids, pos, new_cache())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                                   atol=2e-4, rtol=2e-4)
