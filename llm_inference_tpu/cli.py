@@ -33,12 +33,14 @@ def build_engine(args):
         cfg = preset()
 
     # validate BEFORE materializing weights (an 8x7B dummy build is minutes)
-    from llm_inference_tpu.models import gemma2 as _gemma2
     is_llama = registry.get_model(cfg.name) is llama
-    is_gemma2 = registry.get_model(cfg.name) is _gemma2
-    if args.tp > 1 and not (is_llama or is_gemma2):
-        raise SystemExit(f"--tp is wired for the llama and gemma2 families "
-                         f"(got {cfg.name})")
+    is_moe = cfg.num_experts > 0
+    if args.tp > 1:
+        from llm_inference_tpu.parallel.sharding import validate_tp
+        try:
+            validate_tp(cfg, args.tp)   # MoE: expert divisibility (EP axis)
+        except ValueError as e:
+            raise SystemExit(str(e))
     model_mod = registry.get_model(cfg.name)
     quantize_fn = getattr(model_mod, "quantize_params",
                           llama.quantize_params)
@@ -51,19 +53,28 @@ def build_engine(args):
               f"(the reference CLI does the same, user_entry.cpp:21)")
         params = registry.get_model(cfg.name).init_params(
             cfg, jax.random.PRNGKey(0), dtype=args.dtype)
-    if args.tp > 1:
+    if args.tp > 1 and not is_moe:
+        # MoE shards whole expert stacks (no TP dim split) — no padding
         params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":
         qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
-        params = quantize_fn(params, qcfg, row_shards=args.tp)
+        if is_moe:
+            # --tp names the EXPERT axis for MoE: lay the quantized expert
+            # stacks out expert-block-major so axis-0 sharding is per-expert
+            params = quantize_fn(params, qcfg, ep_shards=args.tp)
+        else:
+            params = quantize_fn(params, qcfg, row_shards=args.tp)
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
         params = llama.prepare_params(params, tp_size=args.tp)
     elif args.quant != "none":
-        # gemma2 keeps raw layer keys (no qkv fusion) but still needs the
-        # column-blocked streaming layout for the Pallas quant matmul —
-        # without it every projection falls back to the slow XLA dequant
-        params = llama.prepare_params(params, fuse=False)
+        # gemma2/mixtral keep raw layer keys (no qkv fusion) but still need
+        # the column-blocked streaming layout for the Pallas quant matmul —
+        # without it every projection falls back to the slow XLA dequant.
+        # tp_size aligns block widths to shard-local dims (block_params);
+        # MoE weights are never dim-split, so blocks stay full-width.
+        params = llama.prepare_params(
+            params, tp_size=1 if is_moe else args.tp, fuse=False)
 
     tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
     mesh = None

@@ -66,20 +66,18 @@ class InferenceEngine:
         from llm_inference_tpu.models import registry as _registry
         self._model = _registry.get_model(cfg.name)
         if self._sharded:
-            from llm_inference_tpu.models import gemma2 as _gemma2
-            if self._model not in (llama, _gemma2):
-                # mixtral's forward repurposes tp_axis as the EXPERT axis
-                # (moe_param_pspecs), so it needs its own engine wiring
-                raise NotImplementedError(
-                    f"multi-chip serving is wired for the llama and gemma2 "
-                    f"families (got {cfg.name})")
+            # llama/gemma2: Megatron TP over the tensor axis; mixtral: the
+            # tensor axis is the EXPERT axis (sharding.is_moe dispatch)
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
-            self.params = _sh.shard_params(params, mesh)
+            self.params = _sh.shard_params_for(cfg, params, mesh)
             self._fwd = _sh.sharded_forward(cfg, mesh, self.params,
                                             logits_mode="last", jit=False,
                                             cache_quantized=kv_quantized)
-            self._shard_cache = lambda c: _sh.shard_cache(c, mesh)
+            # MoE: KV replicates across the expert (tensor) axis
+            kv_tensor = None if _sh.is_moe(cfg) else "tensor"
+            self._shard_cache = lambda c: _sh.shard_cache(
+                c, mesh, tensor_axis=kv_tensor)
         else:
             self.params = params
             model = self._model

@@ -190,7 +190,14 @@ def shard_cache(cache: kvcache.KVCache, mesh: Mesh,
 
 
 def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
-    """TP divisibility requirements (mirrors what the spec rules assume)."""
+    """TP divisibility requirements (mirrors what the spec rules assume).
+    MoE models use the tensor axis as the EXPERT axis instead (see
+    sharded_forward), so the check there is expert-count divisibility."""
+    if is_moe(cfg):
+        if cfg.num_experts % tp_size != 0:
+            raise ValueError(f"num_experts={cfg.num_experts} not divisible "
+                             f"by ep={tp_size}")
+        return
     checks = {
         "num_heads": cfg.num_heads,
         "num_kv_heads": cfg.num_kv_heads,
@@ -200,6 +207,23 @@ def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
     for name, v in checks.items():
         if v % tp_size != 0:
             raise ValueError(f"{name}={v} not divisible by tp={tp_size}")
+
+
+def is_moe(cfg: ModelConfig) -> bool:
+    return getattr(cfg, "num_experts", 0) > 0
+
+
+def shard_params_for(cfg: ModelConfig, params, mesh: Mesh,
+                     tensor_axis: str = "tensor",
+                     pipe_axis: Optional[str] = None):
+    """Family-aware device_put: MoE params get expert-parallel specs over
+    the tensor axis (moe_param_pspecs); everything else Megatron TP."""
+    if is_moe(cfg):
+        specs = moe_param_pspecs(params, tensor_axis)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(params, shardings)
+    return shard_params(params, mesh, tensor_axis, pipe_axis)
 
 
 def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
@@ -225,15 +249,21 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     """
     tp_size = mesh.shape[tensor_axis]
     validate_tp(cfg, tp_size)
-    pspecs = param_pspecs(params, mesh, tensor_axis)
+    moe = is_moe(cfg)
+    # MoE: the tensor axis is the EXPERT axis — expert stacks shard on it,
+    # attention weights/KV replicate across it (one psum/layer completes
+    # the mixture; models/mixtral.moe_ffn)
+    pspecs = (moe_param_pspecs(params, tensor_axis) if moe
+              else param_pspecs(params, mesh, tensor_axis))
+    kv_tensor_axis = None if moe else tensor_axis
     if cache_kind == "paged":
         if mesh.shape[data_axis] != 1:
             raise ValueError(
                 "paged cache over a mesh requires data axis == 1 (the page "
                 "pool is request-global); use tensor parallelism")
-        cspec = paged_cache_pspec(tensor_axis, quantized=cache_quantized)
+        cspec = paged_cache_pspec(kv_tensor_axis, quantized=cache_quantized)
     else:
-        cspec = cache_pspec(data_axis, tensor_axis,
+        cspec = cache_pspec(data_axis, kv_tensor_axis,
                             quantized=cache_quantized)
     dspec = P(data_axis)
     tp_axis = tensor_axis if tp_size > 1 else None

@@ -296,3 +296,72 @@ class TestQuantizedExpertParallel:
         out, _ = fwd(sharded, ids, pos, new_cache())
         np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestMixtralEngineSharded:
+    """Engine-level expert-parallel serving: the engine's tensor mesh axis
+    doubles as the expert axis for MoE (sharding.is_moe dispatch)."""
+
+    def test_engine_generate_over_mesh(self):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+
+        cfg = tiny_mixtral()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=4, max_batch_size=4,
+                            prefill_buckets=(8,))
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=())
+        single = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        want = [r.token_ids for r in single.generate([[5, 6, 7], [9, 10, 11]],
+                                                     gen)]
+        mesh = make_mesh(ShardingConfig(data=1, tensor=4))
+        sharded = InferenceEngine(cfg, params, engine_cfg=ecfg, mesh=mesh)
+        got = [r.token_ids for r in sharded.generate([[5, 6, 7], [9, 10, 11]],
+                                                     gen)]
+        assert got == want
+
+    def test_engine_quantized_ep_over_mesh(self):
+        """int8 expert stacks (ep_shards layout) through the engine mesh
+        path: matches the single-device quantized engine."""
+        from llm_inference_tpu.config import QuantConfig, ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+
+        ep = 2
+        cfg = tiny_mixtral(hidden_size=128, intermediate_size=128,
+                           head_dim=32)
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = QuantConfig(weights="int8")
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=4, max_batch_size=4,
+                            prefill_buckets=(8,))
+        gen = GenerationConfig(greedy=True, max_new_tokens=5,
+                               eos_token_ids=())
+        single = InferenceEngine(cfg, mixtral.quantize_params(params, qcfg),
+                                 engine_cfg=ecfg)
+        want = [r.token_ids for r in single.generate([[5, 6, 7]], gen)]
+        mesh = make_mesh(ShardingConfig(data=1, tensor=ep))
+        sharded = InferenceEngine(
+            cfg, mixtral.quantize_params(params, qcfg, ep_shards=ep),
+            engine_cfg=ecfg, mesh=mesh)
+        got = [r.token_ids for r in sharded.generate([[5, 6, 7]], gen)]
+        assert got == want
+
+    def test_data_parallel_composes_with_ep(self):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+
+        cfg = tiny_mixtral()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=4, max_batch_size=4,
+                            prefill_buckets=(8,))
+        gen = GenerationConfig(greedy=True, max_new_tokens=4,
+                               eos_token_ids=())
+        prompts = [[5, 6, 7], [9, 10, 11], [3, 4, 5], [7, 8, 9]]
+        single = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        want = [r.token_ids for r in single.generate(
+            [list(p) for p in prompts], gen)]
+        mesh = make_mesh(ShardingConfig(data=2, tensor=2))
+        sharded = InferenceEngine(cfg, params, engine_cfg=ecfg, mesh=mesh)
+        got = [r.token_ids for r in sharded.generate(
+            [list(p) for p in prompts], gen)]
+        assert got == want
