@@ -17,11 +17,15 @@ just by hyperparameters:
 - Embeddings scaled by sqrt(hidden); lm_head tied.
 
 Shares the framework's cache/rope/attention/sampling machinery and the
-engine serves it through the model registry. Scope (honest): single-device,
-dense OR paged KV cache (paged serving incl. prefix caching goes through
-the gather path); the jnp attention path is used throughout (the Pallas
-kernels take a static window — a mixed-window scan needs a kernel variant;
-planned). Quantization reuses the same QTensor layer keys.
+engine serves it through the model registry; tensor-parallel over a mesh
+(sandwich post-norms after the row-shard psums — see _layer). Dense OR
+paged KV cache (paged serving incl. prefix caching goes through the gather
+path). DECODE runs the fused Pallas kernel: the per-layer alternating
+window rides the layer scan as a traced scalar into the kernel's scalar
+prefetch (ops/pallas/decode_attention), so windowed layers stream ~window
+cache slots, not S. Prefill uses the jnp path (the flash kernel's window
+is static; a traced-window variant is the remaining kernel gap).
+Quantization reuses the same QTensor layer keys.
 
 Numerics validated against transformers' Gemma2ForCausalLM
 (tests/test_gemma2.py).
@@ -129,18 +133,33 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     k = rope.apply_rope(k, positions, cos, sin)
 
     from llm_inference_tpu.models.llama import write_kv_and_views
-    cache, kd, vd, ksd, vsd, S = write_kv_and_views(
-        cache, layer_idx, k, v, positions, write_offsets, B, T)
-    # only the per-layer WINDOW term is layer-varying; the causal mask is
-    # computed once in forward
-    slots = jnp.arange(S, dtype=positions.dtype)
-    win_ok = (window <= 0) | (slots[None, None, :]
-                              > positions[:, :, None] - window)
-    mask = base_mask & win_ok[:, None, :, :]
-    attn = attention.attend(q, kd, vd, mask,
-                            scale=scale,
-                            logit_softcap=cfg.attn_logit_softcap,
-                            k_scale=ksd, v_scale=vsd)
+    from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
+    paged = isinstance(cache, paged_kvcache.PagedKVCache)
+    if (T == 1 and not paged
+            and pallas_decode.supports(q.shape, cache.max_seq_len)):
+        # fused decode kernel, window-aware: the traced per-layer window
+        # rides scalar prefetch — windowed layers stream ~window slots of
+        # the stacked cache, global layers the live prefix (llama's decode
+        # path, plus gemma2's alternating window and query scale)
+        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
+                                           write_offsets)
+        attn = pallas_decode.decode_attention(
+            q, cache.k, cache.v, layer_idx, positions[:, -1], scale=scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            k_scale=cache.k_scale, v_scale=cache.v_scale, window=window)
+    else:
+        cache, kd, vd, ksd, vsd, S = write_kv_and_views(
+            cache, layer_idx, k, v, positions, write_offsets, B, T)
+        # only the per-layer WINDOW term is layer-varying; the causal mask
+        # is computed once in forward
+        slots = jnp.arange(S, dtype=positions.dtype)
+        win_ok = (window <= 0) | (slots[None, None, :]
+                                  > positions[:, :, None] - window)
+        mask = base_mask & win_ok[:, None, :, :]
+        attn = attention.attend(q, kd, vd, mask,
+                                scale=scale,
+                                logit_softcap=cfg.attn_logit_softcap,
+                                k_scale=ksd, v_scale=vsd)
     attn = mm("wo", attn.reshape(B, T, -1))
     h = h + gemma_rms_norm(_psum(attn, tp_axis), lp["post_attn_norm"], eps)
 

@@ -39,14 +39,19 @@ FIXED, small number of MXU ops:
   materializes repeated KV heads (the reference needs a separate repeat_kv
   gather kernel for prefill; its decode kernel is MHA-only).
 - INT8 KV cache: per-(slot, head) scales are stored SLOT-MAJOR
-  ([L, B, S, Hkv] — slots on sublanes) so each grid step's scale block
-  [sb, hb] arrives in the natural VMEM layout, and K/V codes are
-  dequantized in VMEM right after the DMA (one extra VPU multiply per
-  element next to the int8→bf16 convert the dot needs anyway). The
-  previous head-major [L, B, Hkv, S] layout needed a [1, hb·S] lane-vector
-  reshape OUTSIDE the kernel, which XLA materialized as a full relayout
-  copy of the whole scale array EVERY LAYER EVERY STEP (measured 96 µs per
-  layer at B=8·S=512 — 3.1 ms/step, dwarfing the 47 µs attention kernel).
+  ([L, B, S, Hkv] — slots on sublanes, heads on lanes, so decode-step
+  writes are one contiguous lane row). The score/probability columns need
+  scales HEAD-major — a lanes↔sublanes relayout the VPU can't do — so the
+  kernel transposes the [sb, Hkv] scale block ON THE MXU (identity
+  NT-dot, ~0.1 µs) and folds the scales exactly into the f32 score and
+  probability columns, outside the bf16 dots. The previous head-major
+  [L, B, Hkv, S] storage needed a lane-vector reshape OUTSIDE the kernel,
+  which XLA materialized as a full relayout copy of the whole scale array
+  EVERY LAYER EVERY STEP (measured 96 µs per layer at B=8·S=512 —
+  3.1 ms/step, dwarfing the 47 µs attention kernel); an in-kernel per-head
+  dequant loop instead cost ~2 VPU ops per streamed KV byte, 2.4x the DMA
+  time. hb is pinned to Hkv in this mode (Mosaic full-dim block rule on
+  the scale minor axis).
 - The layer index rides scalar prefetch so pages are read straight out of
   the FULL stacked cache (a scan-sliced operand into an opaque Pallas call
   would be materialized by XLA — an HBM→HBM copy every layer every step).
@@ -79,24 +84,38 @@ _MAX_S = 16384
 
 
 def _pick_blocks(Hkv: int, S: int, D: int, itemsize: int):
-    """(hb, sb): one k block [hb, sb, D] ≈ _KV_BYTES_PER_STEP, with sb as
-    small as possible (it is the skip granularity for unwritten slots)."""
-    hb = max(1, min(Hkv, _KV_BYTES_PER_STEP // (128 * D * itemsize)))
+    """(hb, sb): one k block [hb, sb, D] ≈ _KV_BYTES_PER_STEP.
+
+    hb trades DMA size against VPU time: the masked-softmax tile is
+    [hb·G, hb·sb], so its element count — and the exp/mask VPU work — grow
+    LINEARLY with hb at fixed block bytes. hb=8 keeps the per-step k-block
+    ≥0.5 MB for int8/bf16 at D=128 (enough to stream near bandwidth) with
+    4-8x less VPU work than hb=32; sb then fills the byte budget and sets
+    the unwritten-tail skip granularity.
+
+    Quantized caches force hb=Hkv: the [sb, hb] scale block's minor dim
+    must be 128-divisible or the FULL array dim (Mosaic block rule), and
+    Hkv < 128 in practice."""
+    hb = Hkv if itemsize == 1 else max(1, min(Hkv, 8))
     while Hkv % hb:
         hb -= 1
-    sb = max(128, min(S, _KV_BYTES_PER_STEP // (hb * D * itemsize)))
+    # ≥2 slot blocks (else the fill clamp can never skip anything), within
+    # the byte budget
+    sb = max(128, min(S, _KV_BYTES_PER_STEP // (hb * D * itemsize),
+                      max(128, S // 2)))
     sb -= sb % 128
     while S % sb:
         sb -= 128
     return hb, sb
 
 
-def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, hb: int, sb: int, ns: int, scale: float,
-            softcap: float, quantized: bool):
+def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
+            vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int, sb: int,
+            ns: int, scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
+    win = win_ref[0]     # sliding window (slots), 0 = global attention
     _, _, G, D = q_ref.shape
     HG = hb * G
     HS = hb * sb
@@ -107,40 +126,54 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # blocks past the sequence fill are clamped to the same (last valid)
-    # block by the index maps — no DMA happens for them; skip compute too
-    @pl.when(j * sb <= pos)
+    # blocks past the sequence fill — and, for windowed layers, blocks
+    # wholly below the window start — are clamped to the nearest live block
+    # by the index maps (no DMA happens for them); skip compute too. Block
+    # j covers slots [j·sb, (j+1)·sb); the window spans (pos-win, pos].
+    @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
     def _():
         q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)      # rows (h, g)
+        kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # rows (h, s)
+        vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
         if quantized:
-            # Dequantize K/V in VMEM: per-(slot, head) scales arrive as a
-            # [sb, hb] block (slot-major storage — natural sublane layout,
-            # no relayout anywhere). One f32 multiply rides the int8→bf16
-            # convert the dots need anyway; rounding the scaled codes to
-            # bf16 matches the precision of a bf16 cache.
-            ks = ks_ref[0, 0]                                 # [sb, hb] f32
-            vs = vs_ref[0, 0]
-            kparts, vparts = [], []
-            for h in range(hb):
-                kparts.append((k_ref[0, 0, h].astype(jnp.float32)
-                               * ks[:, h:h + 1]).astype(jnp.bfloat16))
-                vparts.append((v_ref[0, 0, h].astype(jnp.float32)
-                               * vs[:, h:h + 1]).astype(jnp.bfloat16))
-            kb = jnp.concatenate(kparts, 0)                   # [hb·sb, D]
-            vb = jnp.concatenate(vparts, 0)
-        else:
-            kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # (h, s)
-            vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+            # Per-(slot, head) scales arrive as the natural slot-major
+            # [sb, hb] block. The score/probability columns need them
+            # HEAD-major — a lanes↔sublanes relayout the VPU can't do, so
+            # transpose on the MXU (one identity NT-dot each), then scale
+            # per-head column STRIPS: each strip slice is lane-aligned
+            # (sb % 128 == 0) so the re-concatenated tiles share layout
+            # offset {0,0} (a flat [1, hb·sb] row concat trips Mosaic's
+            # offset-mismatch rule on the sublane axis). Exact: int8 codes
+            # are exact in bf16; scales hit the f32 score/p tiles.
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0) ==
+                   jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1)
+                   ).astype(jnp.float32)
+            ks_t = jax.lax.dot_general(                       # [hb, sb]
+                eye, ks_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vs_t = jax.lax.dot_general(
+                eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def scale_strips(x, s_t):
+            # x[:, h·sb:(h+1)·sb] *= s_t[h] — broadcast one scale row over
+            # the strip's sublanes
+            return jnp.concatenate(
+                [x[:, h * sb:(h + 1) * sb] * s_t[h:h + 1, :]
+                 for h in range(hb)], axis=1)
         # scores[(h',g), (h,s)] — contract D of both operands (NT form)
         scores = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if quantized:
+            scores = scale_strips(scores, ks_t)
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
         row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
         slot = j * sb + col % sb
         ok = ((col // sb) == (row // G)) & (slot <= pos)
+        ok &= (win <= 0) | (slot > pos - win)
         scores = jnp.where(ok, scores, NEG_INF)
 
         m_prev = m_ref[:]                                     # [HG, 1]
@@ -149,6 +182,8 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         p = jnp.exp(scores - m_new)                           # [HG, HS] f32
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
+        if quantized:
+            p = scale_strips(p, vs_t)
         # cross-head entries of p are exp(-inf) = 0, so the plain [HG, HS]
         # × [HS, D] dot sums each output head only over its own page
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -162,7 +197,7 @@ def _kernel(pos_ref, layer_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
+def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
                  scale: float, softcap: float, interpret: bool):
     B, Hkv, G, D = q.shape
     S = k_all.shape[3]
@@ -173,12 +208,21 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
     kernel = functools.partial(_kernel, hb=hb, sb=sb, ns=ns, scale=scale,
                                softcap=softcap, quantized=quantized)
 
-    def kv_map(b, g, j, pos, lyr):
-        return (lyr[0], b, g, jnp.minimum(j, pos[b] // sb), 0)
+    def live(b, j, pos, win):
+        # clamp the slot-block index into the LIVE range: [window start
+        # block, fill block]. Out-of-range grid steps re-map to the nearest
+        # live block, so Mosaic's pipeline elides their DMA entirely —
+        # windowed layers stream ~window slots, not the whole cache.
+        lo = jnp.where(win[0] > 0,
+                       jnp.maximum(pos[b] - win[0] + 1, 0) // sb, 0)
+        return jnp.minimum(jnp.maximum(j, lo), pos[b] // sb)
+
+    def kv_map(b, g, j, pos, lyr, win):
+        return (lyr[0], b, g, live(b, j, pos, win), 0)
 
     in_specs = [
         pl.BlockSpec((1, hb, G, D),
-                     lambda b, g, j, pos, lyr: (b, g, 0, 0)),
+                     lambda b, g, j, pos, lyr, win: (b, g, 0, 0)),
         pl.BlockSpec((1, 1, hb, sb, D), kv_map),
         pl.BlockSpec((1, 1, hb, sb, D), kv_map),
     ]
@@ -187,8 +231,8 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
         # scales are stored slot-major [L, B, S, Hkv] — each grid step takes
         # the natural [sb, hb] block (slots on sublanes, heads on lanes);
         # the kernel dequantizes K/V codes with it. No reshape, no relayout.
-        def s_map(b, g, j, pos, lyr):
-            return (lyr[0], b, jnp.minimum(j, pos[b] // sb), g)
+        def s_map(b, g, j, pos, lyr, win):
+            return (lyr[0], b, live(b, j, pos, win), g)
 
         in_specs += [
             pl.BlockSpec((1, 1, sb, hb), s_map),
@@ -200,19 +244,20 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
         dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         in_specs += [
             pl.BlockSpec((1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr: (0, 0, 0, 0)),
+                         lambda b, g, j, pos, lyr, win: (0, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr: (0, 0, 0, 0)),
+                         lambda b, g, j, pos, lyr, win: (0, 0, 0, 0)),
         ]
         operands += [dummy, dummy]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, G, D),
-                                   lambda b, g, j, pos, lyr: (b, g, 0, 0)),
+                                   lambda b, g, j, pos, lyr, win:
+                                   (b, g, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((hb * G, D), jnp.float32),
                 pltpu.VMEM((hb * G, 1), jnp.float32),
@@ -228,7 +273,7 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, *,
             // k_all.shape[0],
             transcendentals=B * Hkv * G * S),
         interpret=interpret,
-    )(pos, layer, *operands)
+    )(pos, layer, win, *operands)
 
 
 def decode_attention(
@@ -241,8 +286,14 @@ def decode_attention(
     logit_softcap: float = 0.0,
     k_scale: jnp.ndarray | None = None,   # [L, B, S, Hkv] — int8 cache mode
     v_scale: jnp.ndarray | None = None,
+    window: jnp.ndarray | int | None = None,  # sliding window; 0/None=global
 ) -> jnp.ndarray:
     """Fused decode attention; returns [B, 1, Hq, D] in q.dtype.
+
+    `window` (may be a TRACED scalar — e.g. gemma2's per-layer alternating
+    window riding the layer scan) restricts attention to slots
+    (pos-window, pos] AND restricts the KV streaming to the window's slot
+    blocks — a windowed layer reads ~window slots of cache, not S.
 
     Callers check `supports(...)` first and use ops.attention otherwise.
     """
@@ -253,12 +304,14 @@ def decode_attention(
     if scale is None:
         scale = 1.0 / (D ** 0.5)
     qg = q.reshape(B, Hkv, G, D)
-    # positions + layer ride scalar prefetch (SMEM); the kernel indexes pos
-    # with program_id(0), and the index maps pick the cache layer and clamp
-    # slot blocks at each sequence's fill.
+    # positions + layer + window ride scalar prefetch (SMEM); the kernel
+    # indexes pos with program_id(0), and the index maps pick the cache
+    # layer and clamp slot blocks to each sequence's live range.
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
-    out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr,
+    win = jnp.asarray(0 if window is None else window,
+                      jnp.int32).reshape(1)
+    out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr, win,
                        scale=scale, softcap=logit_softcap,
                        interpret=use_interpret())
     return out.reshape(B, 1, Hq, D).astype(q.dtype)

@@ -33,7 +33,7 @@ def bench(B, Hq, Hkv, S, D, fill, quant, hb, sb, iters=64):
         ks = None
     pos = jnp.full((B,), fill, jnp.int32)
 
-    def many(q, n):
+    def many(q, k, ks, n):
         def body(carry, _):
             out = DA.decode_attention(carry, k, k, 2, pos,
                                       k_scale=ks, v_scale=ks)
@@ -43,12 +43,12 @@ def bench(B, Hq, Hkv, S, D, fill, quant, hb, sb, iters=64):
 
     ts = {}
     for n in (8, 8 + iters):
-        f = jax.jit(lambda q, n=n: many(q, n))
-        r = f(q0); r.block_until_ready()
+        f = jax.jit(lambda q, k, ks, n=n: many(q, k, ks, n))
+        r = f(q0, k, ks); r.block_until_ready()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            f(q0).block_until_ready()
+            f(q0, k, ks).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
     us = (ts[8 + iters] - ts[8]) / iters * 1e6

@@ -375,3 +375,74 @@ class TestGemma2Sharded:
         got = [r.token_ids for r in sharded.generate([[5, 6, 7], [9, 10, 11]],
                                                      gen)]
         assert got == want
+
+    @pytest.mark.parametrize("weights,gs", [("int8", 0), ("int4", 32)])
+    def test_quantized_tp_matches_unsharded_quantized(self, weights, gs):
+        """Quantized gemma2 weights (llama.quantize_params — shared layer
+        keys) shard and serve under TP; logits match the single-device
+        quantized model."""
+        from llm_inference_tpu.config import QuantConfig, ShardingConfig
+        from llm_inference_tpu.models import llama
+        from llm_inference_tpu.parallel import (
+            make_mesh, shard_cache, shard_params, sharded_forward)
+
+        tp = 2
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          vocab_size=256)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        qcfg = QuantConfig(weights=weights, group_size=gs)
+        qparams = llama.quantize_params(params, qcfg, row_shards=tp)
+        rng = np.random.default_rng(4)
+        B, T = 2, 5
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        cache = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                                   cfg.head_dim, jnp.float32)
+        golden, _ = gemma2.forward(cfg, qparams, ids, pos, cache)
+
+        mesh = make_mesh(ShardingConfig(data=1, tensor=tp))
+        sparams = shard_params(qparams, mesh)
+        scache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, jnp.float32), mesh)
+        fwd = sharded_forward(cfg, mesh, sparams)
+        last = jnp.full((B,), T - 1, jnp.int32)
+        out, _ = fwd(sparams, ids, pos, scache, last)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                                   atol=5e-3, rtol=5e-3)
+
+
+class TestGemma2DecodeKernel:
+    """Gemma2 decode through the fused Pallas kernel (window riding the
+    scan as a traced scalar) must match the jnp attention path."""
+
+    @pytest.mark.parametrize("cache_dtype", ["float32", "int8"])
+    def test_kernel_decode_matches_jnp(self, monkeypatch, cache_dtype):
+        from llm_inference_tpu.ops.pallas import (decode_attention
+                                                  as pallas_decode)
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          num_heads=4, num_kv_heads=2, head_dim=64,
+                          sliding_window=8)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(6)
+        B, T, S = 2, 6, 128
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        nxt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1)), jnp.int32)
+        dpos = jnp.full((B, 1), T, jnp.int32)
+
+        def run():
+            cache = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads,
+                                       S, cfg.head_dim, cache_dtype)
+            _, cache = gemma2.forward(cfg, params, ids, pos, cache,
+                                      logits_mode="none")
+            logits, _ = gemma2.forward(cfg, params, nxt, dpos, cache)
+            return np.asarray(logits)
+
+        assert pallas_decode.supports((B, 1, cfg.num_heads, cfg.head_dim), S)
+        got = run()
+        monkeypatch.setattr(pallas_decode, "supports", lambda *a: False)
+        want = run()
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+        assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
