@@ -134,8 +134,19 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
 
     from llm_inference_tpu.models.llama import write_kv_and_views
     from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
+    from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
     paged = isinstance(cache, paged_kvcache.PagedKVCache)
-    if (T == 1 and not paged
+    if (T == 1 and paged
+            and pallas_paged.supports(q.shape, cache.page_size)):
+        # fused paged decode (continuous-batching serving), window-aware
+        cache = paged_kvcache.write_token(cache, layer_idx, k, v,
+                                          positions[:, 0])
+        attn = pallas_paged.paged_decode_attention(
+            q, cache.k_pages, cache.v_pages, cache.page_table, layer_idx,
+            positions[:, -1], scale=scale,
+            logit_softcap=cfg.attn_logit_softcap,
+            k_scale=cache.k_scale, v_scale=cache.v_scale, window=window)
+    elif (T == 1 and not paged
             and pallas_decode.supports(q.shape, cache.max_seq_len)):
         # fused decode kernel, window-aware: the traced per-layer window
         # rides scalar prefetch — windowed layers stream ~window slots of

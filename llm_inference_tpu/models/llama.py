@@ -451,9 +451,10 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
                      paged_history: bool = False):
     """Write this layer's K/V into the (dense or paged) cache and attend —
     with the full Pallas kernel dispatch (decode / flash / paged kernels,
-    jnp fallbacks). Shared by llama and mixtral (mixtral has no per-layer
-    window or custom scale, so the same kernels serve it); gemma2's
-    per-layer alternating window keeps it on write_kv_and_views + jnp.
+    jnp fallbacks). Shared by llama and mixtral; the static
+    cfg.sliding_window (mistral) flows into every path, including the
+    decode kernels. gemma2's per-layer TRACED window takes the same
+    kernels through its own dispatch (models/gemma2._layer).
 
     q/k/v: [B, T, H*, D] (post-rope). Returns (attn [B, T, Hq, D], cache).
     """
@@ -468,7 +469,8 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
                     q, cache.k_pages, cache.v_pages, cache.page_table,
                     layer_idx, positions[:, -1],
                     logit_softcap=cfg.attn_logit_softcap,
-                    k_scale=cache.k_scale, v_scale=cache.v_scale)
+                    k_scale=cache.k_scale, v_scale=cache.v_scale,
+                    window=cfg.sliding_window)
             else:
                 # gather-based fallback (unsupported head_dim): materialize
                 # the sequences' pages densely, then the XLA path
@@ -510,7 +512,8 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
         attn = pallas_decode.decode_attention(
             q, cache.k, cache.v, layer_idx, positions[:, -1],
             logit_softcap=cfg.attn_logit_softcap,
-            k_scale=cache.k_scale, v_scale=cache.v_scale)
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+            window=cfg.sliding_window)
     elif pallas_flash.supports(q.shape, S, cache.quantized):
         attn = pallas_flash.flash_attention(
             q, cache.k, cache.v, layer_idx, positions,

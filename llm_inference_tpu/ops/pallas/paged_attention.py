@@ -28,12 +28,13 @@ from llm_inference_tpu.ops.pallas import use_interpret
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref,
-            vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int, nb: int,
-            scale: float, softcap: float, quantized: bool):
+def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
+            ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int,
+            nb: int, scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
+    win = win_ref[0]     # sliding window (tokens), 0 = global attention
     _, _, G, D = q_ref.shape
     ps = k_ref.shape[3]
     HG = hb * G
@@ -45,52 +46,59 @@ def _kernel(pos_ref, layer_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)       # rows (h, g)
-    if quantized:
-        # slot-major [ps, hb] scale blocks (natural layout — see
-        # decode_attention.py): dequantize the page's codes in VMEM
-        ks = ks_ref[0, 0]                                  # [ps, hb] f32
-        vs = vs_ref[0, 0]
-        kparts, vparts = [], []
-        for h in range(hb):
-            kparts.append((k_ref[0, 0, h].astype(jnp.float32)
-                           * ks[:, h:h + 1]).astype(jnp.bfloat16))
-            vparts.append((v_ref[0, 0, h].astype(jnp.float32)
-                           * vs[:, h:h + 1]).astype(jnp.bfloat16))
-        kb = jnp.concatenate(kparts, 0)                    # [hb·ps, D]
-        vb = jnp.concatenate(vparts, 0)
-    else:
-        kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)   # rows (h, t)
-        vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
-    scores = jax.lax.dot_general(
-        q, kb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    if softcap > 0.0:
-        scores = jnp.tanh(scores / softcap) * softcap
-    row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
-    token = j * ps + col % ps
-    ok = ((col // ps) == (row // G)) & (token <= pos)
-    scores = jnp.where(ok, scores, NEG_INF)
+    # skip page blocks past the fill and, for windowed layers, wholly
+    # below the window start (the index maps alias their DMA to a live
+    # page; block j covers tokens [j·ps, (j+1)·ps), window (pos-win, pos])
+    @pl.when((j * ps <= pos) & ((win <= 0) | ((j + 1) * ps > pos - win + 1)))
+    def _():
+        q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)   # rows (h, g)
+        if quantized:
+            # slot-major [ps, hb] scale blocks (natural layout — see
+            # decode_attention.py): dequantize the page's codes in VMEM
+            ks = ks_ref[0, 0]                              # [ps, hb] f32
+            vs = vs_ref[0, 0]
+            kparts, vparts = [], []
+            for h in range(hb):
+                kparts.append((k_ref[0, 0, h].astype(jnp.float32)
+                               * ks[:, h:h + 1]).astype(jnp.bfloat16))
+                vparts.append((v_ref[0, 0, h].astype(jnp.float32)
+                               * vs[:, h:h + 1]).astype(jnp.bfloat16))
+            kb = jnp.concatenate(kparts, 0)                # [hb·ps, D]
+            vb = jnp.concatenate(vparts, 0)
+        else:
+            kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # (h, t)
+            vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+        token = j * ps + col % ps
+        ok = ((col // ps) == (row // G)) & (token <= pos)
+        ok &= (win <= 0) | (token > pos - win)
+        scores = jnp.where(ok, scores, NEG_INF)
 
-    m_prev = m_ref[:]                                      # [HG, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(scores - m_new)                            # [HG, HS]
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
+        m_prev = m_ref[:]                                  # [HG, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                        # [HG, HS]
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 
     @pl.when(j == nb - 1)
     def _():
+        # token `pos` is always written and unmasked → l > 0
         o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hb, G, D
                                                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer, *,
-                scale, softcap, interpret):
+def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
+                win, *, scale, softcap, interpret):
     B, Hkv, G, D = q.shape
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
@@ -101,46 +109,54 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer, *,
     grid = (B, Hkv // hb, NB)
     kernel = functools.partial(_kernel, hb=hb, nb=NB, scale=scale,
                                softcap=softcap, quantized=quantized)
+
+    def live(b, j, pos, win):
+        # clamp the page-block index into the LIVE range [window start
+        # block, fill block]: out-of-range grid steps alias a live page,
+        # so consecutive identical indices elide the DMA — windowed
+        # layers stream ~window tokens of pages, not the whole table
+        lo = jnp.where(win[0] > 0,
+                       jnp.maximum(pos[b] - win[0] + 1, 0) // ps, 0)
+        return jnp.minimum(jnp.maximum(j, lo), pos[b] // ps)
+
+    def kv_map(b, g, j, pos, lyr, pt, win):
+        # the page-table indirection: block index = pool page id
+        return (lyr[0], pt[b * NB + live(b, j, pos, win)], g, 0, 0)
+
     in_specs = [
         pl.BlockSpec((1, hb, G, D),
-                     lambda b, g, j, pos, lyr, pt: (b, g, 0, 0)),
-        # the page-table indirection: block index = pool page id
-        pl.BlockSpec((1, 1, hb, ps, D),
-                     lambda b, g, j, pos, lyr, pt:
-                     (lyr[0], pt[b * NB + j], g, 0, 0)),
-        pl.BlockSpec((1, 1, hb, ps, D),
-                     lambda b, g, j, pos, lyr, pt:
-                     (lyr[0], pt[b * NB + j], g, 0, 0)),
+                     lambda b, g, j, pos, lyr, pt, win: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, hb, ps, D), kv_map),
+        pl.BlockSpec((1, 1, hb, ps, D), kv_map),
     ]
     if quantized:
         # slot-major scale pools [L, P, ps, Hkv]: the [ps, hb] block is the
         # natural VMEM layout (rows on sublanes) — no reshape, no relayout
+        def s_map(b, g, j, pos, lyr, pt, win):
+            return (lyr[0], pt[b * NB + live(b, j, pos, win)], 0, g)
+
         in_specs += [
-            pl.BlockSpec((1, 1, ps, hb),
-                         lambda b, g, j, pos, lyr, pt:
-                         (lyr[0], pt[b * NB + j], 0, g)),
-            pl.BlockSpec((1, 1, ps, hb),
-                         lambda b, g, j, pos, lyr, pt:
-                         (lyr[0], pt[b * NB + j], 0, g)),
+            pl.BlockSpec((1, 1, ps, hb), s_map),
+            pl.BlockSpec((1, 1, ps, hb), s_map),
         ]
         operands = [q, k_pages, v_pages, ks_pages, vs_pages]
     else:
         dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         in_specs += [
             pl.BlockSpec((1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0)),
+                         lambda b, g, j, pos, lyr, pt, win: (0, 0, 0, 0)),
             pl.BlockSpec((1, 1, 1, 128),
-                         lambda b, g, j, pos, lyr, pt: (0, 0, 0, 0)),
+                         lambda b, g, j, pos, lyr, pt, win: (0, 0, 0, 0)),
         ]
         operands = [q, k_pages, v_pages, dummy, dummy]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, G, D),
-                                   lambda b, g, j, pos, lyr, pt:
+                                   lambda b, g, j, pos, lyr, pt, win:
                                    (b, g, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((hb * G, D), jnp.float32),
@@ -157,7 +173,7 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer, *,
             * k_pages.dtype.itemsize,
             transcendentals=B * Hkv * G * NB * ps),
         interpret=interpret,
-    )(pos, layer, pt, *operands)
+    )(pos, layer, pt, win, *operands)
 
 
 def paged_decode_attention(
@@ -171,8 +187,14 @@ def paged_decode_attention(
     logit_softcap: float = 0.0,
     k_scale: jnp.ndarray | None = None,   # [L, P, ps, Hkv] — int8 pools
     v_scale: jnp.ndarray | None = None,
+    window: jnp.ndarray | int | None = None,  # sliding window; 0/None=global
 ) -> jnp.ndarray:
-    """Fused decode attention over paged KV; returns [B, 1, Hq, D]."""
+    """Fused decode attention over paged KV; returns [B, 1, Hq, D].
+
+    `window` (may be a TRACED scalar — gemma2's per-layer alternating
+    window riding the layer scan) restricts attention to tokens
+    (pos-window, pos] and clamps the page streaming to the window's
+    blocks."""
     B, T, Hq, D = q.shape
     assert T == 1, "decode kernel is single-step"
     Hkv, ps = k_pages.shape[2], k_pages.shape[3]
@@ -183,8 +205,10 @@ def paged_decode_attention(
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     pt = page_table.reshape(-1).astype(jnp.int32)
+    win = jnp.asarray(0 if window is None else window,
+                      jnp.int32).reshape(1)
     out = _paged_attn(qg, k_pages, v_pages, k_scale, v_scale, pt, pos, lyr,
-                      scale=scale, softcap=logit_softcap,
+                      win, scale=scale, softcap=logit_softcap,
                       interpret=use_interpret())
     return out.reshape(B, 1, Hq, D).astype(q.dtype)
 

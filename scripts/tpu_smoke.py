@@ -100,6 +100,32 @@ def main():
                                    vseq.transpose(0, 2, 1, 3), pos[:, None])
     ok &= check("paged_decode_attention", got, want)
 
+    # windowed variants (mistral static window / gemma2 traced window):
+    # exercises the @pl.when block skip + clamped index maps under Mosaic
+    W = 200
+    got = PA.paged_decode_attention(qp, cache.k_pages, cache.v_pages,
+                                    cache.page_table, 1, pos, window=W)
+    maskw = attention.make_attention_mask(pos[:, None], Sp,
+                                          sliding_window=W)
+    want = attention.attend(qp, kseq.transpose(0, 2, 1, 3),
+                            vseq.transpose(0, 2, 1, 3), maskw)
+    ok &= check("paged_decode_attention window=200", got, want)
+    got = jax.jit(lambda w: PA.paged_decode_attention(
+        qp, cache.k_pages, cache.v_pages, cache.page_table, 1, pos,
+        window=w))(jnp.int32(W))
+    ok &= check("paged_decode_attention traced window", got, want)
+
+    # dense decode kernel with a static window (mistral decode path)
+    kd = jax.random.normal(ks[1], (2, 2, 8, 512, 128), jnp.bfloat16)
+    vd = jax.random.normal(ks[2], (2, 2, 8, 512, 128), jnp.bfloat16)
+    qd = jax.random.normal(ks[0], (2, 1, 32, 128), jnp.bfloat16)
+    posd = jnp.array([300, 500], jnp.int32)
+    got = DA.decode_attention(qd, kd, vd, 1, posd, window=128)
+    maskd = attention.make_attention_mask(posd[:, None], 512,
+                                          sliding_window=128)
+    want = attention.attend(qd, kd[1], vd[1], maskd)
+    ok &= check("decode_attention window=128", got, want)
+
     # --- compiled quantized-MoE forward: the quant-matmul kernel serving
     #     an [L*E]-stacked expert weight (index layer*E + e) ---
     from llm_inference_tpu.config import ModelConfig, QuantConfig

@@ -446,3 +446,41 @@ class TestGemma2DecodeKernel:
         want = run()
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
         assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+
+    @pytest.mark.parametrize("cache_dtype", ["float32", "int8"])
+    def test_paged_kernel_decode_matches_jnp(self, monkeypatch, cache_dtype):
+        """Paged decode through the window-aware paged kernel (continuous-
+        batching serving path) vs the gather+jnp path."""
+        from llm_inference_tpu.ops import paged_kvcache
+        from llm_inference_tpu.ops.pallas import (paged_attention
+                                                  as pallas_paged)
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          num_heads=4, num_kv_heads=2, head_dim=64,
+                          sliding_window=8)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(12)
+        B, T, ps, NB = 2, 16, 8, 8
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        nxt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1)), jnp.int32)
+        dpos = jnp.full((B, 1), T, jnp.int32)
+
+        def run():
+            cache = paged_kvcache.init_paged_cache(
+                cfg.num_layers, B * NB + 1, cfg.num_kv_heads, ps,
+                cfg.head_dim, B, NB, cache_dtype)
+            alloc = paged_kvcache.PageAllocator(B * NB + 1)
+            pt = jnp.asarray([alloc.allocate(NB) for _ in range(B)],
+                             jnp.int32)
+            cache = cache.replace(page_table=pt)
+            _, cache = gemma2.forward(cfg, params, ids, pos, cache,
+                                      logits_mode="none")
+            logits, _ = gemma2.forward(cfg, params, nxt, dpos, cache)
+            return np.asarray(logits)
+
+        assert pallas_paged.supports((B, 1, cfg.num_heads, cfg.head_dim), ps)
+        got = run()
+        monkeypatch.setattr(pallas_paged, "supports", lambda *a: False)
+        want = run()
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+        assert (np.argmax(got, -1) == np.argmax(want, -1)).all()

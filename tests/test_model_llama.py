@@ -164,3 +164,52 @@ class TestPreparedParams:
                               (s + 1) * (w.shape[-1] // tp)])
                  for w in (wq, wk, wv)], axis=-1)
             np.testing.assert_array_equal(shard, expect)
+
+
+class TestSlidingWindowDecodeKernel:
+    """The decode kernels must honor cfg.sliding_window (the mistral
+    config): kernel path vs jnp path, past the window boundary."""
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_windowed_decode_kernel_matches_jnp(self, monkeypatch, paged):
+        from llm_inference_tpu.config import tiny_llama
+        from llm_inference_tpu.models import llama
+        from llm_inference_tpu.ops import kvcache, paged_kvcache
+        from llm_inference_tpu.ops.pallas import (
+            decode_attention as pallas_decode,
+            paged_attention as pallas_paged)
+
+        cfg = tiny_llama(head_dim=64, sliding_window=8)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(7)
+        B, T = 2, 16                   # prefill well past the window
+        S, ps, NB = 128, 8, 16
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        nxt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 1)), jnp.int32)
+        dpos = jnp.full((B, 1), T, jnp.int32)
+
+        def run():
+            if paged:
+                cache = paged_kvcache.init_paged_cache(
+                    cfg.num_layers, B * NB + 1, cfg.num_kv_heads, ps, 64,
+                    B, NB, jnp.float32)
+                alloc = paged_kvcache.PageAllocator(B * NB + 1)
+                pt = jnp.asarray([alloc.allocate(NB) for _ in range(B)],
+                                 jnp.int32)
+                cache = cache.replace(page_table=pt)
+            else:
+                cache = kvcache.init_cache(cfg.num_layers, B,
+                                           cfg.num_kv_heads, S, 64,
+                                           jnp.float32)
+            _, cache = llama.forward(cfg, params, ids, pos, cache,
+                                     logits_mode="none")
+            logits, _ = llama.forward(cfg, params, nxt, dpos, cache)
+            return np.asarray(logits)
+
+        got = run()
+        monkeypatch.setattr(pallas_decode, "supports", lambda *a: False)
+        monkeypatch.setattr(pallas_paged, "supports", lambda *a: False)
+        want = run()
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+        assert (np.argmax(got, -1) == np.argmax(want, -1)).all()

@@ -155,3 +155,99 @@ class TestPagedInt8:
         codes = np.asarray(c.k_pages)[0, 2, :, 3]
         scale = np.asarray(c.k_scale)[0, 2, 3, :]
         np.testing.assert_allclose(codes * scale[:, None], 3.0, rtol=1e-2)
+
+
+class TestPagedWindowed:
+    """Sliding-window mode of the paged decode kernel (mistral's static
+    window; gemma2's traced per-layer window)."""
+
+    @pytest.mark.parametrize("W", [100, 300, 100000])
+    def test_matches_windowed_golden(self, W):
+        B, Hq, Hkv, ps, NB, D = 2, 8, 2, 128, 4, 128
+        L, P = 2, B * NB + 2
+        rng = np.random.default_rng(2)
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        alloc = pk.PageAllocator(P)
+        pt = np.zeros((B, NB), np.int32)
+        for bb in range(B):
+            pt[bb] = alloc.allocate(NB)
+        rng.shuffle(pt.reshape(-1))
+        cache = pk.init_paged_cache(L, P, Hkv, ps, D, B, NB, jnp.float32)
+        cache = cache.replace(page_table=jnp.asarray(pt))
+        S = NB * ps
+        k_seq = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+        layer = 1
+        for bb in range(B):
+            cache = pk.write_prompt(cache, jnp.int32(layer), bb,
+                                    k_seq[bb], v_seq[bb])
+        pos = jnp.asarray(rng.integers(S // 2, S - 1, (B,)), jnp.int32)
+
+        out = PA.paged_decode_attention(q, cache.k_pages, cache.v_pages,
+                                        cache.page_table, layer, pos,
+                                        window=W)
+        mask = attention.make_attention_mask(pos[:, None], S,
+                                             sliding_window=W)
+        ref = attention.attend(q, k_seq.transpose(0, 2, 1, 3),
+                               v_seq.transpose(0, 2, 1, 3), mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-3, rtol=2e-2)
+
+    def test_window_excludes_old_tokens(self):
+        """Pages wholly below the window start must not contribute, even
+        when poisoned."""
+        B, Hq, ps, NB, D, W = 1, 4, 64, 4, 64, 48
+        L, P = 1, NB + 1
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        cache = pk.init_paged_cache(L, P, Hq, ps, D, B, NB, jnp.float32)
+        alloc = pk.PageAllocator(P)
+        cache = cache.replace(
+            page_table=jnp.asarray([alloc.allocate(NB)], jnp.int32))
+        S = NB * ps
+        k_seq = jax.random.normal(ks[1], (B, S, Hq, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, S, Hq, D), jnp.float32)
+        cache = pk.write_prompt(cache, jnp.int32(0), 0, k_seq[0], v_seq[0])
+        pos = jnp.array([200], jnp.int32)    # window start 153, block 2
+        out1 = PA.paged_decode_attention(q, cache.k_pages, cache.v_pages,
+                                         cache.page_table, 0, pos, window=W)
+        k2 = k_seq.at[:, :153].set(1e4)
+        v2 = v_seq.at[:, :153].set(-1e4)
+        cache2 = pk.init_paged_cache(L, P, Hq, ps, D, B, NB, jnp.float32)
+        cache2 = cache2.replace(page_table=cache.page_table)
+        cache2 = pk.write_prompt(cache2, jnp.int32(0), 0, k2[0], v2[0])
+        out2 = PA.paged_decode_attention(q, cache2.k_pages, cache2.v_pages,
+                                         cache2.page_table, 0, pos,
+                                         window=W)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
+
+    def test_traced_window_int8_pool(self):
+        """Traced window scalar over an int8 page pool (gemma2 paged
+        serving with a quantized cache)."""
+        B, Hq, Hkv, ps, NB, D, W = 1, 8, 8, 64, 4, 128, 90
+        L, P = 1, NB + 1
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        cache = pk.init_paged_cache(L, P, Hkv, ps, D, B, NB, "int8")
+        alloc = pk.PageAllocator(P)
+        cache = cache.replace(
+            page_table=jnp.asarray([alloc.allocate(NB)], jnp.int32))
+        S = NB * ps
+        k_seq = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+        v_seq = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+        cache = pk.write_prompt(cache, jnp.int32(0), 0, k_seq[0], v_seq[0])
+        pos = jnp.array([S - 2], jnp.int32)
+
+        def run(win):
+            return PA.paged_decode_attention(
+                q, cache.k_pages, cache.v_pages, cache.page_table, 0, pos,
+                window=win, k_scale=cache.k_scale, v_scale=cache.v_scale)
+        out = jax.jit(run)(jnp.int32(W))
+        mask = attention.make_attention_mask(pos[:, None], S,
+                                             sliding_window=W)
+        ref = attention.attend(q, k_seq.transpose(0, 2, 1, 3),
+                               v_seq.transpose(0, 2, 1, 3), mask)
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+        assert err < 0.05, err       # int8 rounding
