@@ -314,6 +314,10 @@ class GenerationConfig:
     temperature: float = 1.0
     top_k: int = 0          # 0 = disabled
     top_p: float = 1.0      # 1.0 = disabled
+    min_p: float = 0.0      # 0.0 = disabled (drop tokens < min_p·P(max))
+    repetition_penalty: float = 1.0   # 1.0 = disabled (CTRL-style)
+    presence_penalty: float = 0.0     # OpenAI semantics, output tokens
+    frequency_penalty: float = 0.0    # OpenAI semantics, per count
     greedy: bool = False
     eos_token_ids: Sequence[int] = (2,)
     seed: int = 0

@@ -167,40 +167,74 @@ class InferenceEngine:
         return fn
 
     def _decode_chunk_rows_fn(self, params, cache, token, pos, key,
-                              temp, topk, topp, greedy, *,
+                              temp, topk, topp, greedy, minp, seeds,
+                              counts=None, seen=None, rep=None, pres=None,
+                              freq=None, *,
                               steps: int, max_top_k: int,
-                              use_top_p: bool = True):
+                              use_top_p: bool = True,
+                              use_min_p: bool = False,
+                              use_penalties: bool = False,
+                              seeded: bool = False):
         """Like _decode_chunk_fn, but sampling knobs are PER-ROW runtime
         arrays (continuous batching mixes per-request configs in one
-        program — ops/sampling.sample_per_row)."""
+        program — ops/sampling.sample_per_row).
+
+        seeded=True derives each row's noise from fold_in(PRNGKey(seed),
+        next position) instead of the shared chunk key — draws depend only
+        on (request seed, position), so a request's continuation is
+        reproducible regardless of batch-mates (and preemption replay is
+        byte-identical — scheduler._preempt relies on it).
+        use_penalties threads [B, V] output-token counts + prompt∪output
+        seen masks through the scan as donated carry; sampled tokens
+        update them on device."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
+        rows = jnp.arange(B)
         fwd = self._fwd_for(cache)
 
         def body(carry, _):
-            cache, token, pos, key = carry
-            key, sub = jax.random.split(key)
+            cache, token, pos, key, counts, seen = carry
+            if seeded:
+                sub = sampling.row_keys(seeds, pos + 1)
+            else:
+                key, sub = jax.random.split(key)
             logits, cache = fwd(params, token[:, None], pos[:, None],
                                 cache, zeros)
-            nxt = sampling.sample_per_row(logits, sub, temp, topk, topp,
-                                          greedy, max_top_k, use_top_p)
+            pen = ((counts, seen, rep, pres, freq) if use_penalties
+                   else None)
+            nxt = sampling.sample_per_row(
+                logits, sub, temp, topk, topp, greedy, max_top_k,
+                use_top_p, min_p=(minp if use_min_p else None),
+                penalties=pen)
             lp = sampling.chosen_logprob(logits, nxt)
-            return (cache, nxt, pos + 1, key), (nxt, lp)
+            if use_penalties:
+                counts = counts.at[rows, nxt].add(1)
+                seen = seen.at[rows, nxt].set(True)
+            return (cache, nxt, pos + 1, key, counts, seen), (nxt, lp)
 
-        (cache, token, pos, key), (toks, lps) = jax.lax.scan(
-            body, (cache, token, pos, key), None, length=steps)
-        return toks.T, lps.T, cache, token, pos, key
+        (cache, token, pos, key, counts, seen), (toks, lps) = jax.lax.scan(
+            body, (cache, token, pos, key, counts, seen), None,
+            length=steps)
+        return toks.T, lps.T, cache, token, pos, key, counts, seen
 
     def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64,
-                             use_top_p: bool = True):
-        key = ("rows", steps, max_top_k, use_top_p)
+                             use_top_p: bool = True,
+                             use_min_p: bool = False,
+                             use_penalties: bool = False,
+                             seeded: bool = False):
+        key = ("rows", steps, max_top_k, use_top_p, use_min_p,
+               use_penalties, seeded)
         fn = self._decode_jits.get(key)
         if fn is None:
+            donate = (1,) + ((11, 12) if use_penalties else ())
             fn = jax.jit(
                 functools.partial(self._decode_chunk_rows_fn, steps=steps,
                                   max_top_k=max_top_k,
-                                  use_top_p=use_top_p),
-                donate_argnums=(1,))
+                                  use_top_p=use_top_p,
+                                  use_min_p=use_min_p,
+                                  use_penalties=use_penalties,
+                                  seeded=seeded),
+                donate_argnums=donate)
             self._decode_jits[key] = fn
         return fn
 

@@ -54,9 +54,21 @@ class Request:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     greedy: Optional[bool] = None
+    min_p: Optional[float] = None
+    repetition_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
+    # per-request sampling seed: draws depend only on (seed, position) —
+    # reproducible independent of batch-mates (None → scheduler-assigned,
+    # stored back here so a preemption replay regenerates identical tokens)
+    seed: Optional[int] = None
     # extra per-request stop tokens (on top of the scheduler's eos set);
     # the stop token itself is not emitted to the stream
     stop_token_ids: Optional[Sequence[int]] = None
+    # stop STRINGS (needs a tokenizer): generation halts when the decoded
+    # output contains any of them; `final_text` is the output trimmed at
+    # the match, `stop_hit` the matched string
+    stop: Optional[Sequence[str]] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -68,6 +80,10 @@ class Request:
     stream_pos: int = 0             # tokens already delivered to `stream`
                                     # (survives preemption replay — the
                                     # client never sees duplicates)
+    stop_hit: Optional[str] = None  # the stop string that fired
+    final_text: Optional[str] = None  # decoded output trimmed at stop_hit
+    _text: str = ""                 # incremental decode for stop matching
+    halt_stream_at: Optional[int] = None  # first output index NOT streamed
 
     @property
     def ttft_s(self) -> float:
@@ -101,12 +117,35 @@ class ContinuousBatchingScheduler:
         self.topk_host = np.full((self.B,), g.top_k, np.int32)
         self.topp_host = np.full((self.B,), g.top_p, np.float32)
         self.greedy_host = np.full((self.B,), g.greedy, bool)
+        self.minp_host = np.full((self.B,), getattr(g, "min_p", 0.0),
+                                 np.float32)
+        self.rep_host = np.full((self.B,),
+                                getattr(g, "repetition_penalty", 1.0),
+                                np.float32)
+        self.pres_host = np.full((self.B,),
+                                 getattr(g, "presence_penalty", 0.0),
+                                 np.float32)
+        self.freq_host = np.full((self.B,),
+                                 getattr(g, "frequency_penalty", 0.0),
+                                 np.float32)
+        self.seed_host = np.zeros((self.B,), np.int32)
+        self._seed_rng = np.random.default_rng(self.gen.seed ^ 0x5EED)
+        # [B, V] output-token counts + prompt∪output seen masks, allocated
+        # lazily (only when a penalized request is admitted)
+        self._counts = None
+        self._seen = None
+        self._row_set_jit = jax.jit(
+            lambda a, row, s: jax.lax.dynamic_update_slice(
+                a, row[None], (s, jnp.int32(0))),
+            donate_argnums=(0,))
 
     def _resolve_sampling(self, req: Request):
-        """(temperature, top_k, top_p, greedy) with scheduler defaults."""
+        """(temperature, top_k, top_p, greedy, min_p, rep, pres, freq)
+        with scheduler defaults."""
         g = self.gen
         explicit = any(x is not None
-                       for x in (req.temperature, req.top_k, req.top_p))
+                       for x in (req.temperature, req.top_k, req.top_p,
+                                 req.min_p))
         greedy = (req.greedy if req.greedy is not None
                   else (False if explicit else g.greedy))
         topk = req.top_k if req.top_k is not None else g.top_k
@@ -114,18 +153,69 @@ class ContinuousBatchingScheduler:
         if topk > mk:
             raise ValueError(f"top_k={topk} exceeds EngineConfig.max_top_k"
                              f"={mk}")
+        minp = (req.min_p if req.min_p is not None
+                else getattr(g, "min_p", 0.0))
+        if not 0.0 <= minp < 1.0:
+            raise ValueError(f"min_p={minp} must be in [0, 1)")
+        rep = (req.repetition_penalty if req.repetition_penalty is not None
+               else getattr(g, "repetition_penalty", 1.0))
+        if rep <= 0.0:
+            raise ValueError(f"repetition_penalty={rep} must be > 0")
+        if req.stop and self.engine.tokenizer is None:
+            raise ValueError("stop strings need a tokenizer")
         return (req.temperature if req.temperature is not None
                 else g.temperature,
                 topk,
                 req.top_p if req.top_p is not None else g.top_p,
-                greedy)
+                greedy,
+                minp, rep,
+                (req.presence_penalty if req.presence_penalty is not None
+                 else getattr(g, "presence_penalty", 0.0)),
+                (req.frequency_penalty if req.frequency_penalty is not None
+                 else getattr(g, "frequency_penalty", 0.0)))
+
+    def _resolve_seed(self, req: Request) -> int:
+        """Assign (once) and return the request's sampling seed."""
+        if req.seed is None:
+            req.seed = int(self._seed_rng.integers(0, 2**31 - 1))
+        return req.seed
+
+    def _ensure_penalty_state(self):
+        if self._counts is None:
+            V = self.engine.cfg.vocab_size
+            self._counts = jnp.zeros((self.B, V), jnp.int32)
+            self._seen = jnp.zeros((self.B, V), bool)
 
     def _set_slot_sampling(self, slot: int, req: Request) -> None:
-        t, k, p, gr = self._resolve_sampling(req)
+        t, k, p, gr, minp, rep, pres, freq = self._resolve_sampling(req)
         self.temp_host[slot] = t
         self.topk_host[slot] = k
         self.topp_host[slot] = p
         self.greedy_host[slot] = gr
+        self.minp_host[slot] = minp
+        self.rep_host[slot] = rep
+        self.pres_host[slot] = pres
+        self.freq_host[slot] = freq
+        self.seed_host[slot] = self._resolve_seed(req)
+        if rep != 1.0 or pres != 0.0 or freq != 0.0:
+            # seed the slot's penalty rows: prompt tokens (repetition
+            # scope) + the admission-sampled first token (output scope)
+            self._ensure_penalty_state()
+            V = self.engine.cfg.vocab_size
+            counts_row = np.zeros((V,), np.int32)
+            seen_row = np.zeros((V,), bool)
+            seen_row[np.asarray(req.prompt_ids, np.int64) % V] = True
+            first = req.output_ids[0]
+            counts_row[first] += 1
+            seen_row[first] = True
+            s = jnp.int32(slot)
+            self._counts = self._row_set_jit(self._counts,
+                                             jnp.asarray(counts_row), s)
+            self._seen = self._row_set_jit(self._seen,
+                                           jnp.asarray(seen_row), s)
+        # (neutral-knob rows are identity under apply_penalties, so stale
+        # counts in non-penalized slots are harmless; every penalized
+        # admission rewrites its own row)
 
     # ------------------------------------------------------------------
 
@@ -159,17 +249,29 @@ class ContinuousBatchingScheduler:
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
                greedy: Optional[bool] = None,
-               stop_token_ids: Optional[Sequence[int]] = None) -> Request:
+               min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
+               seed: Optional[int] = None,
+               stop_token_ids: Optional[Sequence[int]] = None,
+               stop: Optional[Union[str, Sequence[str]]] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
                 f"prompt({len(ids)}) + max_new_tokens exceeds max_seq_len "
                 f"{self.S}")
+        if isinstance(stop, str):
+            stop = [stop]
         req = Request(req_id=next(self._ids), prompt_ids=ids,
                       max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
                       stream=stream, submit_t=time.perf_counter(),
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      greedy=greedy, stop_token_ids=stop_token_ids)
+                      greedy=greedy, min_p=min_p,
+                      repetition_penalty=repetition_penalty,
+                      presence_penalty=presence_penalty,
+                      frequency_penalty=frequency_penalty, seed=seed,
+                      stop_token_ids=stop_token_ids, stop=stop)
         self._resolve_sampling(req)       # validate (top_k bound) up front
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
@@ -187,19 +289,20 @@ class ContinuousBatchingScheduler:
         logits, one_cache = self.engine.prefill(
             [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
         logits = logits[:1]
-        self.key, sub = jax.random.split(self.key)
-        first, first_lp = self._sample_first(logits, sub, req)
+        first, first_lp = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
         tok_np, lp_np = jax.device_get((first, first_lp))
         tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
         req.output_logprobs.append(float(lp_np[0]))
+        self._check_stop_strings(req, tok)
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if tok in stops or len(req.output_ids) >= req.max_new_tokens:
-            req.finished = tok in stops
+        if (tok in stops or req.finished
+                or len(req.output_ids) >= req.max_new_tokens):
+            req.finished = req.finished or tok in stops
             req.done_t = time.perf_counter()
             self.slot_req[slot] = None
             self._on_retire(slot)
@@ -230,6 +333,8 @@ class ContinuousBatchingScheduler:
                     req.output_logprobs.append(float(lps_np[b, j]))
                 if t in stops:
                     req.finished = True
+                else:
+                    self._check_stop_strings(req, t)
                 if req.finished or len(req.output_ids) >= req.max_new_tokens:
                     break
             self._emit(req)
@@ -251,40 +356,84 @@ class ContinuousBatchingScheduler:
         return (self._eos if not req.stop_token_ids
                 else self._eos | set(req.stop_token_ids))
 
+    def _check_stop_strings(self, req: Request, tok: int) -> None:
+        """Incremental stop-string matching: decode `tok`'s piece into the
+        request's running text; when a stop string completes, finish the
+        request, record the exact trimmed text (a match may span tokens and
+        start mid-piece — char-exact in `final_text`) and halt the stream
+        BEFORE the completing token."""
+        if not req.stop:
+            return
+        piece = self.engine.tokenizer.decode_token(tok)
+        prev = len(req._text)
+        req._text += piece
+        longest = max(len(s) for s in req.stop)
+        start = max(0, prev - longest + 1)
+        for s in req.stop:
+            i = req._text.find(s, start)
+            if i >= 0:
+                req.finished = True
+                req.stop_hit = s
+                req.final_text = req._text[:i]
+                req.halt_stream_at = len(req.output_ids) - 1
+                return
+
     def _emit(self, req: Request) -> None:
-        """Stream undelivered tokens (EOS excluded). stream_pos survives a
-        preemption's output reset, so a replayed request only streams what
-        the client has not seen — for greedy requests the replayed prefix
-        is identical; sampled requests are preempted last (see _preempt)."""
+        """Stream undelivered tokens (EOS excluded; a fired stop string
+        halts the stream before its completing token). stream_pos survives
+        a preemption's output reset, so a replayed request only streams
+        what the client has not seen — all replays are byte-identical:
+        greedy trivially, sampled because draws are keyed on
+        (request seed, position), not on batch composition."""
         n = len(req.output_ids)
+        limit = n if req.halt_stream_at is None else min(
+            n, req.halt_stream_at)
         if req.stream:
             stops = self._stops(req)
-            for i in range(req.stream_pos, n):
+            for i in range(req.stream_pos, limit):
                 t = req.output_ids[i]
                 if t not in stops:
                     req.stream(req.req_id, t)
         req.stream_pos = max(req.stream_pos, n)
 
-    def _sample_first(self, logits, sub, req: Request):
+    def _sample_first(self, logits, req: Request):
         """Sample a request's first token + its logprob with ITS sampling
         knobs — ONE jitted dispatch (eager per-op dispatch here costs a
-        device round trip each on the TTFT-critical admission path)."""
-        t, k, p, gr = self._resolve_sampling(req)
+        device round trip each on the TTFT-critical admission path).
+        The draw is seeded: fold_in(PRNGKey(req.seed), prompt_len), the
+        same convention as the decode chunk — replay-identical."""
+        t, k, p, gr, minp, rep, pres, freq = self._resolve_sampling(req)
         fn = getattr(self, "_first_jit", None)
         if fn is None:
             mk = self.engine.engine_cfg.max_top_k
 
-            def _first(logits, key, t, k, p, gr):
-                tok = sampling.sample_per_row(logits, key, t, k, p, gr, mk)
+            def _first(logits, seeds, pos, t, k, p, gr, minp, counts,
+                       seen, rep, pres, freq):
+                key = sampling.row_keys(seeds, pos)
+                tok = sampling.sample_per_row(
+                    logits, key, t, k, p, gr, mk, True, min_p=minp,
+                    penalties=(counts, seen, rep, pres, freq))
                 return tok, sampling.chosen_logprob(logits, tok)
 
             fn = self._first_jit = jax.jit(_first)
         B1 = logits.shape[0]
-        return fn(logits, sub,
+        V = self.engine.cfg.vocab_size
+        seen_row = np.zeros((V,), bool)
+        if rep != 1.0:
+            seen_row[np.asarray(req.prompt_ids, np.int64) % V] = True
+        return fn(logits,
+                  jnp.full((B1,), self._resolve_seed(req), jnp.int32),
+                  jnp.full((B1,), len(req.prompt_ids), jnp.int32),
                   jnp.full((B1,), t, jnp.float32),
                   jnp.full((B1,), k, jnp.int32),
                   jnp.full((B1,), p, jnp.float32),
-                  jnp.full((B1,), gr, bool))
+                  jnp.full((B1,), gr, bool),
+                  jnp.full((B1,), minp, jnp.float32),
+                  jnp.zeros((B1, V), jnp.int32),
+                  jnp.broadcast_to(jnp.asarray(seen_row), (B1, V)),
+                  jnp.full((B1,), rep, jnp.float32),
+                  jnp.full((B1,), pres, jnp.float32),
+                  jnp.full((B1,), freq, jnp.float32))
 
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
@@ -302,7 +451,9 @@ class ContinuousBatchingScheduler:
             return True
         self.key, sub = jax.random.split(self.key)
         live = [b for b, r in enumerate(self.slot_req) if r is not None]
-        if all(self.greedy_host[b] for b in live):
+        use_pen = any(self.rep_host[b] != 1.0 or self.pres_host[b] != 0.0
+                      or self.freq_host[b] != 0.0 for b in live)
+        if all(self.greedy_host[b] for b in live) and not use_pen:
             # all-greedy chunk: plain argmax program — no top-k/top-p work
             # on the hot path (retired slots' knobs are don't-cares)
             fn = self.engine._get_decode_jit(
@@ -312,14 +463,24 @@ class ContinuousBatchingScheduler:
         else:
             use_topk = any(self.topk_host[b] > 0 for b in live)
             use_topp = any(self.topp_host[b] < 1.0 for b in live)
+            use_minp = any(self.minp_host[b] > 0.0 for b in live)
             fn = self.engine._get_decode_rows_jit(
                 steps,
                 self.engine.engine_cfg.max_top_k if use_topk else 0,
-                use_top_p=use_topp)
-            toks, lps, self.cache, self.token, self.pos, _ = fn(
+                use_top_p=use_topp, use_min_p=use_minp,
+                use_penalties=use_pen, seeded=True)
+            if use_pen:
+                self._ensure_penalty_state()
+            (toks, lps, self.cache, self.token, self.pos, _,
+             self._counts, self._seen) = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
                 jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
-                jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host))
+                jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host),
+                jnp.asarray(self.minp_host), jnp.asarray(self.seed_host),
+                self._counts if use_pen else None,
+                self._seen if use_pen else None,
+                jnp.asarray(self.rep_host), jnp.asarray(self.pres_host),
+                jnp.asarray(self.freq_host))
         self._harvest(np.asarray(toks), np.asarray(lps))
         return True
 
@@ -353,6 +514,8 @@ class ContinuousBatchingScheduler:
             req.output_logprobs = []
             req.first_token_t = 0.0
             req.finished = False
+            req._text = ""
+            req.halt_stream_at = None
             drained.append(req)
         for req in reversed(drained):
             self.queue.appendleft(req)
@@ -467,10 +630,12 @@ class PagedScheduler(ContinuousBatchingScheduler):
         req = self.slot_req[slot]
         self.slot_req[slot] = None
         self._on_retire(slot)
-        req.output_ids = []          # replayed from the prompt
-        req.output_logprobs = []
+        req.output_ids = []          # replayed from the prompt (the replay
+        req.output_logprobs = []     # is byte-identical: seeded sampling)
         req.first_token_t = 0.0
         req.finished = False         # stream_pos is kept: no duplicates
+        req._text = ""
+        req.halt_stream_at = None
         self.queue.appendleft(req)
 
     def _sync_table(self) -> None:
@@ -509,15 +674,10 @@ class PagedScheduler(ContinuousBatchingScheduler):
                        if r is not None]
             if len(victims) <= 1:
                 return False     # a single request can't fit: wait/raise
-            # replay is byte-identical for greedy / non-streaming requests;
-            # a sampled+streaming replay resumes from a different random
-            # continuation — preempt those last, then least sunk work
-            def _cost(b):
-                r = self.slot_req[b]
-                risky = (r.stream is not None
-                         and not self.greedy_host[b])
-                return (risky, self.pos_host[b])
-            self._preempt(min(victims, key=_cost))
+            # replay is byte-identical for EVERY request (greedy trivially;
+            # sampled because draws are keyed on the request's stored seed
+            # + position, not batch composition) — evict least sunk work
+            self._preempt(min(victims, key=lambda b: self.pos_host[b]))
             grew = True
         if grew:
             self._sync_table()
@@ -598,19 +758,20 @@ class PagedScheduler(ContinuousBatchingScheduler):
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
-        self.key, sub = jax.random.split(self.key)
-        first, first_lp = self._sample_first(logits, sub, req)
+        first, first_lp = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
         tok_np, lp_np = jax.device_get((first, first_lp))
         tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
         req.output_logprobs.append(float(lp_np[0]))
+        self._check_stop_strings(req, tok)
         if tok not in stops:
             self._emit(req)
         self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if tok in stops or len(req.output_ids) >= req.max_new_tokens:
-            req.finished = tok in stops
+        if (tok in stops or req.finished
+                or len(req.output_ids) >= req.max_new_tokens):
+            req.finished = req.finished or tok in stops
             req.done_t = time.perf_counter()
             self._on_retire(slot)
             return True

@@ -199,8 +199,10 @@ def make_handler(backend: ServingBackend):
                 return
             max_new = body.get("max_new_tokens")
             stream = bool(body.get("stream"))
-            samp = {k: body[k] for k in ("temperature", "top_k", "top_p",
-                                         "greedy", "stop_token_ids")
+            samp = {k: body[k] for k in (
+                "temperature", "top_k", "top_p", "greedy", "min_p",
+                "repetition_penalty", "presence_penalty",
+                "frequency_penalty", "seed", "stop_token_ids", "stop")
                     if k in body}
             try:
                 if stream:
@@ -250,7 +252,8 @@ def make_handler(backend: ServingBackend):
                 else:
                     req = backend.submit(prompt, max_new, **samp)
                     backend.wait(req)
-                    text = tok.decode(req.output_ids) if tok else ""
+                    text = (req.final_text if req.final_text is not None
+                            else tok.decode(req.output_ids) if tok else "")
                     resp = {
                         "request_id": req.req_id,
                         "token_ids": req.output_ids,
@@ -292,8 +295,9 @@ def make_handler(backend: ServingBackend):
                                            "type": "invalid_request_error"}})
                 return
             max_new = body.get("max_tokens")
-            samp = {k: body[k] for k in ("temperature", "top_p")
-                    if k in body}
+            samp = {k: body[k] for k in (
+                "temperature", "top_p", "presence_penalty",
+                "frequency_penalty", "seed", "stop") if k in body}
             try:
                 req = backend.submit(prompt, max_new, **samp)
                 backend.wait(req)
@@ -305,7 +309,8 @@ def make_handler(backend: ServingBackend):
                 self._json(503, {"error": {"message": str(e),
                                            "type": "overloaded_error"}})
                 return
-            text = tok.decode(req.output_ids) if tok else ""
+            text = (req.final_text if req.final_text is not None
+                    else tok.decode(req.output_ids) if tok else "")
             finish = "stop" if req.finished else "length"
             usage = {"prompt_tokens": len(req.prompt_ids),
                      "completion_tokens": len(req.output_ids),

@@ -43,6 +43,51 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(logits < threshold, NEG_INF, logits)
 
 
+def apply_min_p(logits: jnp.ndarray, min_p: float) -> jnp.ndarray:
+    """Min-p filtering: drop tokens whose probability is below
+    min_p × P(argmax). Works directly on (temperature-scaled) logits:
+    p_i < min_p·p_max  ⇔  logit_i < logit_max + log(min_p)."""
+    thresh = jnp.max(logits, axis=-1, keepdims=True) + jnp.log(min_p)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_penalties(
+    logits: jnp.ndarray,          # [B, V] float
+    out_counts: jnp.ndarray,      # [B, V] i32 — OUTPUT token counts
+    seen_mask: jnp.ndarray,       # [B, V] bool — prompt ∪ output tokens
+    repetition: jnp.ndarray,      # [B] f32 (1.0 ⇒ off)
+    presence: jnp.ndarray,        # [B] f32 (0.0 ⇒ off)
+    frequency: jnp.ndarray,       # [B] f32 (0.0 ⇒ off)
+) -> jnp.ndarray:
+    """Standard serving-API sampling penalties (no reference analogue —
+    the reference's sampler is fixed top-K=5, src/kernels/sampling.cu).
+
+    Scopes follow the common convention: the CTRL-style repetition
+    penalty divides positive / multiplies negative logits of every token
+    seen in the PROMPT OR OUTPUT; presence (once-off) and frequency
+    (per-count) penalties subtract from OUTPUT tokens only."""
+    logits = logits.astype(jnp.float32)
+    rep = repetition[:, None]
+    pen = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen_mask & (rep != 1.0), pen, logits)
+    emitted = out_counts > 0
+    logits = logits - presence[:, None] * emitted
+    logits = logits - frequency[:, None] * out_counts
+    return logits
+
+
+def row_keys(seeds: jnp.ndarray, positions: jnp.ndarray) -> jax.Array:
+    """Per-row PRNG keys `fold_in(PRNGKey(seed_b), pos_b)` — sampling
+    noise depends only on (request seed, absolute position), so a
+    request's draws are reproducible regardless of its batch-mates and a
+    preempted-and-replayed sampled request regenerates the identical
+    continuation (engine/scheduler.py relies on this)."""
+    def one(s, p):
+        return jax.random.fold_in(jax.random.PRNGKey(s), p)
+    return jax.vmap(one)(seeds.astype(jnp.uint32),
+                         positions.astype(jnp.uint32))
+
+
 def chosen_logprob(logits: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
     """log P(token) under softmax(logits): [B, V], [B] -> [B] f32."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -59,19 +104,33 @@ def sample_per_row(
     greedy: jnp.ndarray,          # [B] bool
     max_top_k: int = 64,
     use_top_p: bool = True,
+    min_p: Optional[jnp.ndarray] = None,       # [B] f32 (0 ⇒ off)
+    penalties: Optional[tuple] = None,         # (counts, seen, rep, pres,
+                                               #  freq) — apply_penalties
 ) -> jnp.ndarray:
     """Per-ROW sampling knobs as runtime arrays: ONE compiled program serves
     any mix of per-request configs in a continuously batched decode (the
     static-knob `sample` would recompile the decode scan per distinct
     config set). `max_top_k` is the static bound for the top-k sort width;
-    per-row k is clamped to it (0 statically disables the top-k stage, and
-    use_top_p=False the nucleus sort — callers key their jit on whether any
+    per-row k is clamped to it (0 statically disables the top-k stage,
+    use_top_p=False the nucleus sort, min_p=None the min-p stage and
+    penalties=None the penalty stage — callers key their jit on whether any
     live row needs each stage, so unused filters cost nothing). Greedy rows
-    take the plain argmax of the unscaled logits (`sample(greedy=True)`)."""
+    take the argmax of the (penalized) unscaled logits.
+
+    `key` may be per-row keys from `row_keys` (seeded mode: one key row per
+    batch row) or a single key shared by the batch."""
     logits = logits.astype(jnp.float32)
+    if penalties is not None:
+        logits = apply_penalties(logits, *penalties)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     t = jnp.where(temperature <= 0.0, 1.0, temperature)[:, None]
     scaled = logits / t
+    if min_p is not None:
+        thresh = (jnp.max(scaled, axis=-1, keepdims=True)
+                  + jnp.log(jnp.maximum(min_p, 1e-10))[:, None])
+        scaled = jnp.where((min_p > 0.0)[:, None] & (scaled < thresh),
+                           NEG_INF, scaled)
     if max_top_k > 0:
         vals = jax.lax.top_k(scaled, max_top_k)[0]          # [B, K]
         k_eff = jnp.clip(top_k, 1, max_top_k) - 1
@@ -89,7 +148,16 @@ def sample_per_row(
                                         axis=-1)
         scaled = jnp.where((top_p < 1.0)[:, None] & (scaled < threshold),
                            NEG_INF, scaled)
-    drawn = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    per_row = (key.ndim == 2 or          # raw uint32 keys: [B, 2]
+               (key.ndim == 1 and jnp.issubdtype(key.dtype, jax.dtypes.prng_key)))
+    if per_row:                          # seeded mode: Gumbel-max per row
+        gumbel = jax.vmap(
+            lambda k, s: jax.random.gumbel(k, s.shape, jnp.float32))(
+                key, scaled)
+        drawn = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    else:
+        drawn = jax.random.categorical(key, scaled,
+                                       axis=-1).astype(jnp.int32)
     return jnp.where(greedy | (temperature <= 0.0), arg, drawn)
 
 

@@ -59,3 +59,69 @@ class TestSample:
             t = int(sampling.sample(logits, jax.random.fold_in(key, i),
                                     temperature=1.5, top_k=2)[0])
             assert t in top2
+
+
+class TestPenalties:
+    """Serving-API sampling penalties (no reference analogue — the
+    reference's sampler is fixed top-K=5, sampling.cu)."""
+
+    def test_apply_penalties_golden(self):
+        B, V = 3, 50
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(B, V)), jnp.float32)
+        counts = (jnp.zeros((B, V), jnp.int32)
+                  .at[0, 5].set(2).at[1, 7].set(1))
+        seen = (counts > 0).at[0, 9].set(True)     # 9: prompt-only token
+        rep = jnp.asarray([1.5, 1.0, 1.0])
+        pres = jnp.asarray([0.0, 0.6, 0.0])
+        freq = jnp.asarray([0.3, 0.0, 0.0])
+        out = np.asarray(sampling.apply_penalties(
+            logits, counts, seen, rep, pres, freq))
+        l = np.asarray(logits)
+        exp05 = (l[0, 5] / 1.5 if l[0, 5] > 0 else l[0, 5] * 1.5) - 0.3 * 2
+        exp09 = l[0, 9] / 1.5 if l[0, 9] > 0 else l[0, 9] * 1.5
+        assert np.isclose(out[0, 5], exp05)
+        assert np.isclose(out[0, 9], exp09)        # rep hits prompt tokens
+        assert np.isclose(out[1, 7], l[1, 7] - 0.6)
+        np.testing.assert_allclose(out[2], l[2])   # neutral row = identity
+
+    def test_min_p_filters_below_fraction_of_max(self):
+        logits = jnp.asarray(np.random.default_rng(1).normal(size=(2, 40))
+                             * 3, jnp.float32)
+        out = sampling.apply_min_p(logits, 0.5)
+        p = np.asarray(jax.nn.softmax(logits, axis=-1))
+        keep = p >= 0.5 * p.max(-1, keepdims=True)
+        assert ((np.asarray(out) > -1e29) == keep).all()
+
+
+class TestSeededRows:
+    """Per-row seeded sampling: draws depend only on (seed, position) —
+    the scheduler's batch-composition-independent reproducibility."""
+
+    def test_same_seed_same_draw_any_batch(self):
+        V = 64
+        logits = jnp.asarray(np.random.default_rng(2).normal(size=(3, V)),
+                             jnp.float32)
+        seeds = jnp.asarray([11, 22, 33], jnp.int32)
+        pos = jnp.asarray([4, 9, 4], jnp.int32)
+        ones = jnp.ones((3,)); zi = jnp.zeros((3,), jnp.int32)
+        g = jnp.zeros((3,), bool)
+        tok = sampling.sample_per_row(
+            logits, sampling.row_keys(seeds, pos), ones, zi, ones, g,
+            max_top_k=0, use_top_p=False)
+        solo = sampling.sample_per_row(
+            logits[:1], sampling.row_keys(seeds[:1], pos[:1]), ones[:1],
+            zi[:1], ones[:1], g[:1], max_top_k=0, use_top_p=False)
+        assert int(tok[0]) == int(solo[0])
+
+    def test_different_position_different_stream(self):
+        V = 4096
+        logits = jnp.zeros((1, V), jnp.float32)      # uniform: pure noise
+        seeds = jnp.asarray([7], jnp.int32)
+        ones = jnp.ones((1,)); zi = jnp.zeros((1,), jnp.int32)
+        g = jnp.zeros((1,), bool)
+        draws = {int(sampling.sample_per_row(
+            logits, sampling.row_keys(seeds, jnp.asarray([p], jnp.int32)),
+            ones, zi, ones, g, max_top_k=0, use_top_p=False)[0])
+            for p in range(8)}
+        assert len(draws) > 1

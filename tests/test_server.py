@@ -238,3 +238,37 @@ class TestLogprobs:
             out = json.loads(r.read())
         lp = out["choices"][0]["logprobs"]
         assert len(lp["token_logprobs"]) == len(lp["tokens"]) == 4
+
+
+class TestProductionSamplingHTTP:
+    """The new serving knobs ride the HTTP body end to end."""
+
+    def test_seeded_sampling_reproducible(self, httpd):
+        body = {"prompt": [3, 4, 5], "temperature": 2.0, "seed": 123,
+                "max_new_tokens": 8}
+        with _post(httpd, body) as r:
+            a = json.load(r)["token_ids"]
+        with _post(httpd, body) as r:
+            b = json.load(r)["token_ids"]
+        assert a == b
+        with _post(httpd, {**body, "seed": 124}) as r:
+            c = json.load(r)["token_ids"]
+        assert c != a
+
+    def test_penalties_and_min_p_accepted(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_new_tokens": 8,
+                           "greedy": True,
+                           "presence_penalty": 1000.0,
+                           "repetition_penalty": 2.0,
+                           "frequency_penalty": 0.1}) as r:
+            out = json.load(r)["token_ids"]
+        assert len(set(out)) == len(out)
+        with _post(httpd, {"prompt": [5, 6, 7], "min_p": 0.5,
+                           "temperature": 1.0, "max_new_tokens": 4}) as r:
+            assert len(json.load(r)["token_ids"]) <= 4
+
+    def test_bad_min_p_is_400(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "min_p": 1.5})
+        assert e.value.code == 400
