@@ -109,6 +109,10 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--min-p", type=float, default=0.0)
+    ap.add_argument("--repetition-penalty", type=float, default=1.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
     ap.add_argument("--greedy", action="store_true")
     args = ap.parse_args(argv)
 
@@ -118,7 +122,11 @@ def main(argv=None):
     engine = build_engine(args)
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens,
                            temperature=args.temperature, top_k=args.top_k,
-                           top_p=args.top_p, greedy=args.greedy)
+                           top_p=args.top_p, min_p=args.min_p,
+                           repetition_penalty=args.repetition_penalty,
+                           presence_penalty=args.presence_penalty,
+                           frequency_penalty=args.frequency_penalty,
+                           greedy=args.greedy)
 
     if engine.tokenizer is None:
         print("[cli] no tokenizer — echoing token ids for dummy runs")

@@ -131,38 +131,67 @@ class InferenceEngine:
     def _prefill_fn(self, params, ids, positions, cache, last_idx):
         return self._fwd_for(cache)(params, ids, positions, cache, last_idx)
 
-    def _decode_chunk_fn(self, params, cache, token, pos, key, *,
+    @staticmethod
+    def _gen_penalized(gen: GenerationConfig) -> bool:
+        return (getattr(gen, "repetition_penalty", 1.0) != 1.0
+                or getattr(gen, "presence_penalty", 0.0) != 0.0
+                or getattr(gen, "frequency_penalty", 0.0) != 0.0)
+
+    def _decode_chunk_fn(self, params, cache, token, pos, key,
+                         counts=None, seen=None, *,
                          steps: int, gen: GenerationConfig):
-        """scan `steps` decode iterations on device; returns sampled tokens."""
+        """scan `steps` decode iterations on device; returns sampled tokens.
+        When gen carries penalties, [B, V] output-count + seen state rides
+        the scan as donated carry (see _decode_chunk_rows_fn)."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
+        rows = jnp.arange(B)
+        use_pen = self._gen_penalized(gen)
         fwd = self._fwd_for(cache)
 
         def body(carry, _):
-            cache, token, pos, key = carry
+            cache, token, pos, key, counts, seen = carry
             key, sub = jax.random.split(key)
             logits, cache = fwd(params, token[:, None], pos[:, None],
                                 cache, zeros)
-            nxt = sampling.sample(logits, sub,
+            if use_pen:
+                pl = sampling.apply_penalties(
+                    logits, counts, seen,
+                    jnp.full((B,), gen.repetition_penalty, jnp.float32),
+                    jnp.full((B,), gen.presence_penalty, jnp.float32),
+                    jnp.full((B,), gen.frequency_penalty, jnp.float32))
+            else:
+                pl = logits
+            nxt = sampling.sample(pl, sub,
                                   temperature=gen.temperature,
                                   top_k=gen.top_k, top_p=gen.top_p,
-                                  greedy=gen.greedy)
+                                  greedy=gen.greedy,
+                                  min_p=getattr(gen, "min_p", 0.0))
             lp = sampling.chosen_logprob(logits, nxt)
-            return (cache, nxt, pos + 1, key), (nxt, lp)
+            if use_pen:
+                counts = counts.at[rows, nxt].add(1)
+                seen = seen.at[rows, nxt].set(True)
+            return (cache, nxt, pos + 1, key, counts, seen), (nxt, lp)
 
-        (cache, token, pos, key), (toks, lps) = jax.lax.scan(
-            body, (cache, token, pos, key), None, length=steps)
+        (cache, token, pos, key, counts, seen), (toks, lps) = jax.lax.scan(
+            body, (cache, token, pos, key, counts, seen), None,
+            length=steps)
         # toks/lps: [B, steps]
-        return toks.T, lps.T, cache, token, pos, key
+        return toks.T, lps.T, cache, token, pos, key, counts, seen
 
     def _get_decode_jit(self, steps: int, gen: GenerationConfig):
-        key = (steps, gen.temperature, gen.top_k, gen.top_p, gen.greedy)
+        key = (steps, gen.temperature, gen.top_k, gen.top_p, gen.greedy,
+               getattr(gen, "min_p", 0.0),
+               getattr(gen, "repetition_penalty", 1.0),
+               getattr(gen, "presence_penalty", 0.0),
+               getattr(gen, "frequency_penalty", 0.0))
         fn = self._decode_jits.get(key)
         if fn is None:
+            donate = (1,) + ((5, 6) if self._gen_penalized(gen) else ())
             fn = jax.jit(
                 functools.partial(self._decode_chunk_fn, steps=steps,
                                   gen=gen),
-                donate_argnums=(1,))
+                donate_argnums=donate)
             self._decode_jits[key] = fn
         return fn
 
@@ -356,9 +385,30 @@ class InferenceEngine:
         logits, cache = self.prefill(token_lists)
         key = jax.random.PRNGKey(gen.seed)
         key, sub = jax.random.split(key)
-        first = sampling.sample(logits, sub, temperature=gen.temperature,
+        use_pen = self._gen_penalized(gen)
+        counts = seen = None
+        if use_pen:
+            V = self.cfg.vocab_size
+            seen0 = np.zeros((B, V), bool)
+            for i, toks in enumerate(token_lists):
+                seen0[i, np.asarray(toks, np.int64) % V] = True
+            counts = jnp.zeros((B, V), jnp.int32)
+            seen = jnp.asarray(seen0)
+            plogits = sampling.apply_penalties(
+                logits, counts, seen,
+                jnp.full((B,), gen.repetition_penalty, jnp.float32),
+                jnp.full((B,), gen.presence_penalty, jnp.float32),
+                jnp.full((B,), gen.frequency_penalty, jnp.float32))
+        else:
+            plogits = logits
+        first = sampling.sample(plogits, sub, temperature=gen.temperature,
                                 top_k=gen.top_k, top_p=gen.top_p,
-                                greedy=gen.greedy)
+                                greedy=gen.greedy,
+                                min_p=getattr(gen, "min_p", 0.0))
+        if use_pen:
+            rows = jnp.arange(B)
+            counts = counts.at[rows, first].add(1)
+            seen = seen.at[rows, first].set(True)
         first_np = np.asarray(first)
         ttft = time.perf_counter() - t0
         self.metrics.observe("ttft_s", ttft)
@@ -379,8 +429,8 @@ class InferenceEngine:
         while produced < gen.max_new_tokens and not finished.all():
             steps = min(chunk, gen.max_new_tokens - produced)
             fn = self._get_decode_jit(steps, gen)
-            toks, _lps, cache, token, pos, key = fn(self.params, cache,
-                                                    token, pos, key)
+            toks, _lps, cache, token, pos, key, counts, seen = fn(
+                self.params, cache, token, pos, key, counts, seen)
             toks_np = np.asarray(toks)        # [B, steps]
             decoded += steps
             for i in range(B):
@@ -431,6 +481,7 @@ class ChatSession:
         self.pos = 0          # next unwritten cache slot / absolute position
         self.round = 0
         self._pending: List[int] = []   # sampled but never forwarded tokens
+        self._seen_ids: set = set()     # full history (repetition scope)
 
     def ask(self, user_text: str, gen: Optional[GenerationConfig] = None,
             stream: Optional[Callable[[str], None]] = None) -> str:
@@ -454,9 +505,31 @@ class ChatSession:
         self.pos += len(toks)
         key = jax.random.PRNGKey(gen.seed + self.round)
         key, sub = jax.random.split(key)
-        token = sampling.sample(logits, sub, temperature=gen.temperature,
+        use_pen = eng._gen_penalized(gen)
+        counts = seen = None
+        if use_pen:
+            # repetition scope: the WHOLE resident chat history; presence/
+            # frequency scope: this round's completion (fresh counts)
+            self._seen_ids.update(toks)
+            V = eng.cfg.vocab_size
+            seen0 = np.zeros((1, V), bool)
+            seen0[0, np.asarray(sorted(self._seen_ids), np.int64) % V] = True
+            counts = jnp.zeros((1, V), jnp.int32)
+            seen = jnp.asarray(seen0)
+            rep1 = jnp.full((1,), gen.repetition_penalty, jnp.float32)
+            pres1 = jnp.full((1,), gen.presence_penalty, jnp.float32)
+            freq1 = jnp.full((1,), gen.frequency_penalty, jnp.float32)
+            plogits = sampling.apply_penalties(logits, counts, seen,
+                                               rep1, pres1, freq1)
+        else:
+            plogits = logits
+        token = sampling.sample(plogits, sub, temperature=gen.temperature,
                                 top_k=gen.top_k, top_p=gen.top_p,
-                                greedy=gen.greedy)
+                                greedy=gen.greedy,
+                                min_p=getattr(gen, "min_p", 0.0))
+        if use_pen:
+            counts = counts.at[0, token[0]].add(1)
+            seen = seen.at[0, token[0]].set(True)
         eos = set(gen.eos_token_ids)
 
         out_ids: List[int] = []
@@ -470,8 +543,8 @@ class ChatSession:
                 stream(eng.tokenizer.decode_token(cur))
             steps = min(chunk, gen.max_new_tokens - len(out_ids))
             fn = eng._get_decode_jit(steps, gen)
-            toks_d, _lps, self.cache, token, pos, key = fn(
-                eng.params, self.cache, token, pos, key)
+            toks_d, _lps, self.cache, token, pos, key, counts, seen = fn(
+                eng.params, self.cache, token, pos, key, counts, seen)
             self.pos += 1             # `cur` is now in the cache...
             chunk_toks = np.asarray(toks_d)[0]
             # ...and all but the last sampled token of the chunk are too
@@ -494,6 +567,7 @@ class ChatSession:
                 stream(eng.tokenizer.decode_token(cur))
             self._pending = [cur]
         self.round += 1
+        self._seen_ids.update(out_ids)
         return eng.tokenizer.decode(out_ids)
 
 

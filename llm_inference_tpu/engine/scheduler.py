@@ -455,10 +455,15 @@ class ContinuousBatchingScheduler:
                       or self.freq_host[b] != 0.0 for b in live)
         if all(self.greedy_host[b] for b in live) and not use_pen:
             # all-greedy chunk: plain argmax program — no top-k/top-p work
-            # on the hot path (retired slots' knobs are don't-cares)
+            # on the hot path (retired slots' knobs are don't-cares; the
+            # penalty fields are stripped — penalized rows take the rows
+            # program above)
             fn = self.engine._get_decode_jit(
-                steps, dataclasses.replace(self.gen, greedy=True))
-            toks, lps, self.cache, self.token, self.pos, _ = fn(
+                steps, dataclasses.replace(self.gen, greedy=True,
+                                           repetition_penalty=1.0,
+                                           presence_penalty=0.0,
+                                           frequency_penalty=0.0))
+            toks, lps, self.cache, self.token, self.pos, *_ = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub)
         else:
             use_topk = any(self.topk_host[b] > 0 for b in live)

@@ -187,12 +187,12 @@ class DraftModelSpeculativeDecoder(SpeculativeDecoder):
         while self._dnext < pos:
             tok = jnp.asarray([history[self._dnext]], jnp.int32)
             p = jnp.asarray([self._dnext], jnp.int32)
-            _, _, self._dcache, _, _, _ = self._draft_one(
+            _, _, self._dcache, *_ = self._draft_one(
                 self.draft.params, self._dcache, tok, p, self._key)
             self._dnext += 1
         tok = jnp.asarray([cur], jnp.int32)
         p = jnp.asarray([pos], jnp.int32)
-        toks, _, self._dcache, _, _, _ = self._draft_step(
+        toks, _, self._dcache, *_ = self._draft_step(
             self.draft.params, self._dcache, tok, p, self._key)
         self._dnext = pos + self.gamma
         return [int(t) for t in np.asarray(toks)[0]]

@@ -168,6 +168,7 @@ def sample(
     top_k: int = 0,
     top_p: float = 1.0,
     greedy: bool = False,
+    min_p: float = 0.0,
 ) -> jnp.ndarray:
     """Sample next-token ids [B] int32. All knobs are static Python values
     (they select the compiled program, matching bucketed-jit discipline)."""
@@ -176,6 +177,8 @@ def sample(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if temperature != 1.0:
         logits = logits / temperature
+    if min_p > 0.0:
+        logits = apply_min_p(logits, min_p)
     if top_k > 0:
         logits = apply_top_k(logits, top_k)
     if top_p < 1.0:

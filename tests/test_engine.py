@@ -259,3 +259,69 @@ class TestChatTemplate:
         ])
         assert out.startswith("[INST] <<SYS>>\nS\n<</SYS>>")
         assert "U1 [/INST] A1" in out and out.endswith("[INST] U2 [/INST]")
+
+
+class TestStaticPathPenalties:
+    """GenerationConfig min_p / penalties through the STATIC-knob decode
+    programs (engine.generate / ChatSession — the CLI path)."""
+
+    def _engine(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(8, 16)))
+
+    def test_generate_presence_penalty_forbids_repeats(self):
+        eng = self._engine()
+        base = eng.generate([[5, 6, 7]],
+                            GenerationConfig(greedy=True, max_new_tokens=12,
+                                             eos_token_ids=()))[0].token_ids
+        assert len(set(base)) < len(base)      # tiny model loops
+        out = eng.generate([[5, 6, 7]],
+                           GenerationConfig(greedy=True, max_new_tokens=12,
+                                            eos_token_ids=(),
+                                            presence_penalty=1000.0)
+                           )[0].token_ids
+        assert len(set(out)) == len(out)
+        assert out[0] == base[0]
+
+    def test_generate_repetition_penalty_covers_prompt(self):
+        eng = self._engine()
+        prompt = [5, 6, 7, 8]
+        out = eng.generate([prompt],
+                           GenerationConfig(greedy=True, max_new_tokens=10,
+                                            eos_token_ids=(),
+                                            repetition_penalty=1e6,
+                                            presence_penalty=1000.0)
+                           )[0].token_ids
+        assert not (set(out) & set(prompt))
+
+    def test_generate_min_p_near_one_is_greedy(self):
+        eng = self._engine()
+        want = eng.generate([[9, 10, 11]],
+                            GenerationConfig(greedy=True, max_new_tokens=8,
+                                             eos_token_ids=()))[0].token_ids
+        got = eng.generate([[9, 10, 11]],
+                           GenerationConfig(temperature=1.0, min_p=0.999,
+                                            max_new_tokens=8,
+                                            eos_token_ids=()))[0].token_ids
+        assert got == want
+
+    def test_chat_session_penalties(self):
+        eng = self._engine()
+
+        class TokStub:
+            def encode(self, text, add_bos=True):
+                return [int(t) for t in text.split()]
+            def decode(self, ids):
+                return " ".join(map(str, ids))
+            def decode_token(self, tid):
+                return f"{tid} "
+        eng.tokenizer = TokStub()
+        sess = ChatSession(eng, template=lambda text, r: text)
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
+                               eos_token_ids=(), presence_penalty=1000.0)
+        out = [int(t) for t in sess.ask("5 6 7", gen).split()]
+        assert len(set(out)) == len(out)
