@@ -203,7 +203,8 @@ class InferenceEngine:
                               use_top_p: bool = True,
                               use_min_p: bool = False,
                               use_penalties: bool = False,
-                              seeded: bool = False):
+                              seeded: bool = False,
+                              top_n: int = 0):
         """Like _decode_chunk_fn, but sampling knobs are PER-ROW runtime
         arrays (continuous batching mixes per-request configs in one
         program — ops/sampling.sample_per_row).
@@ -236,23 +237,32 @@ class InferenceEngine:
                 use_top_p, min_p=(minp if use_min_p else None),
                 penalties=pen)
             lp = sampling.chosen_logprob(logits, nxt)
+            tv, ti = (sampling.top_logprobs(logits, top_n) if top_n > 0
+                      else (None, None))
             if use_penalties:
                 counts = counts.at[rows, nxt].add(1)
                 seen = seen.at[rows, nxt].set(True)
-            return (cache, nxt, pos + 1, key, counts, seen), (nxt, lp)
+            return ((cache, nxt, pos + 1, key, counts, seen),
+                    (nxt, lp, tv, ti))
 
-        (cache, token, pos, key, counts, seen), (toks, lps) = jax.lax.scan(
+        ((cache, token, pos, key, counts, seen),
+         (toks, lps, tvs, tis)) = jax.lax.scan(
             body, (cache, token, pos, key, counts, seen), None,
             length=steps)
-        return toks.T, lps.T, cache, token, pos, key, counts, seen
+        # tvs/tis: [steps, B, n] -> [B, steps, n]
+        if top_n > 0:
+            tvs, tis = tvs.transpose(1, 0, 2), tis.transpose(1, 0, 2)
+        return (toks.T, lps.T, cache, token, pos, key, counts, seen,
+                tvs, tis)
 
     def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64,
                              use_top_p: bool = True,
                              use_min_p: bool = False,
                              use_penalties: bool = False,
-                             seeded: bool = False):
+                             seeded: bool = False,
+                             top_n: int = 0):
         key = ("rows", steps, max_top_k, use_top_p, use_min_p,
-               use_penalties, seeded)
+               use_penalties, seeded, top_n)
         fn = self._decode_jits.get(key)
         if fn is None:
             donate = (1,) + ((11, 12) if use_penalties else ())
@@ -262,7 +272,7 @@ class InferenceEngine:
                                   use_top_p=use_top_p,
                                   use_min_p=use_min_p,
                                   use_penalties=use_penalties,
-                                  seeded=seeded),
+                                  seeded=seeded, top_n=top_n),
                 donate_argnums=donate)
             self._decode_jits[key] = fn
         return fn

@@ -41,6 +41,9 @@ from llm_inference_tpu.config import GenerationConfig
 from llm_inference_tpu.engine.engine import InferenceEngine
 from llm_inference_tpu.ops import kvcache, sampling
 
+TOP_LOGPROBS_CAP = 16   # static top-k width of the logprobs program (one
+                        # extra compiled variant, any request n ≤ cap)
+
 
 @dataclasses.dataclass
 class Request:
@@ -69,9 +72,15 @@ class Request:
     # output contains any of them; `final_text` is the output trimmed at
     # the match, `stop_hit` the matched string
     stop: Optional[Sequence[str]] = None
+    # top-N alternative logprobs per emitted token (OpenAI `top_logprobs`;
+    # N ≤ TOP_LOGPROBS_CAP) — filled into output_top_logprobs as
+    # [(token_id, logprob), ...] lists
+    top_logprobs: Optional[int] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
+    output_top_logprobs: List[list] = dataclasses.field(
+        default_factory=list)
     submit_t: float = 0.0
     first_token_t: float = 0.0
     done_t: float = 0.0
@@ -163,6 +172,10 @@ class ContinuousBatchingScheduler:
             raise ValueError(f"repetition_penalty={rep} must be > 0")
         if req.stop and self.engine.tokenizer is None:
             raise ValueError("stop strings need a tokenizer")
+        if req.top_logprobs is not None and not (
+                0 <= req.top_logprobs <= TOP_LOGPROBS_CAP):
+            raise ValueError(f"top_logprobs={req.top_logprobs} must be in "
+                             f"[0, {TOP_LOGPROBS_CAP}]")
         return (req.temperature if req.temperature is not None
                 else g.temperature,
                 topk,
@@ -255,7 +268,8 @@ class ContinuousBatchingScheduler:
                frequency_penalty: Optional[float] = None,
                seed: Optional[int] = None,
                stop_token_ids: Optional[Sequence[int]] = None,
-               stop: Optional[Union[str, Sequence[str]]] = None) -> Request:
+               stop: Optional[Union[str, Sequence[str]]] = None,
+               top_logprobs: Optional[int] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
@@ -271,7 +285,8 @@ class ContinuousBatchingScheduler:
                       repetition_penalty=repetition_penalty,
                       presence_penalty=presence_penalty,
                       frequency_penalty=frequency_penalty, seed=seed,
-                      stop_token_ids=stop_token_ids, stop=stop)
+                      stop_token_ids=stop_token_ids, stop=stop,
+                      top_logprobs=top_logprobs)
         self._resolve_sampling(req)       # validate (top_k bound) up front
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
@@ -289,13 +304,18 @@ class ContinuousBatchingScheduler:
         logits, one_cache = self.engine.prefill(
             [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
         logits = logits[:1]
-        first, first_lp = self._sample_first(logits, req)
+        first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
         tok_np, lp_np = jax.device_get((first, first_lp))
         tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
         req.output_logprobs.append(float(lp_np[0]))
+        if req.top_logprobs:
+            tv, ti = jax.device_get((ftv, fti))
+            req.output_top_logprobs.append(
+                [(int(i), float(v)) for i, v in
+                 zip(ti[0][:req.top_logprobs], tv[0][:req.top_logprobs])])
         self._check_stop_strings(req, tok)
         if tok not in stops:
             self._emit(req)
@@ -316,7 +336,9 @@ class ContinuousBatchingScheduler:
         return True
 
     def _harvest(self, toks_np: np.ndarray,
-                 lps_np: Optional[np.ndarray] = None) -> None:
+                 lps_np: Optional[np.ndarray] = None,
+                 tvs_np: Optional[np.ndarray] = None,
+                 tis_np: Optional[np.ndarray] = None) -> None:
         """Distribute a decode chunk's tokens [B, steps] to the requests."""
         now = time.perf_counter()
         for b in range(self.B):
@@ -331,6 +353,11 @@ class ContinuousBatchingScheduler:
                 req.output_ids.append(t)
                 if lps_np is not None:
                     req.output_logprobs.append(float(lps_np[b, j]))
+                if tvs_np is not None and req.top_logprobs:
+                    n = req.top_logprobs
+                    req.output_top_logprobs.append(
+                        [(int(i), float(v)) for i, v in
+                         zip(tis_np[b, j, :n], tvs_np[b, j, :n])])
                 if t in stops:
                     req.finished = True
                 else:
@@ -407,13 +434,16 @@ class ContinuousBatchingScheduler:
         if fn is None:
             mk = self.engine.engine_cfg.max_top_k
 
+            cap = min(TOP_LOGPROBS_CAP, self.engine.cfg.vocab_size)
+
             def _first(logits, seeds, pos, t, k, p, gr, minp, counts,
                        seen, rep, pres, freq):
                 key = sampling.row_keys(seeds, pos)
                 tok = sampling.sample_per_row(
                     logits, key, t, k, p, gr, mk, True, min_p=minp,
                     penalties=(counts, seen, rep, pres, freq))
-                return tok, sampling.chosen_logprob(logits, tok)
+                tv, ti = sampling.top_logprobs(logits, cap)
+                return tok, sampling.chosen_logprob(logits, tok), tv, ti
 
             fn = self._first_jit = jax.jit(_first)
         B1 = logits.shape[0]
@@ -453,7 +483,9 @@ class ContinuousBatchingScheduler:
         live = [b for b, r in enumerate(self.slot_req) if r is not None]
         use_pen = any(self.rep_host[b] != 1.0 or self.pres_host[b] != 0.0
                       or self.freq_host[b] != 0.0 for b in live)
-        if all(self.greedy_host[b] for b in live) and not use_pen:
+        top_used = any(self.slot_req[b].top_logprobs for b in live)
+        if (all(self.greedy_host[b] for b in live) and not use_pen
+                and not top_used):
             # all-greedy chunk: plain argmax program — no top-k/top-p work
             # on the hot path (retired slots' knobs are don't-cares; the
             # penalty fields are stripped — penalized rows take the rows
@@ -473,11 +505,13 @@ class ContinuousBatchingScheduler:
                 steps,
                 self.engine.engine_cfg.max_top_k if use_topk else 0,
                 use_top_p=use_topp, use_min_p=use_minp,
-                use_penalties=use_pen, seeded=True)
+                use_penalties=use_pen, seeded=True,
+                top_n=(min(TOP_LOGPROBS_CAP, self.engine.cfg.vocab_size)
+                       if top_used else 0))
             if use_pen:
                 self._ensure_penalty_state()
             (toks, lps, self.cache, self.token, self.pos, _,
-             self._counts, self._seen) = fn(
+             self._counts, self._seen, tvs, tis) = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
                 jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
                 jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host),
@@ -486,6 +520,10 @@ class ContinuousBatchingScheduler:
                 self._seen if use_pen else None,
                 jnp.asarray(self.rep_host), jnp.asarray(self.pres_host),
                 jnp.asarray(self.freq_host))
+            if top_used:
+                self._harvest(np.asarray(toks), np.asarray(lps),
+                              np.asarray(tvs), np.asarray(tis))
+                return True
         self._harvest(np.asarray(toks), np.asarray(lps))
         return True
 
@@ -517,6 +555,7 @@ class ContinuousBatchingScheduler:
             self._on_retire(b)
             req.output_ids = []
             req.output_logprobs = []
+            req.output_top_logprobs = []
             req.first_token_t = 0.0
             req.finished = False
             req._text = ""
@@ -637,6 +676,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self._on_retire(slot)
         req.output_ids = []          # replayed from the prompt (the replay
         req.output_logprobs = []     # is byte-identical: seeded sampling)
+        req.output_top_logprobs = []
         req.first_token_t = 0.0
         req.finished = False         # stream_pos is kept: no duplicates
         req._text = ""
@@ -763,13 +803,18 @@ class PagedScheduler(ContinuousBatchingScheduler):
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
-        first, first_lp = self._sample_first(logits, req)
+        first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
         tok_np, lp_np = jax.device_get((first, first_lp))
         tok = int(tok_np[0])
         stops = self._stops(req)
         req.output_ids.append(tok)
         req.output_logprobs.append(float(lp_np[0]))
+        if req.top_logprobs:
+            tv, ti = jax.device_get((ftv, fti))
+            req.output_top_logprobs.append(
+                [(int(i), float(v)) for i, v in
+                 zip(ti[0][:req.top_logprobs], tv[0][:req.top_logprobs])])
         self._check_stop_strings(req, tok)
         if tok not in stops:
             self._emit(req)

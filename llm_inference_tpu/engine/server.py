@@ -202,8 +202,8 @@ def make_handler(backend: ServingBackend):
             samp = {k: body[k] for k in (
                 "temperature", "top_k", "top_p", "greedy", "min_p",
                 "repetition_penalty", "presence_penalty",
-                "frequency_penalty", "seed", "stop_token_ids", "stop")
-                    if k in body}
+                "frequency_penalty", "seed", "stop_token_ids", "stop",
+                "top_logprobs") if k in body}
             try:
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
@@ -263,6 +263,11 @@ def make_handler(backend: ServingBackend):
                     }
                     if body.get("logprobs"):
                         resp["token_logprobs"] = req.output_logprobs
+                    if body.get("top_logprobs"):
+                        resp["top_logprobs"] = [
+                            [{"token_id": i, "logprob": v}
+                             for i, v in alts]
+                            for alts in req.output_top_logprobs]
                     self._json(200, resp)
             except ValueError as e:           # oversized prompt etc.
                 self._json(400, {"error": str(e)})
@@ -298,6 +303,10 @@ def make_handler(backend: ServingBackend):
             samp = {k: body[k] for k in (
                 "temperature", "top_p", "presence_penalty",
                 "frequency_penalty", "seed", "stop") if k in body}
+            # OpenAI `logprobs: N` → per-token top-N alternatives
+            lp_n = body.get("logprobs")
+            if isinstance(lp_n, int) and lp_n > 0:
+                samp["top_logprobs"] = lp_n
             try:
                 req = backend.submit(prompt, max_new, **samp)
                 backend.wait(req)
@@ -323,8 +332,22 @@ def make_handler(backend: ServingBackend):
             else:
                 choice = {"index": 0, "finish_reason": finish,
                           "text": text, "token_ids": req.output_ids}
+                if req.output_top_logprobs:
+                    toks_txt = ([tok.decode_token(t) for t in
+                                 req.output_ids] if tok
+                                else [str(t) for t in req.output_ids])
+                    choice["logprobs"] = {
+                        "tokens": toks_txt,
+                        "token_logprobs": req.output_logprobs,
+                        "top_logprobs": [
+                            {(tok.decode_token(i) if tok else str(i)): v
+                             for i, v in alts}
+                            for alts in req.output_top_logprobs],
+                    }
                 obj = "text_completion"
-            if body.get("logprobs"):
+            if body.get("logprobs") and "logprobs" not in choice:
+                # logprobs: true/0 → chosen-token logprobs only (the
+                # int-N form above also carries top-N alternatives)
                 choice["logprobs"] = {
                     "token_logprobs": req.output_logprobs,
                     "tokens": req.output_ids,

@@ -95,6 +95,15 @@ def chosen_logprob(logits: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
                                axis=-1)[:, 0]
 
 
+def top_logprobs(logits: jnp.ndarray, n: int):
+    """Top-n (logprob, token-id) alternatives under softmax(logits):
+    [B, V] -> ([B, n] f32, [B, n] i32). The serving API's `top_logprobs`
+    field (OpenAI semantics: the model's distribution, pre-filtering)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(lp, n)
+    return vals, ids.astype(jnp.int32)
+
+
 def sample_per_row(
     logits: jnp.ndarray,          # [B, V] float
     key: jax.Array,

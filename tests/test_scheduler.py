@@ -365,3 +365,60 @@ class TestProductionSampling:
             pass
         assert a.output_ids == b.output_ids
         assert len(set(c.output_ids)) == len(c.output_ids)
+
+
+class TestTopLogprobs:
+    """Per-token top-N alternative logprobs (OpenAI `top_logprobs`)."""
+
+    def _engine(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+
+    def test_greedy_top1_matches_chosen(self):
+        """Under greedy the chosen token IS the top-1 alternative, and its
+        logprob equals output_logprobs."""
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
+                               eos_token_ids=())
+        sched = ContinuousBatchingScheduler(eng, gen, slots=2)
+        r = sched.submit([5, 6, 7], top_logprobs=5)
+        while sched.step():
+            pass
+        assert len(r.output_top_logprobs) == len(r.output_ids) == 8
+        for t, lp, alts in zip(r.output_ids, r.output_logprobs,
+                               r.output_top_logprobs):
+            assert len(alts) == 5
+            ids = [i for i, _ in alts]
+            vals = [v for _, v in alts]
+            assert vals == sorted(vals, reverse=True)
+            assert ids[0] == t
+            assert abs(vals[0] - lp) < 1e-4
+
+    def test_top_logprobs_does_not_perturb_stream(self):
+        """Requesting logprobs must not change the tokens (it only adds
+        outputs to the decode program)."""
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
+                               eos_token_ids=())
+        a = ContinuousBatchingScheduler(eng, gen, slots=2)
+        plain = a.submit([9, 10, 11])
+        while a.step():
+            pass
+        b = ContinuousBatchingScheduler(eng, gen, slots=2)
+        with_lp = b.submit([9, 10, 11], top_logprobs=3)
+        while b.step():
+            pass
+        assert with_lp.output_ids == plain.output_ids
+
+    def test_top_logprobs_cap_validated(self):
+        from llm_inference_tpu.engine.scheduler import TOP_LOGPROBS_CAP
+        eng = self._engine()
+        sched = ContinuousBatchingScheduler(
+            eng, GenerationConfig(greedy=True, max_new_tokens=4), slots=2)
+        with pytest.raises(ValueError, match="top_logprobs"):
+            sched.submit([5, 6], top_logprobs=TOP_LOGPROBS_CAP + 1)

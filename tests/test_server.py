@@ -272,3 +272,23 @@ class TestProductionSamplingHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(httpd, {"prompt": [5, 6], "min_p": 1.5})
         assert e.value.code == 400
+
+
+class TestTopLogprobsHTTP:
+    def test_generate_top_logprobs(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "greedy": True,
+                           "max_new_tokens": 4, "logprobs": True,
+                           "top_logprobs": 3}) as r:
+            out = json.load(r)
+        assert len(out["top_logprobs"]) == len(out["token_ids"])
+        first = out["top_logprobs"][0]
+        assert len(first) == 3
+        assert first[0]["token_id"] == out["token_ids"][0]
+
+    def test_openai_logprobs_int(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4,
+                           "logprobs": 2}, path="/v1/completions") as r:
+            out = json.load(r)
+        lp = out["choices"][0]["logprobs"]
+        assert len(lp["tokens"]) == len(lp["token_logprobs"])
+        assert all(len(d) == 2 for d in lp["top_logprobs"])
