@@ -307,55 +307,80 @@ def make_handler(backend: ServingBackend):
             lp_n = body.get("logprobs")
             if isinstance(lp_n, int) and lp_n > 0:
                 samp["top_logprobs"] = lp_n
+            n = int(body.get("n", 1) or 1)
+            if not 1 <= n <= 16:
+                self._json(400, {"error": {"message": f"n={n} out of "
+                                           "range [1, 16]",
+                                           "type": "invalid_request_error"}})
+                return
+            # n parallel completions: n scheduler requests with distinct
+            # seeds (seed+i when the body pins one) batching through the
+            # shared decode program; with --prefix-cache the shared prompt
+            # prefills once and the siblings map its pages
+            reqs = []
             try:
-                req = backend.submit(prompt, max_new, **samp)
-                backend.wait(req)
+                for i in range(n):
+                    samp_i = dict(samp)
+                    if "seed" in samp_i and n > 1:
+                        samp_i["seed"] = int(samp_i["seed"]) + i
+                    reqs.append(backend.submit(prompt, max_new, **samp_i))
+                for req in reqs:
+                    backend.wait(req)
             except ValueError as e:
+                for r in reqs:
+                    backend.cancel(r.req_id)
                 self._json(400, {"error": {"message": str(e),
                                            "type": "invalid_request_error"}})
                 return
             except RuntimeError as e:
+                for r in reqs:
+                    backend.cancel(r.req_id)
                 self._json(503, {"error": {"message": str(e),
                                            "type": "overloaded_error"}})
                 return
-            text = (req.final_text if req.final_text is not None
-                    else tok.decode(req.output_ids) if tok else "")
-            finish = "stop" if req.finished else "length"
-            usage = {"prompt_tokens": len(req.prompt_ids),
-                     "completion_tokens": len(req.output_ids),
-                     "total_tokens": len(req.prompt_ids)
-                                     + len(req.output_ids)}
-            if chat:
-                choice = {"index": 0, "finish_reason": finish,
-                          "message": {"role": "assistant", "content": text}}
-                obj = "chat.completion"
-            else:
-                choice = {"index": 0, "finish_reason": finish,
-                          "text": text, "token_ids": req.output_ids}
-                if req.output_top_logprobs:
-                    toks_txt = ([tok.decode_token(t) for t in
-                                 req.output_ids] if tok
-                                else [str(t) for t in req.output_ids])
+            choices = []
+            completion_toks = 0
+            for i, req in enumerate(reqs):
+                text = (req.final_text if req.final_text is not None
+                        else tok.decode(req.output_ids) if tok else "")
+                finish = "stop" if req.finished else "length"
+                completion_toks += len(req.output_ids)
+                if chat:
+                    choice = {"index": i, "finish_reason": finish,
+                              "message": {"role": "assistant",
+                                          "content": text}}
+                else:
+                    choice = {"index": i, "finish_reason": finish,
+                              "text": text, "token_ids": req.output_ids}
+                    if req.output_top_logprobs:
+                        toks_txt = ([tok.decode_token(t) for t in
+                                     req.output_ids] if tok
+                                    else [str(t) for t in req.output_ids])
+                        choice["logprobs"] = {
+                            "tokens": toks_txt,
+                            "token_logprobs": req.output_logprobs,
+                            "top_logprobs": [
+                                {(tok.decode_token(i2) if tok else str(i2)):
+                                 v for i2, v in alts}
+                                for alts in req.output_top_logprobs],
+                        }
+                if body.get("logprobs") and "logprobs" not in choice:
+                    # logprobs: true/0 → chosen-token logprobs only (the
+                    # int-N form also carries top-N alternatives)
                     choice["logprobs"] = {
-                        "tokens": toks_txt,
                         "token_logprobs": req.output_logprobs,
-                        "top_logprobs": [
-                            {(tok.decode_token(i) if tok else str(i)): v
-                             for i, v in alts}
-                            for alts in req.output_top_logprobs],
+                        "tokens": req.output_ids,
                     }
-                obj = "text_completion"
-            if body.get("logprobs") and "logprobs" not in choice:
-                # logprobs: true/0 → chosen-token logprobs only (the
-                # int-N form above also carries top-N alternatives)
-                choice["logprobs"] = {
-                    "token_logprobs": req.output_logprobs,
-                    "tokens": req.output_ids,
-                }
+                choices.append(choice)
+            obj = "chat.completion" if chat else "text_completion"
+            usage = {"prompt_tokens": len(reqs[0].prompt_ids),
+                     "completion_tokens": completion_toks,
+                     "total_tokens": len(reqs[0].prompt_ids)
+                                     + completion_toks}
             self._json(200, {
-                "id": f"cmpl-{req.req_id}", "object": obj,
+                "id": f"cmpl-{reqs[0].req_id}", "object": obj,
                 "model": backend.engine.cfg.name,
-                "choices": [choice], "usage": usage,
+                "choices": choices, "usage": usage,
             })
 
     return Handler

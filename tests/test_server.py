@@ -292,3 +292,31 @@ class TestTopLogprobsHTTP:
         lp = out["choices"][0]["logprobs"]
         assert len(lp["tokens"]) == len(lp["token_logprobs"])
         assert all(len(d) == 2 for d in lp["top_logprobs"])
+
+
+class TestNCompletions:
+    def test_openai_n_choices(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4, "n": 3,
+                           "temperature": 2.0, "seed": 5},
+                   path="/v1/completions") as r:
+            out = json.load(r)
+        ch = out["choices"]
+        assert [c["index"] for c in ch] == [0, 1, 2]
+        assert out["usage"]["completion_tokens"] == sum(
+            len(c["token_ids"]) for c in ch)
+        # seeds 5,6,7 → (almost surely) not all identical at temp 2
+        assert len({tuple(c["token_ids"]) for c in ch}) > 1
+        # pinned seed ⇒ reproducible across calls
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4, "n": 3,
+                           "temperature": 2.0, "seed": 5},
+                   path="/v1/completions") as r:
+            again = json.load(r)
+        assert ([c["token_ids"] for c in again["choices"]]
+                == [c["token_ids"] for c in ch])
+
+    def test_openai_n_out_of_range(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "n": 99},
+                  path="/v1/completions")
+        assert e.value.code == 400
