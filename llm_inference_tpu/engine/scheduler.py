@@ -479,6 +479,12 @@ class ContinuousBatchingScheduler:
         steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
         if not self._before_chunk(steps):
             return True
+        self._dispatch_decode(steps)
+        return True
+
+    def _dispatch_decode(self, steps: int) -> None:
+        """Run one decode chunk for all active slots and harvest it (the
+        caller has already run _before_chunk)."""
         self.key, sub = jax.random.split(self.key)
         live = [b for b, r in enumerate(self.slot_req) if r is not None]
         use_pen = any(self.rep_host[b] != 1.0 or self.pres_host[b] != 0.0
@@ -523,9 +529,8 @@ class ContinuousBatchingScheduler:
             if top_used:
                 self._harvest(np.asarray(toks), np.asarray(lps),
                               np.asarray(tvs), np.asarray(tis))
-                return True
+                return
         self._harvest(np.asarray(toks), np.asarray(lps))
-        return True
 
     def cancel(self, req: Request) -> bool:
         """Abort a request: drop it from the queue, or flag it so the next
@@ -601,11 +606,13 @@ class PagedScheduler(ContinuousBatchingScheduler):
                  slots: Optional[int] = None,
                  num_pages: Optional[int] = None,
                  page_size: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 interleave_prefill: bool = True):
         from llm_inference_tpu.ops import paged_kvcache as pk
         self._pk = pk
         self._paged_opts = (num_pages, page_size)
         self._prefix_opt = prefix_cache
+        self._interleave = interleave_prefill
         super().__init__(engine, gen, slots)
         self._prefill_paged = jax.jit(engine.paged_forward(history=False),
                                       donate_argnums=(3,))
@@ -800,6 +807,18 @@ class PagedScheduler(ContinuousBatchingScheduler):
             self.cache = cache1.replace(
                 page_table=jnp.asarray(self.pt_host))
             done += bucket
+            if (self._interleave and done < suffix
+                    and any(r is not None for r in self.slot_req)):
+                # chunked-prefill interleaving (vLLM-style): active
+                # requests keep decoding between a long admission's
+                # prefill chunks — bounded inter-token latency, and the
+                # CONTENT of every stream is unchanged (sampling is
+                # (seed, position)-keyed). The admitting slot's garbage
+                # decode row is parked on the reserved null page so it
+                # cannot write into the half-prefilled (possibly shared
+                # prefix) pages.
+                self._interleave_decode(slot)
+
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
@@ -832,5 +851,18 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self._set_slot_sampling(slot, req)
         self.slot_req[slot] = req
         return True
+
+    def _interleave_decode(self, admitting_slot: int) -> None:
+        active = [r for r in self.slot_req if r is not None]
+        budget = min(r.max_new_tokens - len(r.output_ids) for r in active)
+        steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
+        saved = self.pt_host[admitting_slot].copy()
+        self.pt_host[admitting_slot] = 0
+        ok = self._before_chunk(steps)
+        self._sync_table()
+        if ok:
+            self._dispatch_decode(steps)
+        self.pt_host[admitting_slot] = saved
+        self._sync_table()
 
 
