@@ -11,6 +11,9 @@ standard library:
                     one per token — SSE-style streaming)
 - GET  /health      → {"status": "ok", "queued": n, "active": n}
 - GET  /metrics     → engine metrics (TTFT / tokens-per-s observations)
+- POST /v1/completions, /v1/chat/completions — OpenAI-compatible
+  (n choices, logprobs, penalties, seeds, stop; "stream": true for SSE
+  `data:` chunks with delta/text payloads terminated by `data: [DONE]`)
 
 Architecture: HTTP handler threads enqueue requests into the scheduler (one
 lock-guarded submit) and block on a per-request completion event; a single
@@ -283,10 +286,6 @@ def make_handler(backend: ServingBackend):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                if body.get("stream"):
-                    raise ValueError(
-                        "stream is not supported on the /v1 endpoints; "
-                        "use /generate with \"stream\": true")
                 if chat:
                     from llm_inference_tpu.engine.engine import (
                         format_chat_messages)
@@ -312,6 +311,9 @@ def make_handler(backend: ServingBackend):
                 self._json(400, {"error": {"message": f"n={n} out of "
                                            "range [1, 16]",
                                            "type": "invalid_request_error"}})
+                return
+            if body.get("stream"):
+                self._openai_stream(body, prompt, max_new, samp, n, chat)
                 return
             # n parallel completions: n scheduler requests with distinct
             # seeds (seed+i when the body pins one) batching through the
@@ -382,6 +384,89 @@ def make_handler(backend: ServingBackend):
                 "model": backend.engine.cfg.name,
                 "choices": choices, "usage": usage,
             })
+
+        def _openai_stream(self, body, prompt, max_new, samp, n, chat):
+            """OpenAI SSE streaming (`stream: true`): `data: {chunk}` per
+            token, interleaved by choice index for n > 1, terminated by
+            `data: [DONE]`. Chat chunks carry delta.content (role on the
+            first delta, OpenAI-style); completions chunks carry text."""
+            try:
+                backend.validate(prompt, max_new, samp)
+            except (ValueError, RuntimeError) as e:
+                code = 503 if isinstance(e, RuntimeError) else 400
+                self._json(code, {"error": {"message": str(e),
+                                            "type": "invalid_request_error"
+                                            if code == 400 else
+                                            "overloaded_error"}})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            obj = ("chat.completion.chunk" if chat
+                   else "text_completion")
+            model = backend.engine.cfg.name
+            lock = threading.Lock()
+            sent_role = [False] * n
+            reqs = []
+
+            def write_sse(payload):
+                try:
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+                    return True
+                except OSError:
+                    for r in reqs:
+                        r.cancelled = True    # client gone: free the slots
+                    return False
+
+            def on_token_for(idx):
+                def on_token(rid, t):
+                    piece = tok.decode_token(t) if tok else str(t)
+                    if chat:
+                        delta = {"content": piece}
+                        if not sent_role[idx]:
+                            delta = {"role": "assistant", "content": piece}
+                            sent_role[idx] = True
+                        choice = {"index": idx, "delta": delta,
+                                  "finish_reason": None}
+                    else:
+                        choice = {"index": idx, "text": piece,
+                                  "token_id": t, "finish_reason": None}
+                    with lock:
+                        write_sse(json.dumps({
+                            "id": f"cmpl-{rid}", "object": obj,
+                            "model": model, "choices": [choice]}))
+                return on_token
+
+            try:
+                for i in range(n):
+                    samp_i = dict(samp)
+                    if "seed" in samp_i and n > 1:
+                        samp_i["seed"] = int(samp_i["seed"]) + i
+                    reqs.append(backend.submit(
+                        prompt, max_new, on_token_for(i), **samp_i))
+            except (ValueError, RuntimeError) as e:
+                # headers committed: report in-band
+                for r in reqs:
+                    backend.cancel(r.req_id)
+                with lock:
+                    write_sse(json.dumps({"error": str(e)}))
+                    write_sse("[DONE]")
+                return
+            for req in reqs:
+                backend.wait(req)
+            with lock:
+                for i, req in enumerate(reqs):
+                    finish = "stop" if req.finished else "length"
+                    choice = ({"index": i, "delta": {},
+                               "finish_reason": finish} if chat else
+                              {"index": i, "text": "",
+                               "finish_reason": finish})
+                    write_sse(json.dumps({
+                        "id": f"cmpl-{req.req_id}", "object": obj,
+                        "model": model, "choices": [choice]}))
+                write_sse("[DONE]")
 
     return Handler
 

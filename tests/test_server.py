@@ -320,3 +320,47 @@ class TestNCompletions:
             _post(httpd, {"prompt": [5, 6], "n": 99},
                   path="/v1/completions")
         assert e.value.code == 400
+
+
+class TestOpenAIStreaming:
+    def _sse_events(self, resp):
+        events = []
+        for line in resp.read().decode().splitlines():
+            if line.startswith("data: "):
+                events.append(line[len("data: "):])
+        return events
+
+    def test_completions_sse(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4,
+                           "stream": True}, path="/v1/completions") as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            events = self._sse_events(r)
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        toks = [c["choices"][0]["token_id"] for c in chunks
+                if c["choices"][0]["finish_reason"] is None]
+        assert len(toks) == 4
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop",
+                                                            "length")
+        # streamed ids match the non-streamed completion
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4},
+                   path="/v1/completions") as r:
+            out = json.load(r)
+        assert toks == out["choices"][0]["token_ids"]
+
+    def test_completions_sse_n2_interleaved(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 3, "n": 2,
+                           "temperature": 2.0, "seed": 4, "stream": True},
+                   path="/v1/completions") as r:
+            events = self._sse_events(r)
+        assert events[-1] == "[DONE]"
+        per_idx = {0: [], 1: []}
+        finishes = set()
+        for e in events[:-1]:
+            c = json.loads(e)["choices"][0]
+            if c["finish_reason"] is None:
+                per_idx[c["index"]].append(c["token_id"])
+            else:
+                finishes.add(c["index"])
+        assert len(per_idx[0]) == 3 and len(per_idx[1]) == 3
+        assert finishes == {0, 1}
