@@ -52,7 +52,8 @@ class InferenceEngine:
     def __init__(self, cfg: ModelConfig, params, *,
                  engine_cfg: Optional[EngineConfig] = None,
                  tokenizer=None, mesh=None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 adapter_names: Optional[Sequence[str]] = None):
         self.cfg = cfg
         self.engine_cfg = engine_cfg or EngineConfig()
         self.tokenizer = tokenizer
@@ -82,12 +83,32 @@ class InferenceEngine:
             self.params = params
             model = self._model
 
-            def _fwd(params, ids, positions, cache, last_idx):
+            def _fwd(params, ids, positions, cache, last_idx,
+                     adapter_idx=None):
+                kw = ({"adapter_idx": adapter_idx}
+                      if adapter_idx is not None else {})
                 return model.forward(cfg, params, ids, positions, cache,
-                                     logits_mode="last", last_idx=last_idx)
+                                     logits_mode="last", last_idx=last_idx,
+                                     **kw)
             self._fwd = _fwd
             self._shard_cache = lambda c: c
         self._paged_fwds: Dict[bool, Callable] = {}
+        # multi-LoRA serving: adapter stacks ride in params["lora"]
+        # (models/lora.py); per-request slots resolve by name here
+        self.has_lora = isinstance(params, dict) and "lora" in params
+        self.adapter_slots: Dict[str, int] = {}
+        if self.has_lora:
+            if self._sharded:
+                raise NotImplementedError(
+                    "LoRA serving is single-device/DP for now")
+            any_stack = next(iter(params["lora"].values()))["a"]
+            n_slots = any_stack.shape[1]
+            names = adapter_names or []
+            if len(names) > n_slots - 1:
+                raise ValueError(f"{len(names)} adapter names but only "
+                                 f"{n_slots - 1} live slots")
+            self.adapter_slots = {n: i + 1 for i, n in enumerate(names)}
+            self.num_adapters = n_slots - 1
 
         # jit caches (keyed by static sampling config; shapes are handled by
         # jit's own shape-keyed cache)
@@ -111,12 +132,32 @@ class InferenceEngine:
                 model = self._model
 
                 def fn(params, ids, positions, cache, last_idx,
-                       _h=history):
+                       adapter_idx=None, _h=history):
+                    kw = ({"adapter_idx": adapter_idx}
+                          if adapter_idx is not None else {})
                     return model.forward(cfg, params, ids, positions, cache,
                                          logits_mode="last",
-                                         last_idx=last_idx, paged_history=_h)
+                                         last_idx=last_idx, paged_history=_h,
+                                         **kw)
             self._paged_fwds[history] = fn
         return fn
+
+    def resolve_adapter(self, adapter) -> int:
+        """Adapter name/int → LoRA stack slot (0 = base model)."""
+        if adapter is None:
+            return 0
+        if not self.has_lora:
+            raise ValueError("engine has no LoRA stacks loaded")
+        if isinstance(adapter, str):
+            if adapter not in self.adapter_slots:
+                raise ValueError(f"unknown adapter {adapter!r}; have "
+                                 f"{sorted(self.adapter_slots)}")
+            return self.adapter_slots[adapter]
+        slot = int(adapter)
+        if not 0 <= slot <= self.num_adapters:
+            raise ValueError(f"adapter slot {slot} out of range "
+                             f"[0, {self.num_adapters}]")
+        return slot
 
     def _fwd_for(self, cache) -> Callable:
         from llm_inference_tpu.ops.paged_kvcache import PagedKVCache
@@ -128,8 +169,12 @@ class InferenceEngine:
     # compiled programs
     # ------------------------------------------------------------------
 
-    def _prefill_fn(self, params, ids, positions, cache, last_idx):
-        return self._fwd_for(cache)(params, ids, positions, cache, last_idx)
+    def _prefill_fn(self, params, ids, positions, cache, last_idx,
+                    adapter_idx=None):
+        fwd = self._fwd_for(cache)
+        if adapter_idx is None:
+            return fwd(params, ids, positions, cache, last_idx)
+        return fwd(params, ids, positions, cache, last_idx, adapter_idx)
 
     @staticmethod
     def _gen_penalized(gen: GenerationConfig) -> bool:
@@ -138,11 +183,12 @@ class InferenceEngine:
                 or getattr(gen, "frequency_penalty", 0.0) != 0.0)
 
     def _decode_chunk_fn(self, params, cache, token, pos, key,
-                         counts=None, seen=None, *,
+                         counts=None, seen=None, aidx=None, *,
                          steps: int, gen: GenerationConfig):
         """scan `steps` decode iterations on device; returns sampled tokens.
         When gen carries penalties, [B, V] output-count + seen state rides
-        the scan as donated carry (see _decode_chunk_rows_fn)."""
+        the scan as donated carry (see _decode_chunk_rows_fn); `aidx` is
+        the per-row LoRA adapter slot (multi-LoRA serving)."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
         rows = jnp.arange(B)
@@ -152,8 +198,9 @@ class InferenceEngine:
         def body(carry, _):
             cache, token, pos, key, counts, seen = carry
             key, sub = jax.random.split(key)
+            fargs = (() if aidx is None else (aidx,))
             logits, cache = fwd(params, token[:, None], pos[:, None],
-                                cache, zeros)
+                                cache, zeros, *fargs)
             if use_pen:
                 pl = sampling.apply_penalties(
                     logits, counts, seen,
@@ -198,7 +245,7 @@ class InferenceEngine:
     def _decode_chunk_rows_fn(self, params, cache, token, pos, key,
                               temp, topk, topp, greedy, minp, seeds,
                               counts=None, seen=None, rep=None, pres=None,
-                              freq=None, *,
+                              freq=None, aidx=None, *,
                               steps: int, max_top_k: int,
                               use_top_p: bool = True,
                               use_min_p: bool = False,
@@ -228,8 +275,9 @@ class InferenceEngine:
                 sub = sampling.row_keys(seeds, pos + 1)
             else:
                 key, sub = jax.random.split(key)
+            fargs = (() if aidx is None else (aidx,))
             logits, cache = fwd(params, token[:, None], pos[:, None],
-                                cache, zeros)
+                                cache, zeros, *fargs)
             pen = ((counts, seen, rep, pres, freq) if use_penalties
                    else None)
             nxt = sampling.sample_per_row(
@@ -319,7 +367,8 @@ class InferenceEngine:
     # ------------------------------------------------------------------
 
     def prefill(self, token_lists: List[List[int]], cache=None,
-                start_positions: Optional[Sequence[int]] = None):
+                start_positions: Optional[Sequence[int]] = None,
+                adapter_idx: Optional[jnp.ndarray] = None):
         """Run prefill for a batch of prompts (optionally continuing an
         existing cache at per-sequence offsets). Returns (logits, cache)."""
         B = len(token_lists)
@@ -359,7 +408,8 @@ class InferenceEngine:
                 last[i] = max(len(toks) - 1, 0)
             logits, cache = self._prefill_jit(self.params, jnp.asarray(ids),
                                               jnp.asarray(pos), cache,
-                                              jnp.asarray(last))
+                                              jnp.asarray(last),
+                                              adapter_idx)
             if n_chunks > 1:
                 # capture logits for rows whose prompt ENDED in this chunk
                 lg = np.asarray(logits)

@@ -33,11 +33,15 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
-def chunk_hashes(tokens: Sequence[int], page_size: int) -> List[bytes]:
-    """Chain hash per full prompt page, excluding the last token's page."""
+def chunk_hashes(tokens: Sequence[int], page_size: int,
+                 salt: int = 0) -> List[bytes]:
+    """Chain hash per full prompt page, excluding the last token's page.
+    `salt` partitions the key space — e.g. the LoRA adapter slot: an
+    adapter changes the K/V content of identical prompt tokens, so pages
+    must never be shared across adapters."""
     aligned = ((len(tokens) - 1) // page_size) * page_size
     out: List[bytes] = []
-    h = b""
+    h = salt.to_bytes(4, "little", signed=False) if salt else b""
     for i in range(0, aligned, page_size):
         chunk = np.asarray(tokens[i:i + page_size], np.int32).tobytes()
         h = hashlib.blake2b(h + chunk, digest_size=16).digest()

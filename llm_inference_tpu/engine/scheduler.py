@@ -76,6 +76,9 @@ class Request:
     # N ≤ TOP_LOGPROBS_CAP) — filled into output_top_logprobs as
     # [(token_id, logprob), ...] lists
     top_logprobs: Optional[int] = None
+    # LoRA adapter (name registered with the engine, or stack slot int;
+    # None/0 = base model) — multi-LoRA serving, models/lora.py
+    adapter: Optional[Union[str, int]] = None
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -138,6 +141,7 @@ class ContinuousBatchingScheduler:
                                  getattr(g, "frequency_penalty", 0.0),
                                  np.float32)
         self.seed_host = np.zeros((self.B,), np.int32)
+        self.aidx_host = np.zeros((self.B,), np.int32)   # LoRA slots
         self._seed_rng = np.random.default_rng(self.gen.seed ^ 0x5EED)
         # [B, V] output-token counts + prompt∪output seen masks, allocated
         # lazily (only when a penalized request is admitted)
@@ -176,6 +180,7 @@ class ContinuousBatchingScheduler:
                 0 <= req.top_logprobs <= TOP_LOGPROBS_CAP):
             raise ValueError(f"top_logprobs={req.top_logprobs} must be in "
                              f"[0, {TOP_LOGPROBS_CAP}]")
+        self.engine.resolve_adapter(req.adapter)   # validates name/slot
         return (req.temperature if req.temperature is not None
                 else g.temperature,
                 topk,
@@ -210,6 +215,7 @@ class ContinuousBatchingScheduler:
         self.pres_host[slot] = pres
         self.freq_host[slot] = freq
         self.seed_host[slot] = self._resolve_seed(req)
+        self.aidx_host[slot] = self.engine.resolve_adapter(req.adapter)
         if rep != 1.0 or pres != 0.0 or freq != 0.0:
             # seed the slot's penalty rows: prompt tokens (repetition
             # scope) + the admission-sampled first token (output scope)
@@ -269,7 +275,8 @@ class ContinuousBatchingScheduler:
                seed: Optional[int] = None,
                stop_token_ids: Optional[Sequence[int]] = None,
                stop: Optional[Union[str, Sequence[str]]] = None,
-               top_logprobs: Optional[int] = None) -> Request:
+               top_logprobs: Optional[int] = None,
+               adapter: Optional[Union[str, int]] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
@@ -286,7 +293,7 @@ class ContinuousBatchingScheduler:
                       presence_penalty=presence_penalty,
                       frequency_penalty=frequency_penalty, seed=seed,
                       stop_token_ids=stop_token_ids, stop=stop,
-                      top_logprobs=top_logprobs)
+                      top_logprobs=top_logprobs, adapter=adapter)
         self._resolve_sampling(req)       # validate (top_k bound) up front
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
@@ -301,8 +308,11 @@ class ContinuousBatchingScheduler:
         Under a data-sharded mesh the prompt is replicated across the data
         axis (a batch-1 prefill can't shard over dp>1); row 0 is inserted."""
         dp = self.engine.data_parallel
+        aidx1 = (jnp.full((dp,), self.engine.resolve_adapter(req.adapter),
+                          jnp.int32) if self.engine.has_lora else None)
         logits, one_cache = self.engine.prefill(
-            [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp))
+            [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp),
+            adapter_idx=aidx1)
         logits = logits[:1]
         first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
@@ -501,8 +511,11 @@ class ContinuousBatchingScheduler:
                                            repetition_penalty=1.0,
                                            presence_penalty=0.0,
                                            frequency_penalty=0.0))
+            aidx = (jnp.asarray(self.aidx_host)
+                    if self.engine.has_lora else None)
             toks, lps, self.cache, self.token, self.pos, *_ = fn(
-                self.engine.params, self.cache, self.token, self.pos, sub)
+                self.engine.params, self.cache, self.token, self.pos, sub,
+                None, None, aidx)
         else:
             use_topk = any(self.topk_host[b] > 0 for b in live)
             use_topp = any(self.topp_host[b] < 1.0 for b in live)
@@ -525,7 +538,9 @@ class ContinuousBatchingScheduler:
                 self._counts if use_pen else None,
                 self._seen if use_pen else None,
                 jnp.asarray(self.rep_host), jnp.asarray(self.pres_host),
-                jnp.asarray(self.freq_host))
+                jnp.asarray(self.freq_host),
+                jnp.asarray(self.aidx_host)
+                if self.engine.has_lora else None)
             if top_used:
                 self._harvest(np.asarray(toks), np.asarray(lps),
                               np.asarray(tvs), np.asarray(tis))
@@ -748,7 +763,11 @@ class PagedScheduler(ContinuousBatchingScheduler):
         hit_pages: list = []
         if self.store is not None:
             from llm_inference_tpu.engine import prefix_cache
-            hashes = prefix_cache.chunk_hashes(req.prompt_ids, self.ps)
+            # salt by adapter slot: LoRA changes K/V content, so identical
+            # prompts under different adapters must not share pages
+            hashes = prefix_cache.chunk_hashes(
+                req.prompt_ids, self.ps,
+                salt=self.engine.resolve_adapter(req.adapter))
             hit_pages = self.store.lookup(hashes, self.ps)
         hit_blocks = len(hit_pages)
         hit_len = hit_blocks * self.ps
@@ -801,9 +820,11 @@ class PagedScheduler(ContinuousBatchingScheduler):
                 page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
             use_hist = hit_blocks > 0 or done > 0
             prefill = self._prefill_hist if use_hist else self._prefill_paged
+            aidx1 = (jnp.full((1,), self.engine.resolve_adapter(req.adapter),
+                              jnp.int32) if self.engine.has_lora else None)
             logits, cache1 = prefill(
                 self.engine.params, jnp.asarray(ids), jnp.asarray(pos),
-                cache1, jnp.asarray([n_tok - 1], jnp.int32))
+                cache1, jnp.asarray([n_tok - 1], jnp.int32), aidx1)
             self.cache = cache1.replace(
                 page_table=jnp.asarray(self.pt_host))
             done += bucket

@@ -206,7 +206,7 @@ def make_handler(backend: ServingBackend):
                 "temperature", "top_k", "top_p", "greedy", "min_p",
                 "repetition_penalty", "presence_penalty",
                 "frequency_penalty", "seed", "stop_token_ids", "stop",
-                "top_logprobs") if k in body}
+                "top_logprobs", "adapter") if k in body}
             try:
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
@@ -306,6 +306,10 @@ def make_handler(backend: ServingBackend):
             lp_n = body.get("logprobs")
             if isinstance(lp_n, int) and lp_n > 0:
                 samp["top_logprobs"] = lp_n
+            # vLLM-style multi-LoRA: `model` naming a registered adapter
+            # routes the request through that adapter
+            if body.get("model") in backend.engine.adapter_slots:
+                samp["adapter"] = body["model"]
             n = int(body.get("n", 1) or 1)
             if not 1 <= n <= 16:
                 self._json(400, {"error": {"message": f"n={n} out of "

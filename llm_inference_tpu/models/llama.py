@@ -52,6 +52,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig, QuantConfig
+from llm_inference_tpu.models import lora
 from llm_inference_tpu.ops import (activations, attention, embedding,
                                    kvcache, norms, paged_kvcache, rope)
 from llm_inference_tpu.utils import debug
@@ -533,7 +534,7 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str],
-           paged_history: bool = False):
+           paged_history: bool = False, lora_lp=None, adapter_idx=None):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
     Layer-varying state is split three ways:
@@ -556,6 +557,11 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
             return matmul(x, qw[name], bias=bias, layer=layer_idx)
         return matmul(x, lp[name], bias=bias)
 
+    def ld(name, x, out):
+        # per-row LoRA delta on top of the (possibly fused/quantized) base
+        # matmul (models/lora.py — no-op when no adapter stacks ride)
+        return lora.apply_delta(name, lora_lp, x, out, adapter_idx)
+
     # --- attention block ---
     normed = norms.rms_norm(h, lp["attn_norm"], eps)
     if "wqkv" in qw or "wqkv" in lp:
@@ -569,6 +575,9 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         q = mm("wq", normed, bias=lp.get("bq"))
         k = mm("wk", normed, bias=lp.get("bk"))
         v = mm("wv", normed, bias=lp.get("bv"))
+    q = ld("wq", normed, q)
+    k = ld("wk", normed, k)
+    v = ld("wv", normed, v)
     q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
     k = k.reshape(B, T, -1, D)
     v = v.reshape(B, T, -1, D)
@@ -578,18 +587,21 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     attn, cache = cached_attention(cfg, q, k, v, cache, layer_idx,
                                    positions, write_offsets, mask,
                                    paged_history)
-    attn = mm("wo", attn.reshape(B, T, -1))
-    h = h + _psum(attn, tp_axis)
+    attn2d = attn.reshape(B, T, -1)
+    attn_out = ld("wo", attn2d, mm("wo", attn2d))
+    h = h + _psum(attn_out, tp_axis)
 
     # --- FFN block ---
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
     if "w_gateup" in qw or "w_gateup" in lp:
         gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
-        act = activations.swiglu_split(gate, up)
+        act = activations.swiglu_split(ld("w_gate", normed, gate),
+                                       ld("w_up", normed, up))
     else:
-        act = activations.swiglu_split(mm("w_gate", normed),
-                                       mm("w_up", normed))
-    h = h + _psum(mm("w_down", act), tp_axis)
+        act = activations.swiglu_split(
+            ld("w_gate", normed, mm("w_gate", normed)),
+            ld("w_up", normed, mm("w_up", normed)))
+    h = h + _psum(ld("w_down", act, mm("w_down", act)), tp_axis)
     return h, cache
 
 
@@ -604,6 +616,7 @@ def forward(
     last_idx: Optional[jnp.ndarray] = None,  # [B] index of last valid token
     tp_axis: Optional[str] = None,           # shard_map axis name for TP
     paged_history: bool = False,  # paged prefill atop shared prefix pages
+    adapter_idx: Optional[jnp.ndarray] = None,  # [B] LoRA slot per row
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Run the decoder over T tokens per sequence, updating the cache.
 
@@ -631,23 +644,32 @@ def forward(
         cfg.rope_theta, cfg.rope_scaling)
 
     # stacked QTensor weights bypass the scan (indexed inside the kernels);
-    # everything small rides as scan xs
+    # everything small rides as scan xs — including the LoRA adapter
+    # stacks params["lora"] [L, N, ...] (models/lora.py), sliced per layer
     qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
     xs = {k: v for k, v in params["layers"].items()
           if not isinstance(v, QTensor)}
+    lora_stacks = params.get("lora")
+    if lora_stacks is not None and adapter_idx is None:
+        adapter_idx = jnp.zeros((B,), jnp.int32)       # slot 0 = base
+    if lora_stacks is not None and tp_axis is not None:
+        raise NotImplementedError("LoRA serving is single-device/DP for "
+                                  "now (adapter B factors are unsharded)")
 
     debug.tap("embed", h)
 
-    def body(carry, lp):
+    def body(carry, xs_t):
+        lp, lora_lp = xs_t
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
                           write_offsets, mask, cos, sin, tp_axis,
-                          paged_history=paged_history)
+                          paged_history=paged_history, lora_lp=lora_lp,
+                          adapter_idx=adapter_idx)
         debug.tap("out", h, layer=idx)   # SAVE_DATA-style per-layer dump
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(
-        body, (h, cache, jnp.int32(0)), xs)
+        body, (h, cache, jnp.int32(0)), (xs, lora_stacks))
 
     if logits_mode == "none":
         return None, new_cache
