@@ -76,6 +76,25 @@ def build_engine(args):
         params = llama.prepare_params(
             params, tp_size=1 if is_moe else args.tp, fuse=False)
 
+    adapter_names = None
+    if getattr(args, "lora", None):
+        # multi-LoRA serving: --lora name=peft_dir (repeatable); requests
+        # pick adapters by name (scheduler `adapter=`, /v1 model routing)
+        from llm_inference_tpu.models import lora as lora_mod
+        names, adapters, scalings = [], [], []
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--lora expects name=path, got {spec!r}")
+            ad, sc = lora_mod.load_peft_adapter(cfg, path)
+            names.append(name)
+            adapters.append(ad)
+            scalings.append(sc)
+        params = dict(params)
+        params["lora"] = lora_mod.stack_adapters(cfg, adapters,
+                                                 scaling=scalings)
+        adapter_names = names
+
     tokenizer = load_tokenizer(args.tokenizer) if args.tokenizer else None
     mesh = None
     if args.tp > 1 or args.dp > 1:
@@ -86,7 +105,8 @@ def build_engine(args):
     cache_dtype = "int8" if args.kv_cache == "int8" else jnp.bfloat16
     return InferenceEngine(cfg, params, engine_cfg=eng_cfg,
                            tokenizer=tokenizer, mesh=mesh,
-                           cache_dtype=cache_dtype)
+                           cache_dtype=cache_dtype,
+                           adapter_names=adapter_names)
 
 
 def main(argv=None):
@@ -101,6 +121,10 @@ def main(argv=None):
                     choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=0)
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--lora", action="append", default=None,
+                    metavar="NAME=PEFT_DIR",
+                    help="load a LoRA adapter for multi-LoRA serving "
+                         "(repeatable)")
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--max-seq-len", type=int, default=2048)
@@ -131,9 +155,11 @@ def main(argv=None):
     if engine.tokenizer is None:
         print("[cli] no tokenizer — echoing token ids for dummy runs")
 
+    adapter = None
     session = ChatSession(engine)
     print("Ready. Type your message ('exit' to quit, 'reset' to clear "
-          "history).")
+          "history" + (", 'adapter <name|base>' to switch LoRA"
+                       if engine.adapter_slots else "") + ").")
     while True:
         try:
             line = input("you> ").strip()
@@ -144,11 +170,24 @@ def main(argv=None):
         if line == "exit":
             break
         if line == "reset":
-            session = ChatSession(engine)
+            session = ChatSession(engine, adapter=adapter)
+            continue
+        if line.startswith("adapter ") or line == "adapter":
+            name = line[len("adapter"):].strip()
+            want = None if name in ("", "base") else name
+            try:
+                engine.resolve_adapter(want)
+            except ValueError as e:
+                print(f"[cli] {e}")
+                continue
+            adapter = want
+            # resident KV was produced under the old adapter — start fresh
+            session = ChatSession(engine, adapter=adapter)
+            print(f"[cli] adapter: {adapter or 'base'} (history reset)")
             continue
         if engine.tokenizer is None:
             # dummy mode: feed fixed ids, print sampled ids
-            res = engine.generate([[1, 2, 3, 4]], gen)[0]
+            res = engine.generate([[1, 2, 3, 4]], gen, adapter=adapter)[0]
             print("ids>", res.token_ids)
             continue
         print("bot> ", end="", flush=True)

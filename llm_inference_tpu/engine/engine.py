@@ -159,6 +159,22 @@ class InferenceEngine:
                              f"[0, {self.num_adapters}]")
         return slot
 
+    def _adapter_rows(self, adapter, batch: int):
+        """`adapter` (None | name/slot | per-row sequence of them) →
+        [B] int32 slot array, or None when every row is the base model."""
+        if adapter is None:
+            return None
+        if isinstance(adapter, (list, tuple)):
+            if len(adapter) != batch:
+                raise ValueError(f"{len(adapter)} adapters for {batch} "
+                                 f"prompts")
+            slots = [self.resolve_adapter(a) for a in adapter]
+        else:
+            slots = [self.resolve_adapter(adapter)] * batch
+        if not any(slots):
+            return None
+        return jnp.asarray(slots, jnp.int32)
+
     def _fwd_for(self, cache) -> Callable:
         from llm_inference_tpu.ops.paged_kvcache import PagedKVCache
         if isinstance(cache, PagedKVCache):
@@ -426,12 +442,17 @@ class InferenceEngine:
                  prompts: Sequence[Union[str, Sequence[int]]],
                  gen: Optional[GenerationConfig] = None,
                  stream: Optional[Callable[[int, int, str], None]] = None,
+                 adapter=None,
                  ) -> List[GenerationResult]:
         """Batch generation. `stream(row, token_id, text_piece)` is called as
-        tokens arrive (the reference's CallBack, basemodel.h:12)."""
+        tokens arrive (the reference's CallBack, basemodel.h:12).
+
+        `adapter` selects a resident LoRA adapter (multi-LoRA serving):
+        a name/slot applied to every row, or one name/slot per prompt."""
         gen = gen or GenerationConfig()
         token_lists = self._encode_prompts(prompts)
         B = len(token_lists)
+        aidx = self._adapter_rows(adapter, B)
         lengths = np.array([len(t) for t in token_lists], np.int32)
         need = int(lengths.max()) + gen.max_new_tokens
         if need > self.engine_cfg.max_seq_len:
@@ -442,7 +463,7 @@ class InferenceEngine:
         eos = set(gen.eos_token_ids)
 
         t0 = time.perf_counter()
-        logits, cache = self.prefill(token_lists)
+        logits, cache = self.prefill(token_lists, adapter_idx=aidx)
         key = jax.random.PRNGKey(gen.seed)
         key, sub = jax.random.split(key)
         use_pen = self._gen_penalized(gen)
@@ -490,7 +511,7 @@ class InferenceEngine:
             steps = min(chunk, gen.max_new_tokens - produced)
             fn = self._get_decode_jit(steps, gen)
             toks, _lps, cache, token, pos, key, counts, seen = fn(
-                self.params, cache, token, pos, key, counts, seen)
+                self.params, cache, token, pos, key, counts, seen, aidx)
             toks_np = np.asarray(toks)        # [B, steps]
             decoded += steps
             for i in range(B):
@@ -534,9 +555,13 @@ class ChatSession:
     round only prefills the new turn."""
 
     def __init__(self, engine: InferenceEngine,
-                 template: Optional[Callable[[str, int], str]] = None):
+                 template: Optional[Callable[[str, int], str]] = None,
+                 adapter=None):
         self.engine = engine
         self.template = template or chat_template_for(engine.cfg.name)
+        # one adapter per session: the resident KV was produced under it,
+        # so switching adapters means starting a new session
+        self._aidx = engine._adapter_rows(adapter, 1)
         self.cache = None
         self.pos = 0          # next unwritten cache slot / absolute position
         self.round = 0
@@ -561,7 +586,8 @@ class ChatSession:
             self.cache = eng.new_cache(1)
 
         logits, self.cache = eng.prefill([toks], cache=self.cache,
-                                         start_positions=[self.pos])
+                                         start_positions=[self.pos],
+                                         adapter_idx=self._aidx)
         self.pos += len(toks)
         key = jax.random.PRNGKey(gen.seed + self.round)
         key, sub = jax.random.split(key)
@@ -604,7 +630,8 @@ class ChatSession:
             steps = min(chunk, gen.max_new_tokens - len(out_ids))
             fn = eng._get_decode_jit(steps, gen)
             toks_d, _lps, self.cache, token, pos, key, counts, seen = fn(
-                eng.params, self.cache, token, pos, key, counts, seen)
+                eng.params, self.cache, token, pos, key, counts, seen,
+                self._aidx)
             self.pos += 1             # `cur` is now in the cache...
             chunk_toks = np.asarray(toks_d)[0]
             # ...and all but the last sampled token of the chunk are too

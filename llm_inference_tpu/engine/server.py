@@ -526,6 +526,10 @@ def main(argv=None):
     ap.add_argument("--quant", default="none")
     ap.add_argument("--group-size", type=int, default=0)
     ap.add_argument("--kv-cache", default="bf16")
+    ap.add_argument("--lora", action="append", default=None,
+                    metavar="NAME=PEFT_DIR",
+                    help="serve a LoRA adapter (repeatable); requests "
+                         "route via `adapter` or /v1 model=NAME")
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--max-seq-len", type=int, default=2048)

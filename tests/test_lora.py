@@ -78,6 +78,36 @@ class TestLoraModel:
                                    atol=1e-5)
 
 
+class TestEngineGenerateAdapter:
+    def test_generate_with_adapter_matches_merged(self):
+        """engine.generate(adapter=...) — the offline/CLI path — equals the
+        merged-weight golden, including a mixed per-row [name, None] batch."""
+        lp = dict(PARAMS)
+        lp["lora"] = STACKS
+        eng = _engine(lp, adapter_names=["alpha", "beta"])
+        got = eng.generate([[5, 6, 7], [9, 10, 11]], GEN,
+                           adapter=["alpha", None])
+        want_a = _engine(lora.merge_into_params(
+            CFG, PARAMS, STACKS, 1)).generate([[5, 6, 7]], GEN)[0]
+        want_b = _engine(PARAMS).generate([[9, 10, 11]], GEN)[0]
+        assert got[0].token_ids == want_a.token_ids
+        assert got[1].token_ids == want_b.token_ids
+
+    def test_generate_whole_batch_one_adapter(self):
+        lp = dict(PARAMS)
+        lp["lora"] = STACKS
+        eng = _engine(lp, adapter_names=["alpha", "beta"])
+        got = eng.generate([[5, 6, 7]], GEN, adapter="beta")[0]
+        want = _engine(lora.merge_into_params(
+            CFG, PARAMS, STACKS, 2)).generate([[5, 6, 7]], GEN)[0]
+        assert got.token_ids == want.token_ids
+
+    def test_generate_adapter_rejected_without_lora(self):
+        eng = _engine(PARAMS)
+        with pytest.raises(ValueError, match="no LoRA"):
+            eng.generate([[5, 6]], GEN, adapter=1)
+
+
 class TestLoraScheduler:
     def _goldens(self, prompt, adapter):
         mp = lora.merge_into_params(CFG, PARAMS, STACKS, adapter)
