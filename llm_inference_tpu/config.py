@@ -321,6 +321,10 @@ class GenerationConfig:
     greedy: bool = False
     eos_token_ids: Sequence[int] = (2,)
     seed: int = 0
+    # OpenAI logit_bias: {token_id: bias} added to the logits before
+    # sampling (None = off). Shapes selection (greedy argmax included);
+    # reported logprobs stay the model's raw distribution.
+    logit_bias: Optional[dict] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "GenerationConfig":

@@ -175,6 +175,21 @@ class InferenceEngine:
             return None
         return jnp.asarray(slots, jnp.int32)
 
+    def _bias_rows(self, logit_bias, batch: int):
+        """{token_id: bias} → [B, V] f32 bias array (same row broadcast),
+        or None when unset. Out-of-range ids are rejected."""
+        if not logit_bias:
+            return None
+        V = self.cfg.vocab_size
+        row = np.zeros((V,), np.float32)
+        for t, b in logit_bias.items():
+            t = int(t)
+            if not 0 <= t < V:
+                raise ValueError(f"logit_bias token id {t} out of range "
+                                 f"[0, {V})")
+            row[t] = float(b)
+        return jnp.broadcast_to(jnp.asarray(row), (batch, V))
+
     def _fwd_for(self, cache) -> Callable:
         from llm_inference_tpu.ops.paged_kvcache import PagedKVCache
         if isinstance(cache, PagedKVCache):
@@ -199,12 +214,14 @@ class InferenceEngine:
                 or getattr(gen, "frequency_penalty", 0.0) != 0.0)
 
     def _decode_chunk_fn(self, params, cache, token, pos, key,
-                         counts=None, seen=None, aidx=None, *,
+                         counts=None, seen=None, aidx=None, bias=None, *,
                          steps: int, gen: GenerationConfig):
         """scan `steps` decode iterations on device; returns sampled tokens.
         When gen carries penalties, [B, V] output-count + seen state rides
         the scan as donated carry (see _decode_chunk_rows_fn); `aidx` is
-        the per-row LoRA adapter slot (multi-LoRA serving)."""
+        the per-row LoRA adapter slot (multi-LoRA serving); `bias` a
+        [B, V] logit bias (gen.logit_bias) shaping selection but not the
+        reported logprobs."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
         rows = jnp.arange(B)
@@ -217,14 +234,13 @@ class InferenceEngine:
             fargs = (() if aidx is None else (aidx,))
             logits, cache = fwd(params, token[:, None], pos[:, None],
                                 cache, zeros, *fargs)
+            pl = logits if bias is None else logits + bias
             if use_pen:
                 pl = sampling.apply_penalties(
-                    logits, counts, seen,
+                    pl, counts, seen,
                     jnp.full((B,), gen.repetition_penalty, jnp.float32),
                     jnp.full((B,), gen.presence_penalty, jnp.float32),
                     jnp.full((B,), gen.frequency_penalty, jnp.float32))
-            else:
-                pl = logits
             nxt = sampling.sample(pl, sub,
                                   temperature=gen.temperature,
                                   top_k=gen.top_k, top_p=gen.top_p,
@@ -242,12 +258,13 @@ class InferenceEngine:
         # toks/lps: [B, steps]
         return toks.T, lps.T, cache, token, pos, key, counts, seen
 
-    def _get_decode_jit(self, steps: int, gen: GenerationConfig):
+    def _get_decode_jit(self, steps: int, gen: GenerationConfig,
+                        use_bias: bool = False):
         key = (steps, gen.temperature, gen.top_k, gen.top_p, gen.greedy,
                getattr(gen, "min_p", 0.0),
                getattr(gen, "repetition_penalty", 1.0),
                getattr(gen, "presence_penalty", 0.0),
-               getattr(gen, "frequency_penalty", 0.0))
+               getattr(gen, "frequency_penalty", 0.0), use_bias)
         fn = self._decode_jits.get(key)
         if fn is None:
             donate = (1,) + ((5, 6) if self._gen_penalized(gen) else ())
@@ -261,7 +278,9 @@ class InferenceEngine:
     def _decode_chunk_rows_fn(self, params, cache, token, pos, key,
                               temp, topk, topp, greedy, minp, seeds,
                               counts=None, seen=None, rep=None, pres=None,
-                              freq=None, aidx=None, *,
+                              freq=None, aidx=None, bias=None,
+                              gmask=None, gtrans=None, cidx=None,
+                              dstate=None, *,
                               steps: int, max_top_k: int,
                               use_top_p: bool = True,
                               use_min_p: bool = False,
@@ -279,14 +298,21 @@ class InferenceEngine:
         byte-identical — scheduler._preempt relies on it).
         use_penalties threads [B, V] output-token counts + prompt∪output
         seen masks through the scan as donated carry; sampled tokens
-        update them on device."""
+        update them on device.
+
+        `bias` is a per-row [B, V] logit bias (OpenAI logit_bias).
+        Guided decoding (engine/guided.py): `gmask`/`gtrans` are the
+        stacked [C, S, V] DFA allow/transition tables, `cidx` each row's
+        constraint index and `dstate` its DFA state (-1 = unconstrained);
+        the state rides the scan carry and transitions ON DEVICE — no
+        per-token host round trip."""
         B = token.shape[0]
         zeros = jnp.zeros((B,), jnp.int32)
         rows = jnp.arange(B)
         fwd = self._fwd_for(cache)
 
         def body(carry, _):
-            cache, token, pos, key, counts, seen = carry
+            cache, token, pos, key, counts, seen, dstate = carry
             if seeded:
                 sub = sampling.row_keys(seeds, pos + 1)
             else:
@@ -296,37 +322,46 @@ class InferenceEngine:
                                 cache, zeros, *fargs)
             pen = ((counts, seen, rep, pres, freq) if use_penalties
                    else None)
+            allowed = None
+            if gmask is not None:
+                st = jnp.maximum(dstate, 0)
+                allowed = gmask[cidx, st] | (dstate < 0)[:, None]
             nxt = sampling.sample_per_row(
                 logits, sub, temp, topk, topp, greedy, max_top_k,
                 use_top_p, min_p=(minp if use_min_p else None),
-                penalties=pen)
+                penalties=pen, bias=bias, allowed=allowed)
             lp = sampling.chosen_logprob(logits, nxt)
             tv, ti = (sampling.top_logprobs(logits, top_n) if top_n > 0
                       else (None, None))
             if use_penalties:
                 counts = counts.at[rows, nxt].add(1)
                 seen = seen.at[rows, nxt].set(True)
-            return ((cache, nxt, pos + 1, key, counts, seen),
+            if gmask is not None:
+                ns = gtrans[cidx, jnp.maximum(dstate, 0), nxt]
+                dstate = jnp.where(dstate >= 0, ns, dstate)
+            return ((cache, nxt, pos + 1, key, counts, seen, dstate),
                     (nxt, lp, tv, ti))
 
-        ((cache, token, pos, key, counts, seen),
+        ((cache, token, pos, key, counts, seen, dstate),
          (toks, lps, tvs, tis)) = jax.lax.scan(
-            body, (cache, token, pos, key, counts, seen), None,
+            body, (cache, token, pos, key, counts, seen, dstate), None,
             length=steps)
         # tvs/tis: [steps, B, n] -> [B, steps, n]
         if top_n > 0:
             tvs, tis = tvs.transpose(1, 0, 2), tis.transpose(1, 0, 2)
         return (toks.T, lps.T, cache, token, pos, key, counts, seen,
-                tvs, tis)
+                tvs, tis, dstate)
 
     def _get_decode_rows_jit(self, steps: int, max_top_k: int = 64,
                              use_top_p: bool = True,
                              use_min_p: bool = False,
                              use_penalties: bool = False,
                              seeded: bool = False,
-                             top_n: int = 0):
+                             top_n: int = 0,
+                             use_bias: bool = False,
+                             guided: bool = False):
         key = ("rows", steps, max_top_k, use_top_p, use_min_p,
-               use_penalties, seeded, top_n)
+               use_penalties, seeded, top_n, use_bias, guided)
         fn = self._decode_jits.get(key)
         if fn is None:
             donate = (1,) + ((11, 12) if use_penalties else ())
@@ -453,6 +488,7 @@ class InferenceEngine:
         token_lists = self._encode_prompts(prompts)
         B = len(token_lists)
         aidx = self._adapter_rows(adapter, B)
+        bias = self._bias_rows(getattr(gen, "logit_bias", None), B)
         lengths = np.array([len(t) for t in token_lists], np.int32)
         need = int(lengths.max()) + gen.max_new_tokens
         if need > self.engine_cfg.max_seq_len:
@@ -468,6 +504,7 @@ class InferenceEngine:
         key, sub = jax.random.split(key)
         use_pen = self._gen_penalized(gen)
         counts = seen = None
+        plogits = logits if bias is None else logits + bias
         if use_pen:
             V = self.cfg.vocab_size
             seen0 = np.zeros((B, V), bool)
@@ -476,12 +513,10 @@ class InferenceEngine:
             counts = jnp.zeros((B, V), jnp.int32)
             seen = jnp.asarray(seen0)
             plogits = sampling.apply_penalties(
-                logits, counts, seen,
+                plogits, counts, seen,
                 jnp.full((B,), gen.repetition_penalty, jnp.float32),
                 jnp.full((B,), gen.presence_penalty, jnp.float32),
                 jnp.full((B,), gen.frequency_penalty, jnp.float32))
-        else:
-            plogits = logits
         first = sampling.sample(plogits, sub, temperature=gen.temperature,
                                 top_k=gen.top_k, top_p=gen.top_p,
                                 greedy=gen.greedy,
@@ -509,9 +544,11 @@ class InferenceEngine:
         decoded = 0
         while produced < gen.max_new_tokens and not finished.all():
             steps = min(chunk, gen.max_new_tokens - produced)
-            fn = self._get_decode_jit(steps, gen)
+            fn = self._get_decode_jit(steps, gen,
+                                      use_bias=bias is not None)
             toks, _lps, cache, token, pos, key, counts, seen = fn(
-                self.params, cache, token, pos, key, counts, seen, aidx)
+                self.params, cache, token, pos, key, counts, seen, aidx,
+                bias)
             toks_np = np.asarray(toks)        # [B, steps]
             decoded += steps
             for i in range(B):
@@ -592,7 +629,10 @@ class ChatSession:
         key = jax.random.PRNGKey(gen.seed + self.round)
         key, sub = jax.random.split(key)
         use_pen = eng._gen_penalized(gen)
+        bias = eng._bias_rows(getattr(gen, "logit_bias", None), 1)
         counts = seen = None
+        if bias is not None:
+            logits = logits + bias
         if use_pen:
             # repetition scope: the WHOLE resident chat history; presence/
             # frequency scope: this round's completion (fresh counts)
@@ -628,10 +668,11 @@ class ChatSession:
             if stream is not None:
                 stream(eng.tokenizer.decode_token(cur))
             steps = min(chunk, gen.max_new_tokens - len(out_ids))
-            fn = eng._get_decode_jit(steps, gen)
+            fn = eng._get_decode_jit(steps, gen,
+                                     use_bias=bias is not None)
             toks_d, _lps, self.cache, token, pos, key, counts, seen = fn(
                 eng.params, self.cache, token, pos, key, counts, seen,
-                self._aidx)
+                self._aidx, bias)
             self.pos += 1             # `cur` is now in the cache...
             chunk_toks = np.asarray(toks_d)[0]
             # ...and all but the last sampled token of the chunk are too

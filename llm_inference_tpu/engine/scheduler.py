@@ -79,6 +79,17 @@ class Request:
     # LoRA adapter (name registered with the engine, or stack slot int;
     # None/0 = base model) — multi-LoRA serving, models/lora.py
     adapter: Optional[Union[str, int]] = None
+    # OpenAI logit_bias {token_id: bias}: added to this request's logits
+    # before sampling (selection only; logprobs stay raw)
+    logit_bias: Optional[dict] = None
+    # guided decoding (engine/guided.py): exactly one may be set —
+    # choices (strings, or token-id sequences for tokenizer-free use),
+    # an anchored regex, or a flat JSON schema. Compiled to a token DFA
+    # at submit; the DFA state rides the decode scan on device.
+    guided_choice: Optional[Sequence] = None
+    guided_regex: Optional[str] = None
+    guided_json: Optional[dict] = None
+    constraint: Optional[object] = None   # compiled guided.TokenDFA
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -147,6 +158,17 @@ class ContinuousBatchingScheduler:
         # lazily (only when a penalized request is admitted)
         self._counts = None
         self._seen = None
+        # per-slot logit_bias rows (lazy [B, V]) + which slots use them
+        self._bias = None
+        self.bias_on_host = np.zeros((self.B,), bool)
+        # guided decoding: per-slot DFA state (-1 = unconstrained) and
+        # constraint index into the stacked device tables
+        self.dstate_host = np.full((self.B,), -1, np.int32)
+        self.cidx_host = np.zeros((self.B,), np.int32)
+        self._dfa_list: List = []          # registered guided.TokenDFA s
+        self._dfa_key2idx: dict = {}
+        self._gmask_dev = None             # [C, S, V] bool
+        self._gtrans_dev = None            # [C, S, V] int32
         self._row_set_jit = jax.jit(
             lambda a, row, s: jax.lax.dynamic_update_slice(
                 a, row[None], (s, jnp.int32(0))),
@@ -204,6 +226,36 @@ class ContinuousBatchingScheduler:
             self._counts = jnp.zeros((self.B, V), jnp.int32)
             self._seen = jnp.zeros((self.B, V), bool)
 
+    def _register_dfa(self, dfa) -> int:
+        """Register a compiled TokenDFA, rebuilding the stacked device
+        tables if it is new. Identical constraints (same key) share one
+        slot, so e.g. a popular JSON schema compiles+uploads once. Tables
+        are padded to power-of-two (C, S) buckets to bound the number of
+        distinct compiled decode programs."""
+        k = dfa.key()
+        idx = self._dfa_key2idx.get(k)
+        if idx is not None:
+            return idx
+        idx = len(self._dfa_list)
+        self._dfa_list.append(dfa)
+        self._dfa_key2idx[k] = idx
+        V = self.engine.cfg.vocab_size
+        S = max(d.n_states for d in self._dfa_list)
+        S_pad = max(8, 1 << (S - 1).bit_length())
+        C_pad = 1 << (len(self._dfa_list) - 1).bit_length() \
+            if len(self._dfa_list) > 1 else 1
+        gmask = np.zeros((C_pad, S_pad, V), bool)
+        gtrans = np.zeros((C_pad, S_pad, V), np.int32)
+        for i, d in enumerate(self._dfa_list):
+            if d.vocab_size != V:
+                raise ValueError(f"constraint vocab {d.vocab_size} != "
+                                 f"model vocab {V}")
+            gmask[i, :d.n_states] = d.mask
+            gtrans[i, :d.n_states] = d.trans
+        self._gmask_dev = jnp.asarray(gmask)
+        self._gtrans_dev = jnp.asarray(gtrans)
+        return idx
+
     def _set_slot_sampling(self, slot: int, req: Request) -> None:
         t, k, p, gr, minp, rep, pres, freq = self._resolve_sampling(req)
         self.temp_host[slot] = t
@@ -235,6 +287,26 @@ class ContinuousBatchingScheduler:
         # (neutral-knob rows are identity under apply_penalties, so stale
         # counts in non-penalized slots are harmless; every penalized
         # admission rewrites its own row)
+        if req.logit_bias:
+            if self._bias is None:
+                self._bias = jnp.zeros(
+                    (self.B, self.engine.cfg.vocab_size), jnp.float32)
+        if self._bias is not None and (req.logit_bias
+                                       or self.bias_on_host[slot]):
+            V = self.engine.cfg.vocab_size
+            row = np.zeros((V,), np.float32)
+            for t, b in (req.logit_bias or {}).items():
+                row[int(t)] = float(b)
+            self._bias = self._row_set_jit(self._bias, jnp.asarray(row),
+                                           jnp.int32(slot))
+        self.bias_on_host[slot] = bool(req.logit_bias)
+        if req.constraint is not None:
+            self.cidx_host[slot] = self._register_dfa(req.constraint)
+            # the admission-sampled first token already advanced the DFA
+            self.dstate_host[slot] = req.constraint.walk(req.output_ids)
+        else:
+            self.cidx_host[slot] = 0
+            self.dstate_host[slot] = -1
 
     # ------------------------------------------------------------------
 
@@ -276,7 +348,11 @@ class ContinuousBatchingScheduler:
                stop_token_ids: Optional[Sequence[int]] = None,
                stop: Optional[Union[str, Sequence[str]]] = None,
                top_logprobs: Optional[int] = None,
-               adapter: Optional[Union[str, int]] = None) -> Request:
+               adapter: Optional[Union[str, int]] = None,
+               logit_bias: Optional[dict] = None,
+               guided_choice: Optional[Sequence] = None,
+               guided_regex: Optional[str] = None,
+               guided_json: Optional[dict] = None) -> Request:
         ids = self.engine._encode_prompts([prompt])[0]
         if len(ids) + (max_new_tokens or self.gen.max_new_tokens) > self.S:
             raise ValueError(
@@ -293,8 +369,20 @@ class ContinuousBatchingScheduler:
                       presence_penalty=presence_penalty,
                       frequency_penalty=frequency_penalty, seed=seed,
                       stop_token_ids=stop_token_ids, stop=stop,
-                      top_logprobs=top_logprobs, adapter=adapter)
+                      top_logprobs=top_logprobs, adapter=adapter,
+                      logit_bias=logit_bias, guided_choice=guided_choice,
+                      guided_regex=guided_regex, guided_json=guided_json)
         self._resolve_sampling(req)       # validate (top_k bound) up front
+        if logit_bias:
+            self.engine._bias_rows(logit_bias, 1)   # validate token ids
+        if (guided_choice is not None or guided_regex is not None
+                or guided_json is not None):
+            from llm_inference_tpu.engine import guided as _guided
+            req.constraint = _guided.compile_constraint(
+                self.engine.cfg.vocab_size, sorted(self._stops(req)),
+                tokenizer=self.engine.tokenizer,
+                choice=guided_choice, regex=guided_regex,
+                json_schema=guided_json)
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
         self.queue.append(req)
@@ -379,6 +467,8 @@ class ContinuousBatchingScheduler:
                     or len(req.output_ids) >= req.max_new_tokens):
                 req.done_t = now
                 self.slot_req[b] = None
+                self.dstate_host[b] = -1     # constraint no longer active
+                self.bias_on_host[b] = False
                 self._on_retire(b)
 
     def _on_retire(self, slot: int) -> None:
@@ -447,11 +537,11 @@ class ContinuousBatchingScheduler:
             cap = min(TOP_LOGPROBS_CAP, self.engine.cfg.vocab_size)
 
             def _first(logits, seeds, pos, t, k, p, gr, minp, counts,
-                       seen, rep, pres, freq):
+                       seen, rep, pres, freq, bias):
                 key = sampling.row_keys(seeds, pos)
                 tok = sampling.sample_per_row(
                     logits, key, t, k, p, gr, mk, True, min_p=minp,
-                    penalties=(counts, seen, rep, pres, freq))
+                    penalties=(counts, seen, rep, pres, freq), bias=bias)
                 tv, ti = sampling.top_logprobs(logits, cap)
                 return tok, sampling.chosen_logprob(logits, tok), tv, ti
 
@@ -461,6 +551,15 @@ class ContinuousBatchingScheduler:
         seen_row = np.zeros((V,), bool)
         if rep != 1.0:
             seen_row[np.asarray(req.prompt_ids, np.int64) % V] = True
+        # logit_bias + guided-constraint start mask, folded into one
+        # additive row (disallowed tokens get -inf)
+        bias_row = np.zeros((V,), np.float32)
+        for t_, b_ in (req.logit_bias or {}).items():
+            bias_row[int(t_)] = float(b_)
+        if req.constraint is not None:
+            bias_row = bias_row + np.where(
+                req.constraint.mask[req.constraint.start], 0.0,
+                sampling.NEG_INF).astype(np.float32)
         return fn(logits,
                   jnp.full((B1,), self._resolve_seed(req), jnp.int32),
                   jnp.full((B1,), len(req.prompt_ids), jnp.int32),
@@ -473,7 +572,8 @@ class ContinuousBatchingScheduler:
                   jnp.broadcast_to(jnp.asarray(seen_row), (B1, V)),
                   jnp.full((B1,), rep, jnp.float32),
                   jnp.full((B1,), pres, jnp.float32),
-                  jnp.full((B1,), freq, jnp.float32))
+                  jnp.full((B1,), freq, jnp.float32),
+                  jnp.broadcast_to(jnp.asarray(bias_row), (B1, V)))
 
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
@@ -500,8 +600,10 @@ class ContinuousBatchingScheduler:
         use_pen = any(self.rep_host[b] != 1.0 or self.pres_host[b] != 0.0
                       or self.freq_host[b] != 0.0 for b in live)
         top_used = any(self.slot_req[b].top_logprobs for b in live)
+        use_bias = any(self.bias_on_host[b] for b in live)
+        use_guided = any(self.dstate_host[b] >= 0 for b in live)
         if (all(self.greedy_host[b] for b in live) and not use_pen
-                and not top_used):
+                and not top_used and not use_bias and not use_guided):
             # all-greedy chunk: plain argmax program — no top-k/top-p work
             # on the hot path (retired slots' knobs are don't-cares; the
             # penalty fields are stripped — penalized rows take the rows
@@ -526,11 +628,12 @@ class ContinuousBatchingScheduler:
                 use_top_p=use_topp, use_min_p=use_minp,
                 use_penalties=use_pen, seeded=True,
                 top_n=(min(TOP_LOGPROBS_CAP, self.engine.cfg.vocab_size)
-                       if top_used else 0))
+                       if top_used else 0),
+                use_bias=use_bias, guided=use_guided)
             if use_pen:
                 self._ensure_penalty_state()
             (toks, lps, self.cache, self.token, self.pos, _,
-             self._counts, self._seen, tvs, tis) = fn(
+             self._counts, self._seen, tvs, tis, dstate) = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
                 jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
                 jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host),
@@ -540,7 +643,14 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(self.rep_host), jnp.asarray(self.pres_host),
                 jnp.asarray(self.freq_host),
                 jnp.asarray(self.aidx_host)
-                if self.engine.has_lora else None)
+                if self.engine.has_lora else None,
+                self._bias if use_bias else None,
+                self._gmask_dev if use_guided else None,
+                self._gtrans_dev if use_guided else None,
+                jnp.asarray(self.cidx_host) if use_guided else None,
+                jnp.asarray(self.dstate_host) if use_guided else None)
+            if use_guided:
+                self.dstate_host = np.array(dstate)   # writable copy
             if top_used:
                 self._harvest(np.asarray(toks), np.asarray(lps),
                               np.asarray(tvs), np.asarray(tis))
@@ -695,6 +805,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
         livelocking when only decoding could ever free pages."""
         req = self.slot_req[slot]
         self.slot_req[slot] = None
+        self.dstate_host[slot] = -1
+        self.bias_on_host[slot] = False
         self._on_retire(slot)
         req.output_ids = []          # replayed from the prompt (the replay
         req.output_logprobs = []     # is byte-identical: seeded sampling)
@@ -820,11 +932,16 @@ class PagedScheduler(ContinuousBatchingScheduler):
                 page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
             use_hist = hit_blocks > 0 or done > 0
             prefill = self._prefill_hist if use_hist else self._prefill_paged
-            aidx1 = (jnp.full((1,), self.engine.resolve_adapter(req.adapter),
-                              jnp.int32) if self.engine.has_lora else None)
+            # only pass the LoRA slot when adapters are loaded: the
+            # sharded paged forward is a fixed-arity shard_map program
+            # (no adapter support over a mesh yet)
+            extra = ((jnp.full((1,),
+                               self.engine.resolve_adapter(req.adapter),
+                               jnp.int32),)
+                     if self.engine.has_lora else ())
             logits, cache1 = prefill(
                 self.engine.params, jnp.asarray(ids), jnp.asarray(pos),
-                cache1, jnp.asarray([n_tok - 1], jnp.int32), aidx1)
+                cache1, jnp.asarray([n_tok - 1], jnp.int32), *extra)
             self.cache = cache1.replace(
                 page_table=jnp.asarray(self.pt_host))
             done += bucket

@@ -12,8 +12,14 @@ standard library:
 - GET  /health      → {"status": "ok", "queued": n, "active": n}
 - GET  /metrics     → engine metrics (TTFT / tokens-per-s observations)
 - POST /v1/completions, /v1/chat/completions — OpenAI-compatible
-  (n choices, logprobs, penalties, seeds, stop; "stream": true for SSE
-  `data:` chunks with delta/text payloads terminated by `data: [DONE]`)
+  (n choices, logprobs, penalties, seeds, stop, logit_bias,
+  response_format json_schema → DFA-guided decoding; "stream": true for
+  SSE `data:` chunks with delta/text payloads terminated by `data: [DONE]`)
+
+Guided decoding (engine/guided.py) is exposed on both surfaces:
+`guided_choice` (strings, or token-id lists for tokenizer-free use),
+`guided_regex`, `guided_json` — the constraint compiles to a token DFA
+whose state rides the decode scan on device.
 
 Architecture: HTTP handler threads enqueue requests into the scheduler (one
 lock-guarded submit) and block on a per-request completion event; a single
@@ -206,7 +212,8 @@ def make_handler(backend: ServingBackend):
                 "temperature", "top_k", "top_p", "greedy", "min_p",
                 "repetition_penalty", "presence_penalty",
                 "frequency_penalty", "seed", "stop_token_ids", "stop",
-                "top_logprobs", "adapter") if k in body}
+                "top_logprobs", "adapter", "logit_bias", "guided_choice",
+                "guided_regex", "guided_json") if k in body}
             try:
                 if stream:
                     # validate BEFORE committing the 200 + ndjson headers —
@@ -301,7 +308,32 @@ def make_handler(backend: ServingBackend):
             max_new = body.get("max_tokens")
             samp = {k: body[k] for k in (
                 "temperature", "top_p", "presence_penalty",
-                "frequency_penalty", "seed", "stop") if k in body}
+                "frequency_penalty", "seed", "stop", "guided_choice",
+                "guided_regex", "guided_json") if k in body}
+            # OpenAI logit_bias arrives with STRING token-id keys
+            if body.get("logit_bias"):
+                try:
+                    samp["logit_bias"] = {int(k): float(v) for k, v
+                                          in body["logit_bias"].items()}
+                except (TypeError, ValueError):
+                    self._json(400, {"error": {
+                        "message": "logit_bias must map token ids to "
+                                   "numbers",
+                        "type": "invalid_request_error"}})
+                    return
+            # OpenAI structured outputs: response_format json_schema →
+            # DFA-guided decoding (flat schemas; nested objects rejected
+            # at submit)
+            rf = body.get("response_format")
+            if isinstance(rf, dict) and rf.get("type") == "json_schema":
+                try:
+                    samp["guided_json"] = rf["json_schema"]["schema"]
+                except (KeyError, TypeError):
+                    self._json(400, {"error": {
+                        "message": "response_format.json_schema.schema "
+                                   "missing",
+                        "type": "invalid_request_error"}})
+                    return
             # OpenAI `logprobs: N` → per-token top-N alternatives
             lp_n = body.get("logprobs")
             if isinstance(lp_n, int) and lp_n > 0:

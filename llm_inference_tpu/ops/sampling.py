@@ -116,6 +116,8 @@ def sample_per_row(
     min_p: Optional[jnp.ndarray] = None,       # [B] f32 (0 ⇒ off)
     penalties: Optional[tuple] = None,         # (counts, seen, rep, pres,
                                                #  freq) — apply_penalties
+    bias: Optional[jnp.ndarray] = None,        # [B, V] f32 logit bias
+    allowed: Optional[jnp.ndarray] = None,     # [B, V] bool constraint mask
 ) -> jnp.ndarray:
     """Per-ROW sampling knobs as runtime arrays: ONE compiled program serves
     any mix of per-request configs in a continuously batched decode (the
@@ -128,8 +130,17 @@ def sample_per_row(
     take the argmax of the (penalized) unscaled logits.
 
     `key` may be per-row keys from `row_keys` (seeded mode: one key row per
-    batch row) or a single key shared by the batch."""
+    batch row) or a single key shared by the batch.
+
+    `bias` (OpenAI logit_bias) is added to the logits before everything;
+    `allowed` (guided decoding, engine/guided.py) masks disallowed tokens
+    to -inf — both shape selection (including the greedy argmax) but not
+    the reported logprobs (callers compute those on the raw logits)."""
     logits = logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    if allowed is not None:
+        logits = jnp.where(allowed, logits, NEG_INF)
     if penalties is not None:
         logits = apply_penalties(logits, *penalties)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)

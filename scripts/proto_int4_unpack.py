@@ -244,8 +244,36 @@ def kern_shift_f32dot(x_ref, w_ref, s_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def kern_diffdot(x_ref, w_ref, s_ref, o_ref):
+    """difference-of-dots unpack: dot the RAW packed bytes b = 16*hi+lo_u
+    on the MXU (d1) and the AND-extracted lo_u (d2); the hi-nibble dot is
+    (d1 - d2)/16 — no floor/mul hi extraction on the VPU at all. Needs
+    x_lo == x_hi per packed byte, i.e. N-PAIR packing: byte (k, n) packs
+    columns 2n (lo) and 2n+1 (hi) of the SAME k — here emulated with the
+    K-split layout by using the same x slice for both halves (upper bound
+    on the win; exact with repacked weights)."""
+    x = x_ref[:]
+    w = w_ref[0]
+    acc = jnp.zeros((M, bn), jnp.float32)
+    for c0 in range(0, Kp, CH):          # CH == gsize
+        g = c0 // gsize
+        wb = w[c0:c0+CH]
+        bf = wb.astype(jnp.float32)                  # one convert
+        lo_u = (wb & 0xF).astype(jnp.float32)        # AND + convert
+        s_lo = s_ref[0][g]
+        s_hi = s_ref[0][Kp // gsize + g]
+        xs = x[:, c0:c0+CH].astype(jnp.float32)
+        d1 = jnp.dot(xs, bf, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(xs, lo_u, preferred_element_type=jnp.float32)
+        d_hi = (d1 - d2) * 0.0625
+        xsum = jnp.sum(xs, axis=1, keepdims=True)
+        acc += (d2 - 8.0 * xsum) * s_lo[None, :] + d_hi * s_hi[None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
 for rep in range(3):
     bench(kern_outscale, f"[{rep}] i32-shift bf16 (cur) ")
     bench(kern_shift_f32dot, f"[{rep}] i32-shift f32 dots  ")
     bench(kern_and_offset, f"[{rep}] AND/floor bf16 dots  ")
     bench(kern_and_f32dot, f"[{rep}] AND/floor f32 dots   ")
+    bench(kern_diffdot, f"[{rep}] diff-of-dots         ")

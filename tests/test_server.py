@@ -364,3 +364,46 @@ class TestOpenAIStreaming:
                 finishes.add(c["index"])
         assert len(per_idx[0]) == 3 and len(per_idx[1]) == 3
         assert finishes == {0, 1}
+
+
+class TestGuidedAndBiasHTTP:
+    def test_guided_choice_generate(self, httpd):
+        choices = [[5, 9, 11], [7, 13]]
+        with _post(httpd, {"prompt": [1, 2, 3],
+                           "guided_choice": choices}) as r:
+            ids = json.load(r)["token_ids"]
+        if ids and ids[-1] == 1:          # scheduler appends the stop token
+            ids = ids[:-1]
+        assert ids in choices
+
+    def test_openai_logit_bias_string_keys(self, httpd):
+        """OpenAI-convention logit_bias (string token-id keys) forces the
+        biased token under greedy decode."""
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 4,
+                           "logit_bias": {"17": 100.0}},
+                   path="/v1/completions") as r:
+            out = json.load(r)
+        assert out["choices"][0]["token_ids"] == [17] * 4
+
+    def test_guided_regex_without_tokenizer_is_error(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [1, 2], "guided_regex": "a+"})
+        assert e.value.code == 400
+        assert "tokenizer" in json.load(e.value)["error"]
+
+    def test_openai_bad_logit_bias_is_400(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "max_tokens": 2,
+                          "logit_bias": {"x": "y"}},
+                  path="/v1/completions")
+        assert e.value.code == 400
+
+    def test_openai_response_format_missing_schema_is_400(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "max_tokens": 2,
+                          "response_format": {"type": "json_schema"}},
+                  path="/v1/completions")
+        assert e.value.code == 400
