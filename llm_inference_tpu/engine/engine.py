@@ -337,7 +337,8 @@ class InferenceEngine:
                 counts = counts.at[rows, nxt].add(1)
                 seen = seen.at[rows, nxt].set(True)
             if gmask is not None:
-                ns = gtrans[cidx, jnp.maximum(dstate, 0), nxt]
+                ns = gtrans[cidx, jnp.maximum(dstate, 0),
+                            nxt].astype(jnp.int32)
                 dstate = jnp.where(dstate >= 0, ns, dstate)
             return ((cache, nxt, pos + 1, key, counts, seen, dstate),
                     (nxt, lp, tv, ti))

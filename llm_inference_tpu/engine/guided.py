@@ -643,9 +643,33 @@ def _value_regex(spec: dict) -> str:
         if mn == 0:
             return rf"\[{_WS}({body}){{0,1}}{_WS}\]"
         return rf"\[{_WS}{body}{_WS}\]"
-    raise ValueError(f"unsupported JSON schema type {t!r} (nested "
-                     f"objects need a pushdown automaton — out of scope "
-                     f"for the DFA-guided decoder)")
+    if t == "object":
+        # a FIXED-KEY nested object schema has a finite serialization
+        # language — still regular, recurse. Only unbounded recursion
+        # ($ref cycles / free-form objects) would need a pushdown.
+        if "properties" not in spec:
+            raise ValueError(
+                "free-form 'object' values are unbounded (pushdown "
+                "territory) — give the nested object 'properties', or "
+                "use json_value_regex for depth-bounded free-form JSON")
+        return regex_for_json_schema(spec)
+    raise ValueError(f"unsupported JSON schema type {t!r}")
+
+
+def json_value_regex(max_depth: int = 3) -> str:
+    """Depth-bounded free-form JSON value (OpenAI response_format
+    json_object): scalars at every depth; objects/arrays nest up to
+    `max_depth` levels. The depth bound keeps the language regular."""
+    scalar = f"({_STR_RE}|{_NUM_RE}|{_BOOL_RE}|null)"
+    out = scalar
+    for _ in range(max_depth):
+        kv = f"{_STR_RE}{_WS}:{_WS}{out}"
+        obj = rf"\{{{_WS}({kv}({_WS},{_WS}{kv})*)?{_WS}\}}"
+        arr = rf"\[{_WS}({out}({_WS},{_WS}{out})*)?{_WS}\]"
+        out = f"({scalar}|{obj}|{arr})"
+    # top level must be an object or array (json_object semantics)
+    kv = f"{_STR_RE}{_WS}:{_WS}{out}"
+    return rf"\{{{_WS}({kv}({_WS},{_WS}{kv})*)?{_WS}\}}"
 
 
 def _escape_literal(s: str) -> str:

@@ -244,14 +244,21 @@ class ContinuousBatchingScheduler:
         S_pad = max(8, 1 << (S - 1).bit_length())
         C_pad = 1 << (len(self._dfa_list) - 1).bit_length() \
             if len(self._dfa_list) > 1 else 1
+        # int16 transitions halve the dominant table (S is capped at
+        # guided.MAX_CHAR_STATES + done < 2^15); guard total HBM cost
+        if C_pad * S_pad * V > 256 * 1024 * 1024:
+            raise ValueError(
+                f"guided-decoding tables would need {C_pad}x{S_pad}x{V} "
+                f"entries — too many resident constraints / states; "
+                f"simplify the constraint or retire old ones")
         gmask = np.zeros((C_pad, S_pad, V), bool)
-        gtrans = np.zeros((C_pad, S_pad, V), np.int32)
+        gtrans = np.zeros((C_pad, S_pad, V), np.int16)
         for i, d in enumerate(self._dfa_list):
             if d.vocab_size != V:
                 raise ValueError(f"constraint vocab {d.vocab_size} != "
                                  f"model vocab {V}")
             gmask[i, :d.n_states] = d.mask
-            gtrans[i, :d.n_states] = d.trans
+            gtrans[i, :d.n_states] = d.trans.astype(np.int16)
         self._gmask_dev = jnp.asarray(gmask)
         self._gtrans_dev = jnp.asarray(gtrans)
         return idx

@@ -334,6 +334,10 @@ def make_handler(backend: ServingBackend):
                                    "missing",
                         "type": "invalid_request_error"}})
                     return
+            elif isinstance(rf, dict) and rf.get("type") == "json_object":
+                # free-form JSON mode: depth-bounded grammar (regular)
+                from llm_inference_tpu.engine import guided as _guided
+                samp["guided_regex"] = _guided.json_value_regex(2)
             # OpenAI `logprobs: N` → per-token top-N alternatives
             lp_n = body.get("logprobs")
             if isinstance(lp_n, int) and lp_n > 0:

@@ -219,11 +219,49 @@ class TestJsonSchema:
         assert self._accepts(dfa, tok, '{"a": 1}')
         assert self._accepts(dfa, tok, '{"a": 1, "b": 2}')
 
-    def test_nested_object_rejected(self):
-        with pytest.raises(ValueError, match="pushdown|unsupported"):
+    def test_nested_fixed_schema(self):
+        """Fixed-key nested objects are a FINITE language — still regular,
+        handled by recursion (no pushdown needed)."""
+        schema = {"type": "object",
+                  "properties": {
+                      "user": {"type": "object",
+                               "properties": {"name": {"type": "string"},
+                                              "age": {"type": "integer"}}},
+                      "ok": {"type": "boolean"}}}
+        dfa, tok = self._dfa(schema)
+        assert self._accepts(
+            dfa, tok, '{"user": {"name": "bo", "age": 3}, "ok": true}')
+        assert not self._accepts(
+            dfa, tok, '{"user": {"name": "bo"}, "ok": true}')  # missing age
+        assert not self._accepts(
+            dfa, tok, '{"user": "bo", "ok": true}')            # not object
+
+    def test_freeform_object_value_rejected(self):
+        """'object' without properties is unbounded → clear error."""
+        with pytest.raises(ValueError, match="free-form|properties"):
             guided.regex_for_json_schema(
                 {"type": "object",
                  "properties": {"o": {"type": "object"}}})
+
+    def test_json_value_regex_mode(self):
+        """Depth-bounded free-form JSON (response_format json_object)."""
+        pat = guided.json_value_regex(2)
+        d = guided.char_dfa_for_regex(pat)
+
+        def match(s):
+            cur = d.start
+            for c in s:
+                cur = d.step(cur, c)
+                if cur == 0:
+                    return False
+            return cur in d.accept
+
+        assert match('{"a": 1}')
+        assert match('{"a": [1, {"b": "c"}], "d": null}')
+        assert match('{}')
+        assert not match('{"a": 1')         # unterminated
+        assert not match('[1, 2]')          # top level must be an object
+        assert not match('x')
 
 
 CFG = tiny_llama()
@@ -359,6 +397,37 @@ class TestSchedulerGuided:
         assert sched.dstate_host[slot] == -1
         _run(sched)
         assert _done(r) == choice
+
+    def test_json_mode_stream_stays_on_grammar(self):
+        """Free-form JSON mode through the scheduler: every emitted token
+        must be a legal DFA move (the full output may be cut by the token
+        budget — length cap wins, as in every serving engine)."""
+        class Tok:
+            pieces = ["", "<bos>", "<eos>"] + list(' {}[]:,"-.0123456789'
+                                                   'abcdeftruenls')
+
+            def encode(self, text, add_bos=True):
+                return [self.pieces.index(c) for c in text]
+
+            def decode(self, ids):
+                return "".join(self.pieces[i] for i in ids
+                               if 0 <= i < len(self.pieces))
+
+            def decode_token(self, tid):
+                return (self.pieces[tid] if 0 <= tid < len(self.pieces)
+                        else "")
+
+        eng = _engine(tokenizer=Tok())
+        gen = GenerationConfig(max_new_tokens=12, eos_token_ids=(2,))
+        sched = ContinuousBatchingScheduler(eng, gen, slots=2)
+        pat = guided.json_value_regex(1)
+        r = sched.submit("ab", temperature=3.0, seed=7, guided_regex=pat)
+        _run(sched)
+        dfa = guided.dfa_for_regex(pat, Tok(), CFG.vocab_size, [2])
+        s = dfa.start
+        for t in r.output_ids:
+            assert dfa.mask[s, t], (r.output_ids, t)
+            s = int(dfa.trans[s, t])
 
     def test_unknown_vocab_rejected(self):
         eng = _engine()

@@ -407,3 +407,12 @@ class TestGuidedAndBiasHTTP:
                           "response_format": {"type": "json_schema"}},
                   path="/v1/completions")
         assert e.value.code == 400
+
+    def test_openai_json_object_without_tokenizer_is_error(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "max_tokens": 2,
+                          "response_format": {"type": "json_object"}},
+                  path="/v1/completions")
+        assert e.value.code == 400
+        assert "tokenizer" in json.dumps(json.load(e.value))
