@@ -114,6 +114,7 @@ class InferenceEngine:
         # jit's own shape-keyed cache)
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(3,))
         self._decode_jits: Dict[Any, Callable] = {}
+        self._score_jit: Optional[Callable] = None
 
     def paged_forward(self, history: bool = False) -> Callable:
         """Raw forward for a PAGED cache (mesh-mapped when sharded):
@@ -473,6 +474,73 @@ class InferenceEngine:
         if final_np is not None:
             logits = jnp.asarray(final_np)
         return logits, cache
+
+    def _score_fn(self, params, ids, positions, targets, cache):
+        """One scoring chunk: log P(targets[b,t] | prefix) for every
+        position, from a single logits_mode=\"all\" forward. Targets ride
+        as an explicit array so chunk boundaries need no logit stitching
+        (the prediction for a chunk's first token uses the previous
+        chunk's cache, not its logits)."""
+        logits, cache = self._model.forward(
+            self.cfg, params, ids, positions, cache, logits_mode="all")
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.take_along_axis(
+            lp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return out, cache
+
+    def score(self, prompts: Sequence[Union[str, Sequence[int]]]
+              ) -> List[List[Optional[float]]]:
+        """Per-token PROMPT logprobs: result[i][t] = log P(token t | tokens
+        <t) under the model; the first token has no prediction (None).
+        The OpenAI `echo`/`max_tokens=0` scoring mode and vLLM
+        `prompt_logprobs` — the reference has no scoring path at all (its
+        only full-sequence logits ever computed are discarded,
+        llama.cpp:219-225 takes the last token only). Long prompts run as
+        bucketed chunks continuing one cache, like prefill."""
+        if self._sharded:
+            raise NotImplementedError(
+                "score() is single-device/DP for now (the [B,T,V] "
+                "logits gather is not mesh-mapped)")
+        token_lists = self._encode_prompts(prompts)
+        B = len(token_lists)
+        lengths = [len(t) for t in token_lists]
+        longest = max(lengths)
+        if longest > self.engine_cfg.max_seq_len:
+            raise ValueError(
+                f"prompt needs {longest} cache slots but max_seq_len is "
+                f"{self.engine_cfg.max_seq_len}")
+        if self._score_jit is None:
+            self._score_jit = jax.jit(self._score_fn, donate_argnums=(4,))
+        cache = self.new_cache(B)
+        fitting = [b for b in self.engine_cfg.prefill_buckets
+                   if b <= self.engine_cfg.max_seq_len]
+        chunk = max(fitting) if fitting else self.engine_cfg.max_seq_len
+        n_chunks = (longest + chunk - 1) // chunk
+        got = np.zeros((B, longest), np.float32)
+        for c in range(n_chunks):
+            o = c * chunk
+            part = [t[o:o + chunk] for t in token_lists]
+            T = self._bucket(max(max(len(p) for p in part), 1))
+            ids = np.zeros((B, T), np.int32)
+            pos = np.zeros((B, T), np.int32)
+            tgt = np.zeros((B, T), np.int32)
+            for i, toks in enumerate(token_lists):
+                p = part[i]
+                ids[i, :len(p)] = p
+                pos[i] = o + np.arange(T)
+                nxt = toks[o + 1:o + T + 1]
+                tgt[i, :len(nxt)] = nxt
+            lpb, cache = self._score_jit(self.params, jnp.asarray(ids),
+                                         jnp.asarray(pos), jnp.asarray(tgt),
+                                         cache)
+            lpb = np.asarray(lpb)
+            w = min(T, longest - o)
+            got[:, o:o + w] = lpb[:, :w]
+        out: List[List[Optional[float]]] = []
+        for i, L in enumerate(lengths):
+            # got[i, t] = log P(ids[t+1] | ids[..t]) → shift right by one
+            out.append([None] + [float(x) for x in got[i, :L - 1]])
+        return out
 
     def generate(self,
                  prompts: Sequence[Union[str, Sequence[int]]],

@@ -13,7 +13,8 @@ standard library:
 - GET  /metrics     → engine metrics (TTFT / tokens-per-s observations)
 - POST /v1/completions, /v1/chat/completions — OpenAI-compatible
   (n choices, logprobs, penalties, seeds, stop, logit_bias,
-  response_format json_schema → DFA-guided decoding; "stream": true for
+  response_format json_schema → DFA-guided decoding, echo +
+  max_tokens: 0 prompt-scoring via engine.score; "stream": true for
   SSE `data:` chunks with delta/text payloads terminated by `data: [DONE]`)
 
 Guided decoding (engine/guided.py) is exposed on both surfaces:
@@ -273,6 +274,11 @@ def make_handler(backend: ServingBackend):
                     }
                     if body.get("logprobs"):
                         resp["token_logprobs"] = req.output_logprobs
+                    if body.get("prompt_logprobs"):
+                        # per-token prompt logprobs (engine.score); first
+                        # token has no prediction → null
+                        resp["prompt_logprobs"] = (
+                            backend.engine.score([prompt])[0])
                     if body.get("top_logprobs"):
                         resp["top_logprobs"] = [
                             [{"token_id": i, "logprob": v}
@@ -352,6 +358,38 @@ def make_handler(backend: ServingBackend):
                                            "range [1, 16]",
                                            "type": "invalid_request_error"}})
                 return
+            # OpenAI scoring mode: echo returns the prompt (with its
+            # per-token logprobs when logprobs is set — engine.score);
+            # max_tokens: 0 skips generation entirely (pure scoring)
+            echo = bool(body.get("echo")) and not chat
+            scoring_only = max_new == 0
+            pscore = None
+            try:
+                if (echo and body.get("logprobs")) or (
+                        scoring_only and body.get("logprobs")):
+                    pscore = backend.engine.score([prompt])[0]
+                if scoring_only:
+                    pids = backend.engine._encode_prompts([prompt])[0]
+                    ptxt = (prompt if isinstance(prompt, str)
+                            else tok.decode(pids) if tok else "")
+                    choice = {"index": 0, "finish_reason": "stop",
+                              "text": ptxt if echo else "",
+                              "token_ids": []}
+                    if pscore is not None:
+                        choice["logprobs"] = {
+                            "token_logprobs": pscore, "tokens": pids}
+                    self._json(200, {
+                        "id": "cmpl-score", "object": "text_completion",
+                        "model": backend.engine.cfg.name,
+                        "choices": [choice],
+                        "usage": {"prompt_tokens": len(pids),
+                                  "completion_tokens": 0,
+                                  "total_tokens": len(pids)}})
+                    return
+            except (ValueError, NotImplementedError) as e:
+                self._json(400, {"error": {"message": str(e),
+                                           "type": "invalid_request_error"}})
+                return
             if body.get("stream"):
                 self._openai_stream(body, prompt, max_new, samp, n, chat)
                 return
@@ -413,6 +451,19 @@ def make_handler(backend: ServingBackend):
                         "token_logprobs": req.output_logprobs,
                         "tokens": req.output_ids,
                     }
+                if echo:
+                    # prepend the prompt (and its logprobs) to the choice
+                    ptxt = (prompt if isinstance(prompt, str)
+                            else tok.decode(req.prompt_ids) if tok else "")
+                    choice["text"] = ptxt + choice.get("text", "")
+                    choice["token_ids"] = (list(req.prompt_ids)
+                                           + choice.get("token_ids", []))
+                    if pscore is not None and "logprobs" in choice:
+                        lp = choice["logprobs"]
+                        lp["token_logprobs"] = (pscore
+                                                + lp["token_logprobs"])
+                        lp["tokens"] = (list(req.prompt_ids)
+                                        + list(lp["tokens"]))
                 choices.append(choice)
             obj = "chat.completion" if chat else "text_completion"
             usage = {"prompt_tokens": len(reqs[0].prompt_ids),

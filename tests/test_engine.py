@@ -325,3 +325,59 @@ class TestStaticPathPenalties:
                                eos_token_ids=(), presence_penalty=1000.0)
         out = [int(t) for t in sess.ask("5 6 7", gen).split()]
         assert len(set(out)) == len(out)
+
+
+class TestScore:
+    """engine.score — per-token prompt logprobs (OpenAI echo / scoring)."""
+
+    def _oracle(self, cfg, params, toks):
+        cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64,
+                                   cfg.head_dim, jnp.bfloat16)
+        ids = jnp.asarray([toks], jnp.int32)
+        pos = jnp.arange(len(toks), dtype=jnp.int32)[None]
+        logits, _ = llama.forward(cfg, params, ids, pos, cache,
+                                  logits_mode="all")
+        lp = jax.nn.log_softmax(np.asarray(logits, np.float32), axis=-1)
+        return [float(lp[0, t, toks[t + 1]]) for t in range(len(toks) - 1)]
+
+    def test_matches_full_forward(self, cfg, params, engine):
+        toks = [3, 7, 11, 5, 2, 9]
+        got = engine.score([toks])[0]
+        want = self._oracle(cfg, params, toks)
+        assert got[0] is None and len(got) == len(toks)
+        np.testing.assert_allclose(got[1:], want, rtol=2e-3, atol=2e-3)
+
+    def test_chunked_matches_single(self, cfg, params, engine):
+        """A prompt longer than the largest bucket (32) chunks through the
+        cache and must agree with the one-shot oracle."""
+        rng = np.random.default_rng(3)
+        toks = [int(t) for t in rng.integers(3, 200, 40)]
+        got = engine.score([toks])[0]
+        want = self._oracle(cfg, params, toks)
+        np.testing.assert_allclose(got[1:], want, rtol=2e-3, atol=2e-3)
+
+    def test_batch_rows_independent(self, cfg, params, engine):
+        a, b = [5, 6, 7, 8], [9, 10, 11]
+        both = engine.score([a, b])
+        solo_a = engine.score([a])[0]
+        solo_b = engine.score([b])[0]
+        np.testing.assert_allclose(both[0][1:], solo_a[1:], atol=1e-5)
+        np.testing.assert_allclose(both[1][1:], solo_b[1:], atol=1e-5)
+        assert len(both[1]) == len(b)
+
+    def test_consistent_with_decode_logprobs(self, cfg, params, engine):
+        """score() of prompt+generated must reproduce the logprobs the
+        decode path reported for the generated tokens."""
+        gen = GenerationConfig(greedy=True, max_new_tokens=4,
+                               eos_token_ids=())
+        prompt = [3, 4, 5]
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        sched = ContinuousBatchingScheduler(engine, gen, slots=2)
+        r = sched.submit(prompt)
+        while sched.step():
+            pass
+        full = prompt + r.output_ids
+        sc = engine.score([full])[0]
+        np.testing.assert_allclose(sc[len(prompt):], r.output_logprobs,
+                                   rtol=2e-3, atol=2e-3)

@@ -416,3 +416,44 @@ class TestGuidedAndBiasHTTP:
                   path="/v1/completions")
         assert e.value.code == 400
         assert "tokenizer" in json.dumps(json.load(e.value))
+
+
+class TestScoringAndEcho:
+    def test_max_tokens_zero_scores_prompt(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7, 8], "max_tokens": 0,
+                           "logprobs": True},
+                   path="/v1/completions") as r:
+            out = json.load(r)
+        ch = out["choices"][0]
+        assert ch["token_ids"] == [] and out["usage"]["completion_tokens"] == 0
+        lps = ch["logprobs"]["token_logprobs"]
+        assert lps[0] is None and len(lps) == 4
+        assert all(isinstance(v, float) and v <= 0 for v in lps[1:])
+
+    def test_scoring_matches_engine_score(self, httpd):
+        prompt = [9, 10, 11, 12]
+        want = httpd.backend.engine.score([prompt])[0]
+        with _post(httpd, {"prompt": prompt, "max_tokens": 0,
+                           "logprobs": True},
+                   path="/v1/completions") as r:
+            got = json.load(r)["choices"][0]["logprobs"]["token_logprobs"]
+        assert got[0] is None
+        np.testing.assert_allclose(got[1:], want[1:], rtol=1e-5)
+
+    def test_echo_prepends_prompt(self, httpd):
+        prompt = [5, 6, 7]
+        with _post(httpd, {"prompt": prompt, "max_tokens": 3,
+                           "echo": True, "logprobs": True},
+                   path="/v1/completions") as r:
+            ch = json.load(r)["choices"][0]
+        n_out = len(ch["token_ids"]) - len(prompt)
+        assert ch["token_ids"][:3] == prompt and n_out >= 1
+        lps = ch["logprobs"]["token_logprobs"]
+        assert lps[0] is None and len(lps) == len(ch["token_ids"])
+
+    def test_generate_prompt_logprobs(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_new_tokens": 2,
+                           "prompt_logprobs": True}) as r:
+            out = json.load(r)
+        assert out["prompt_logprobs"][0] is None
+        assert len(out["prompt_logprobs"]) == 3
