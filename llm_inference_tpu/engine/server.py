@@ -11,11 +11,13 @@ standard library:
                     one per token — SSE-style streaming)
 - GET  /health      → {"status": "ok", "queued": n, "active": n}
 - GET  /metrics     → engine metrics (TTFT / tokens-per-s observations)
+- GET  /v1/models   → base model + resident LoRA adapters (OpenAI list)
 - POST /v1/completions, /v1/chat/completions — OpenAI-compatible
-  (n choices, logprobs, penalties, seeds, stop, logit_bias,
-  response_format json_schema → DFA-guided decoding, echo +
-  max_tokens: 0 prompt-scoring via engine.score; "stream": true for
-  SSE `data:` chunks with delta/text payloads terminated by `data: [DONE]`)
+  (n choices, best_of server-side reranking, logprobs, penalties, seeds,
+  stop, logit_bias, response_format json_schema → DFA-guided decoding,
+  echo + max_tokens: 0 prompt-scoring via engine.score; "stream": true
+  for SSE `data:` chunks with delta/text payloads terminated by
+  `data: [DONE]`)
 
 Guided decoding (engine/guided.py) is exposed on both surfaces:
 `guided_choice` (strings, or token-id lists for tokenizer-free use),
@@ -180,6 +182,14 @@ def make_handler(backend: ServingBackend):
                 self._json(200, {"status": "ok", **backend.stats()})
             elif self.path == "/metrics":
                 self._json(200, backend.engine.metrics.snapshot())
+            elif self.path == "/v1/models":
+                # OpenAI model listing: the base model plus every resident
+                # LoRA adapter (selectable as `model` on /v1 requests)
+                names = ([backend.engine.cfg.name]
+                         + sorted(backend.engine.adapter_slots))
+                self._json(200, {"object": "list", "data": [
+                    {"id": m, "object": "model",
+                     "owned_by": "llm_inference_tpu"} for m in names]})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -391,21 +401,39 @@ def make_handler(backend: ServingBackend):
                                            "type": "invalid_request_error"}})
                 return
             if body.get("stream"):
+                if int(body.get("best_of", n) or n) > n:
+                    self._json(400, {"error": {
+                        "message": "best_of cannot be used with stream",
+                        "type": "invalid_request_error"}})
+                    return
                 self._openai_stream(body, prompt, max_new, samp, n, chat)
                 return
             # n parallel completions: n scheduler requests with distinct
             # seeds (seed+i when the body pins one) batching through the
             # shared decode program; with --prefix-cache the shared prompt
-            # prefills once and the siblings map its pages
+            # prefills once and the siblings map its pages.
+            # best_of > n generates extra server-side candidates and keeps
+            # the n with the highest mean token logprob (OpenAI semantics)
+            best_of = int(body.get("best_of", n) or n)
+            if best_of < n or best_of > 16:
+                self._json(400, {"error": {
+                    "message": f"best_of={best_of} must be in [n, 16]",
+                    "type": "invalid_request_error"}})
+                return
             reqs = []
             try:
-                for i in range(n):
+                for i in range(best_of):
                     samp_i = dict(samp)
-                    if "seed" in samp_i and n > 1:
+                    if "seed" in samp_i and best_of > 1:
                         samp_i["seed"] = int(samp_i["seed"]) + i
                     reqs.append(backend.submit(prompt, max_new, **samp_i))
                 for req in reqs:
                     backend.wait(req)
+                if best_of > n:
+                    reqs.sort(key=lambda r: -(
+                        sum(r.output_logprobs) / max(len(r.output_logprobs),
+                                                     1)))
+                    reqs = reqs[:n]
             except ValueError as e:
                 for r in reqs:
                     backend.cancel(r.req_id)

@@ -457,3 +457,40 @@ class TestScoringAndEcho:
             out = json.load(r)
         assert out["prompt_logprobs"][0] is None
         assert len(out["prompt_logprobs"]) == 3
+
+
+class TestModelsAndBestOf:
+    def test_v1_models_lists_base(self, httpd):
+        with urllib.request.urlopen(_url(httpd, "/v1/models"),
+                                    timeout=30) as r:
+            out = json.load(r)
+        ids = [m["id"] for m in out["data"]]
+        assert httpd.backend.engine.cfg.name in ids
+
+    def test_best_of_keeps_top_mean_logprob(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_tokens": 3, "n": 2,
+                           "best_of": 4, "temperature": 2.0, "seed": 11,
+                           "logprobs": True},
+                   path="/v1/completions") as r:
+            out = json.load(r)
+        assert len(out["choices"]) == 2
+        means = [sum(c["logprobs"]["token_logprobs"])
+                 / len(c["logprobs"]["token_logprobs"])
+                 for c in out["choices"]]
+        # returned in rank order: best first
+        assert means[0] >= means[1] - 1e-9
+
+    def test_best_of_less_than_n_rejected(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "max_tokens": 2, "n": 3,
+                          "best_of": 2}, path="/v1/completions")
+        assert e.value.code == 400
+
+    def test_best_of_with_stream_rejected(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"prompt": [5, 6], "max_tokens": 2,
+                          "best_of": 3, "stream": True},
+                  path="/v1/completions")
+        assert e.value.code == 400
