@@ -496,12 +496,15 @@ class InferenceEngine:
         `prompt_logprobs` — the reference has no scoring path at all (its
         only full-sequence logits ever computed are discarded,
         llama.cpp:219-225 takes the last token only). Long prompts run as
-        bucketed chunks continuing one cache, like prefill."""
-        if self._sharded:
-            raise NotImplementedError(
-                "score() is single-device/DP for now (the [B,T,V] "
-                "logits gather is not mesh-mapped)")
+        bucketed chunks continuing one cache, like prefill. Over a mesh
+        the forward is the shard_map program (rows padded to the data
+        axis); the [B,T] logprob gather runs on the replicated logits."""
         token_lists = self._encode_prompts(prompts)
+        n_rows = len(token_lists)
+        dp = self.data_parallel
+        if n_rows % dp:                      # pad batch to the data axis
+            token_lists = token_lists + [token_lists[-1]] * (
+                dp - n_rows % dp)
         B = len(token_lists)
         lengths = [len(t) for t in token_lists]
         longest = max(lengths)
@@ -510,7 +513,27 @@ class InferenceEngine:
                 f"prompt needs {longest} cache slots but max_seq_len is "
                 f"{self.engine_cfg.max_seq_len}")
         if self._score_jit is None:
-            self._score_jit = jax.jit(self._score_fn, donate_argnums=(4,))
+            if self._sharded:
+                from llm_inference_tpu.parallel import sharding as _sh
+                raw = _sh.sharded_forward(
+                    self.cfg, self.mesh, self.params, logits_mode="all",
+                    jit=False, cache_quantized=self._kv_quantized)
+
+                def _fn(params, ids, positions, targets, cache):
+                    logits, cache = raw(
+                        params, ids, positions, cache,
+                        jnp.zeros((ids.shape[0],), jnp.int32))
+                    lp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                            axis=-1)
+                    out = jnp.take_along_axis(
+                        lp, targets[..., None].astype(jnp.int32),
+                        axis=-1)[..., 0]
+                    return out, cache
+
+                self._score_jit = jax.jit(_fn, donate_argnums=(4,))
+            else:
+                self._score_jit = jax.jit(self._score_fn,
+                                          donate_argnums=(4,))
         cache = self.new_cache(B)
         fitting = [b for b in self.engine_cfg.prefill_buckets
                    if b <= self.engine_cfg.max_seq_len]
@@ -537,7 +560,7 @@ class InferenceEngine:
             w = min(T, longest - o)
             got[:, o:o + w] = lpb[:, :w]
         out: List[List[Optional[float]]] = []
-        for i, L in enumerate(lengths):
+        for i, L in enumerate(lengths[:n_rows]):   # drop dp padding rows
             # got[i, t] = log P(ids[t+1] | ids[..t]) → shift right by one
             out.append([None] + [float(x) for x in got[i, :L - 1]])
         return out

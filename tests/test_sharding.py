@@ -166,3 +166,43 @@ class TestSpecs:
         wq = specs["layers"]["wq"]
         assert wq.q == P(None, None, "tensor")
         assert wq.scale == P(None, None, "tensor")
+
+
+class TestShardedScore:
+    """engine.score over a mesh must match the single-device scores."""
+
+    @pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2)])
+    def test_score_parity(self, cfg, params, dp, tp):
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=2,
+                            prefill_buckets=(8, 16))
+        single = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        prompts = [[3, 7, 11, 5], [9, 2, 4]]
+        want = single.score(prompts)
+
+        mesh = make_mesh(ShardingConfig(data=dp, tensor=tp))
+        sparams = shard_params(llama.pad_params_for_tp(params, cfg, tp),
+                               mesh) if tp > 1 else shard_params(params,
+                                                                 mesh)
+        eng = InferenceEngine(cfg, sparams, engine_cfg=ecfg, mesh=mesh)
+        got = eng.score(prompts)          # 2 rows over dp=2 → exact fit
+        for w, g in zip(want, got):
+            assert g[0] is None and len(g) == len(w)
+            np.testing.assert_allclose(g[1:], w[1:], rtol=2e-3, atol=2e-3)
+
+    def test_score_pads_to_data_axis(self, cfg, params):
+        """A single prompt on a dp=2 mesh pads the batch internally."""
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        ecfg = EngineConfig(max_seq_len=32, decode_chunk=2,
+                            prefill_buckets=(8, 16))
+        single = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        want = single.score([[3, 7, 11, 5]])[0]
+        mesh = make_mesh(ShardingConfig(data=2, tensor=1))
+        eng = InferenceEngine(cfg, shard_params(params, mesh),
+                              engine_cfg=ecfg, mesh=mesh)
+        got = eng.score([[3, 7, 11, 5]])
+        assert len(got) == 1
+        np.testing.assert_allclose(got[0][1:], want[1:], rtol=2e-3,
+                                   atol=2e-3)
