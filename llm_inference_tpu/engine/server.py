@@ -52,8 +52,17 @@ class ServingBackend:
 
     def __init__(self, engine: InferenceEngine,
                  gen: Optional[GenerationConfig] = None,
-                 paged: bool = False, **sched_kw):
-        cls = PagedScheduler if paged else ContinuousBatchingScheduler
+                 paged: bool = False, speculative: bool = False,
+                 **sched_kw):
+        if speculative and paged:
+            raise ValueError("speculative serving uses the dense "
+                             "scheduler (no paged variant yet)")
+        if speculative:
+            from llm_inference_tpu.engine.speculative import (
+                SpeculativeBatchingScheduler)
+            cls = SpeculativeBatchingScheduler
+        else:
+            cls = PagedScheduler if paged else ContinuousBatchingScheduler
         self.engine = engine
         self.sched = cls(engine, gen, **sched_kw)
         self._lock = threading.Lock()
@@ -610,9 +619,11 @@ def warmup(backend: ServingBackend) -> None:
 
 def serve(engine: InferenceEngine, host: str = "0.0.0.0", port: int = 8000,
           gen: Optional[GenerationConfig] = None, paged: bool = False,
-          warm: bool = False, **sched_kw) -> ThreadingHTTPServer:
+          speculative: bool = False, warm: bool = False,
+          **sched_kw) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever())."""
-    backend = ServingBackend(engine, gen, paged=paged, **sched_kw)
+    backend = ServingBackend(engine, gen, paged=paged,
+                             speculative=speculative, **sched_kw)
     if warm:
         warmup(backend)
     httpd = ThreadingHTTPServer((host, port), make_handler(backend))
@@ -632,6 +643,11 @@ def main(argv=None):
     ap.add_argument("--prefix-cache", action="store_true",
                     help="share identical prompt-prefix KV pages across "
                          "requests (implies --paged)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="n-gram speculative decoding per slot "
+                         "(greedy-only; dense scheduler)")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="speculative window width (proposed tokens)")
     ap.add_argument("--slots", type=int, default=None)
     # engine-building flags (same set as the chat CLI)
     ap.add_argument("--model", default="tiny")
@@ -661,8 +677,11 @@ def main(argv=None):
     kw = {}
     if args.prefix_cache:
         kw["prefix_cache"] = True
+    if args.speculative:
+        kw["gamma"] = args.gamma
     httpd = serve(engine, args.host, args.port, gen,
                   paged=args.paged or args.prefix_cache,
+                  speculative=args.speculative,
                   warm=args.warmup, slots=args.slots, **kw)
     print(f"serving on {args.host}:{args.port}", file=sys.stderr)
     httpd.serve_forever()

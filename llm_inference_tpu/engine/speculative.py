@@ -196,3 +196,123 @@ class DraftModelSpeculativeDecoder(SpeculativeDecoder):
             self.draft.params, self._dcache, tok, p, self._key)
         self._dnext = pos + self.gamma
         return [int(t) for t in np.asarray(toks)[0]]
+
+
+from llm_inference_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+
+class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
+    """Continuous batching with per-slot n-gram speculation (greedy-only).
+
+    One batched verify forward of width gamma+1 replaces each decode
+    step: every live slot proposes up to gamma tokens from its own
+    history (propose_ngram); acceptance is argmax-exact; a slot with no
+    match degenerates to a plain one-token step inside the same program.
+    The rejected tail's KV writes are overwritten just in time by the
+    engine's position-masking invariant (see module docstring). Rows too
+    close to the cache end fall back to the plain chunked decode for
+    that dispatch. Greedy-only: requests asking for sampling, penalties,
+    logit_bias, guided decoding, adapters, or top_logprobs are rejected
+    at submit (use the plain scheduler for those)."""
+
+    def __init__(self, engine, gen=None, slots=None, gamma: int = 4,
+                 ngram: int = 3):
+        super().__init__(engine, gen, slots)
+        self.gamma = gamma
+        self.ngram = ngram
+        self.spec_stats = {"steps": 0, "accepted": 0, "produced": 0}
+        cfg = engine.cfg
+        model = engine._model
+
+        def verify(params, ids, positions, cache):
+            logits, cache = model.forward(cfg, params, ids, positions,
+                                          cache, logits_mode="all")
+            g = jnp.argmax(logits, -1).astype(jnp.int32)     # [B, W]
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            glp = jnp.take_along_axis(lp, g[..., None], -1)[..., 0]
+            return g, glp, cache
+
+        self._verify_batched = jax.jit(verify, donate_argnums=(3,))
+
+    def _resolve_sampling(self, req):
+        out = super()._resolve_sampling(req)
+        t, k, p, gr, minp, rep, pres, freq = out
+        if not gr or rep != 1.0 or pres != 0.0 or freq != 0.0:
+            raise ValueError(
+                "speculative scheduler serves greedy requests only "
+                "(acceptance is argmax-exact)")
+        if (req.logit_bias or req.adapter or req.top_logprobs
+                or req.guided_choice is not None
+                or req.guided_regex is not None
+                or req.guided_json is not None):
+            raise ValueError(
+                "speculative scheduler does not support logit_bias/"
+                "guided/adapter/top_logprobs (use the plain scheduler)")
+        return out
+
+    def _dispatch_decode(self, steps: int) -> None:
+        import time as _time
+        live = [b for b, r in enumerate(self.slot_req) if r is not None]
+        pos_np = np.array(self.pos)
+        tok_np = np.array(self.token)
+        W = self.gamma + 1
+        if any(int(pos_np[b]) + W > self.S for b in live):
+            # too close to the cache end for a speculative window (a
+            # clamped write would corrupt committed KV): plain chunk
+            super()._dispatch_decode(steps)
+            return
+        ids = np.zeros((self.B, W), np.int32)
+        posm = np.tile(np.arange(W, dtype=np.int32), (self.B, 1))
+        props = {}
+        for b in live:
+            req = self.slot_req[b]
+            cur = int(tok_np[b])
+            hist = list(req.prompt_ids) + req.output_ids
+            p = propose_ngram(hist, self.gamma, self.ngram)
+            props[b] = p
+            ids[b] = ([cur] + p + [cur] * W)[:W]
+            posm[b] += int(pos_np[b])
+        g, glp, self.cache = self._verify_batched(
+            self.engine.params, jnp.asarray(ids), jnp.asarray(posm),
+            self.cache)
+        g, glp = np.asarray(g), np.asarray(glp)
+        self.spec_stats["steps"] += 1
+        now = _time.perf_counter()
+        new_tok, new_pos = tok_np.copy(), pos_np.copy()
+        for b in live:
+            req = self.slot_req[b]
+            p = props[b]
+            a = 0
+            while a < len(p) and p[a] == int(g[b, a]):
+                a += 1
+            emitted = [int(t) for t in p[:a]] + [int(g[b, a])]
+            self.spec_stats["accepted"] += a
+            stops = self._stops(req)
+            kept = 0
+            for j, t in enumerate(emitted):
+                if req.cancelled:
+                    break
+                req.output_ids.append(t)
+                req.output_logprobs.append(float(glp[b, j]))
+                kept += 1
+                if t in stops:
+                    req.finished = True
+                else:
+                    self._check_stop_strings(req, t)
+                if (req.finished
+                        or len(req.output_ids) >= req.max_new_tokens):
+                    break
+            self.spec_stats["produced"] += kept
+            self._emit(req)
+            if (req.cancelled or req.finished
+                    or len(req.output_ids) >= req.max_new_tokens):
+                req.done_t = now
+                self.slot_req[b] = None
+                self.dstate_host[b] = -1
+                self.bias_on_host[b] = False
+                self._on_retire(b)
+            else:
+                new_tok[b] = req.output_ids[-1]
+                new_pos[b] = int(pos_np[b]) + kept
+        self.token = jnp.asarray(new_tok)
+        self.pos = jnp.asarray(new_pos)

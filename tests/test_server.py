@@ -494,3 +494,39 @@ class TestModelsAndBestOf:
                           "best_of": 3, "stream": True},
                   path="/v1/completions")
         assert e.value.code == 400
+
+
+class TestSpeculativeServing:
+    def test_speculative_backend_matches_plain(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=128, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16, 32)))
+        gen = GenerationConfig(greedy=True, max_new_tokens=16,
+                               eos_token_ids=(1,))
+        plain = srv.ServingBackend(engine, gen, slots=2)
+        w = plain.submit([3, 4, 5, 6] * 4)
+        plain.wait(w, timeout=120)
+        plain.shutdown()
+        spec = srv.ServingBackend(engine, gen, speculative=True, slots=2,
+                                  gamma=4)
+        g = spec.submit([3, 4, 5, 6] * 4)
+        spec.wait(g, timeout=120)
+        stats = spec.sched.spec_stats
+        spec.shutdown()
+        assert g.output_ids == w.output_ids
+        assert stats["accepted"] > 0
+
+    def test_speculative_plus_paged_rejected(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+        with pytest.raises(ValueError, match="dense"):
+            srv.ServingBackend(engine, paged=True, speculative=True)

@@ -125,3 +125,118 @@ class TestDraftModelSpeculative:
         draft = self._make(dict(num_kv_heads=2, vocab_size=128), seed=1)
         with pytest.raises(ValueError, match="vocab"):
             DraftModelSpeculativeDecoder(engine, draft)
+
+
+class TestSpeculativeBatchingScheduler:
+    def _engine(self):
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        cfg = tiny_llama()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        return InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=128, decode_chunk=4,
+                                    max_batch_size=3,
+                                    prefill_buckets=(8, 16, 32)))
+
+    def test_matches_plain_scheduler(self):
+        """Two requests decoding in one speculative batch must reproduce
+        the plain scheduler's greedy streams exactly."""
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        from llm_inference_tpu.engine.speculative import (
+            SpeculativeBatchingScheduler)
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=20,
+                               eos_token_ids=(1,))
+        prompts = [[3, 4, 5, 6] * 4, [9, 10, 11, 9, 10, 11, 9, 10, 11]]
+        plain = ContinuousBatchingScheduler(eng, gen, slots=3)
+        wants = [plain.submit(list(p)) for p in prompts]
+        while plain.step():
+            pass
+        spec = SpeculativeBatchingScheduler(eng, gen, slots=3, gamma=4)
+        gots = [spec.submit(list(p)) for p in prompts]
+        while spec.step():
+            pass
+        for w, g in zip(wants, gots):
+            assert g.output_ids == w.output_ids, (
+                g.output_ids, w.output_ids, spec.spec_stats)
+        # cyclic prompts must actually speculate
+        assert spec.spec_stats["accepted"] > 0, spec.spec_stats
+        assert (spec.spec_stats["produced"]
+                > spec.spec_stats["steps"]), spec.spec_stats
+
+    def test_logprobs_match_plain(self):
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        from llm_inference_tpu.engine.speculative import (
+            SpeculativeBatchingScheduler)
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=10,
+                               eos_token_ids=(1,))
+        prompt = [5, 6, 7, 5, 6, 7, 5, 6]
+        plain = ContinuousBatchingScheduler(eng, gen, slots=3)
+        w = plain.submit(list(prompt))
+        while plain.step():
+            pass
+        spec = SpeculativeBatchingScheduler(eng, gen, slots=3)
+        g = spec.submit(list(prompt))
+        while spec.step():
+            pass
+        assert g.output_ids == w.output_ids
+        np.testing.assert_allclose(g.output_logprobs, w.output_logprobs,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_non_greedy_rejected(self):
+        from llm_inference_tpu.engine.speculative import (
+            SpeculativeBatchingScheduler)
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=4,
+                               eos_token_ids=(1,))
+        spec = SpeculativeBatchingScheduler(eng, gen, slots=3)
+        with pytest.raises(ValueError, match="greedy"):
+            spec.submit([3, 4], temperature=1.5)
+        with pytest.raises(ValueError, match="logit_bias|guided"):
+            spec.submit([3, 4], logit_bias={5: 1.0})
+
+    def test_budget_cut_mid_window(self):
+        """max_new_tokens smaller than one accepted window truncates."""
+        from llm_inference_tpu.engine.speculative import (
+            SpeculativeBatchingScheduler)
+        eng = self._engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=3,
+                               eos_token_ids=())
+        spec = SpeculativeBatchingScheduler(eng, gen, slots=3, gamma=4)
+        r = spec.submit([3, 4, 5, 6] * 4)
+        while spec.step():
+            pass
+        assert len(r.output_ids) == 3
+
+    def test_fallback_near_cache_end(self):
+        """A request whose window would cross max_seq_len falls back to
+        plain chunks and still completes correctly."""
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        from llm_inference_tpu.engine.speculative import (
+            SpeculativeBatchingScheduler)
+        cfg = tiny_llama()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=32, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+        gen = GenerationConfig(greedy=True, max_new_tokens=12,
+                               eos_token_ids=(1,))
+        prompt = [3, 4, 5, 6] * 5                 # 20 + 12 = 32 exactly
+        plain = ContinuousBatchingScheduler(eng, gen, slots=2)
+        w = plain.submit(list(prompt))
+        while plain.step():
+            pass
+        spec = SpeculativeBatchingScheduler(eng, gen, slots=2, gamma=4)
+        g = spec.submit(list(prompt))
+        while spec.step():
+            pass
+        assert g.output_ids == w.output_ids
