@@ -451,7 +451,20 @@ class InferenceEngine:
         for c in range(n_chunks):
             o = c * chunk
             part = [t[o:o + chunk] for t in token_lists]
-            T = self._bucket(max(max(len(p) for p in part), 1))
+            need = max(max(len(p) for p in part), 1)
+            # cap the bucketed width at the remaining cache: the write
+            # window is shared across rows, and a window crossing
+            # max_seq_len would clamp its dynamic_update_slice start and
+            # overwrite committed KV (the longest-fits check above bounds
+            # the TOKENS, not the rounded-up bucket)
+            T = min(self._bucket(need),
+                    self.engine_cfg.max_seq_len - o - max(starts))
+            if T < need:
+                raise ValueError(
+                    f"prefill chunk needs {need} slots but only {T} fit "
+                    f"before max_seq_len for the largest start offset — "
+                    f"heterogeneous start_positions too close to the "
+                    f"cache end")
             ids = np.zeros((B, T), np.int32)
             pos = np.zeros((B, T), np.int32)
             last = np.zeros((B,), np.int32)
@@ -539,11 +552,16 @@ class InferenceEngine:
                    if b <= self.engine_cfg.max_seq_len]
         chunk = max(fitting) if fitting else self.engine_cfg.max_seq_len
         n_chunks = (longest + chunk - 1) // chunk
-        got = np.zeros((B, longest), np.float32)
+        got = np.zeros((B, max(longest, 1)), np.float32)
         for c in range(n_chunks):
             o = c * chunk
             part = [t[o:o + chunk] for t in token_lists]
-            T = self._bucket(max(max(len(p) for p in part), 1))
+            # cap the bucket at the remaining cache: a window past
+            # max_seq_len would CLAMP its dynamic_update_slice start and
+            # overwrite committed KV (positions ≤ S is already checked,
+            # but the bucket rounds the width UP)
+            T = min(self._bucket(max(max(len(p) for p in part), 1)),
+                    self.engine_cfg.max_seq_len - o)
             ids = np.zeros((B, T), np.int32)
             pos = np.zeros((B, T), np.int32)
             tgt = np.zeros((B, T), np.int32)
@@ -562,7 +580,10 @@ class InferenceEngine:
         out: List[List[Optional[float]]] = []
         for i, L in enumerate(lengths[:n_rows]):   # drop dp padding rows
             # got[i, t] = log P(ids[t+1] | ids[..t]) → shift right by one
-            out.append([None] + [float(x) for x in got[i, :L - 1]])
+            if L == 0:
+                out.append([])
+            else:
+                out.append([None] + [float(x) for x in got[i, :L - 1]])
         return out
 
     def generate(self,

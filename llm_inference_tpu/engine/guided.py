@@ -92,6 +92,11 @@ def from_token_sequences(seqs: Sequence[Sequence[int]], vocab_size: int,
                 s = nxt[s][t]
             else:
                 nxt.append({})
+                if len(nxt) > 32000:
+                    # device transition tables are int16 (scheduler), and
+                    # a trie this size signals a misuse of guided_choice
+                    raise ValueError("choice trie too large (>32000 "
+                                     "states) — use fewer/shorter choices")
                 nxt[s][t] = len(nxt) - 1
                 s = len(nxt) - 1
         accept.add(s)
@@ -683,9 +688,10 @@ def _escape_literal(s: str) -> str:
 
 
 def regex_for_json_schema(schema: dict) -> str:
-    """Flat JSON-object schema → anchored regex for the serialized object.
+    """JSON-object schema → anchored regex for the serialized object.
     Properties emit in declaration order; `required` (default: all) may
-    drop optional TRAILING properties. Nested objects are rejected."""
+    drop optional TRAILING properties; fixed-key nested objects recurse
+    (finite language — regular)."""
     if schema.get("type", "object") != "object":
         return _value_regex(schema)
     props = schema.get("properties", {})
@@ -693,27 +699,44 @@ def regex_for_json_schema(schema: dict) -> str:
         return rf"\{{{_WS}\}}"
     required = set(schema.get("required", list(props)))
     names = list(props)
-    parts = []
+    pieces = []
     for i, name in enumerate(names):
         key = _escape_literal(f'"{name}"') + f"{_WS}:{_WS}"
-        val = _value_regex(props[name])
-        sep = f"{_WS},{_WS}" if i > 0 else ""
-        piece = f"{sep}{key}{val}"
-        if name in required:
-            parts.append(piece)
-        else:
-            if any(n in required for n in names[i + 1:]):
-                raise ValueError(
-                    f"optional property {name!r} precedes a required one "
-                    f"— only trailing optionals are expressible")
-            parts.append(f"({piece})?")
-    return rf"\{{{_WS}" + "".join(parts) + rf"{_WS}\}}"
+        if name not in required and any(n in required
+                                        for n in names[i + 1:]):
+            raise ValueError(
+                f"optional property {name!r} precedes a required one "
+                f"— only trailing optionals are expressible")
+        pieces.append((key + _value_regex(props[name]), name in required))
+    n_req = sum(1 for _, r in pieces if r)
+    comma = f"{_WS},{_WS}"
+    req_body = comma.join(p for p, r in pieces if r)
+    opts = [p for p, r in pieces if not r]
+    if n_req > 0:
+        # each optional carries its own leading comma — always valid
+        # because at least one required property precedes it
+        body = req_body + "".join(f"({comma}{p})?" for p in opts)
+    elif opts:
+        # all-optional: the FIRST present property has no comma, the rest
+        # each carry one — alternation over which optional appears first
+        alts = []
+        for j in range(len(opts)):
+            tail = "".join(f"({comma}{p})?" for p in opts[j + 1:])
+            alts.append(opts[j] + tail)
+        body = "((" + ")|(".join(alts) + "))?"
+    else:
+        body = ""
+    return rf"\{{{_WS}" + body + rf"{_WS}\}}"
 
 
 def dfa_for_json_schema(schema: dict, tokenizer, vocab_size: int,
                         eos_ids: Sequence[int]) -> TokenDFA:
     return dfa_for_regex(regex_for_json_schema(schema), tokenizer,
                          vocab_size, eos_ids)
+
+
+_COMPILE_CACHE: Dict = {}
+_COMPILE_CACHE_MAX = 64
 
 
 def compile_constraint(vocab_size: int, eos_ids: Sequence[int],
@@ -723,21 +746,48 @@ def compile_constraint(vocab_size: int, eos_ids: Sequence[int],
                        json_schema: Optional[dict] = None) -> TokenDFA:
     """One-stop constraint compiler for the serving layer. Exactly one of
     choice/regex/json_schema must be given. `choice` may be strings (needs
-    a tokenizer) or token-id sequences (tokenizer-free)."""
+    a tokenizer) or token-id sequences (tokenizer-free).
+
+    Results are memoized (the vocab walk is the expensive part — the
+    serving path compiles each distinct constraint once, not per
+    request); unsatisfiable constraints (no token can start a match)
+    are rejected here rather than emitting garbage at decode time."""
     given = [x is not None for x in (choice, regex, json_schema)]
     if sum(given) != 1:
         raise ValueError("exactly one of guided_choice / guided_regex / "
                          "guided_json must be set")
+    import json as _json
+    key = (vocab_size, tuple(eos_ids), id(tokenizer),
+           _json.dumps(choice, sort_keys=True) if choice is not None
+           else None,
+           regex,
+           _json.dumps(json_schema, sort_keys=True)
+           if json_schema is not None else None)
+    hit = _COMPILE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if choice is not None:
         if len(choice) == 0:
             raise ValueError("empty choice list")
         if all(isinstance(c, str) for c in choice):
             if tokenizer is None:
                 raise ValueError("string guided_choice needs a tokenizer")
-            return dfa_for_choices(choice, tokenizer, vocab_size, eos_ids)
-        return from_token_sequences(choice, vocab_size, eos_ids)
-    if tokenizer is None:
-        raise ValueError("guided_regex / guided_json need a tokenizer")
-    if regex is not None:
-        return dfa_for_regex(regex, tokenizer, vocab_size, eos_ids)
-    return dfa_for_json_schema(json_schema, tokenizer, vocab_size, eos_ids)
+            dfa = dfa_for_choices(choice, tokenizer, vocab_size, eos_ids)
+        else:
+            dfa = from_token_sequences(choice, vocab_size, eos_ids)
+    else:
+        if tokenizer is None:
+            raise ValueError("guided_regex / guided_json need a tokenizer")
+        if regex is not None:
+            dfa = dfa_for_regex(regex, tokenizer, vocab_size, eos_ids)
+        else:
+            dfa = dfa_for_json_schema(json_schema, tokenizer, vocab_size,
+                                      eos_ids)
+    if not dfa.mask[dfa.start].any():
+        raise ValueError(
+            "constraint is unsatisfiable with this vocabulary (no token "
+            "can begin a match)")
+    if len(_COMPILE_CACHE) >= _COMPILE_CACHE_MAX:
+        _COMPILE_CACHE.pop(next(iter(_COMPILE_CACHE)))
+    _COMPILE_CACHE[key] = dfa
+    return dfa

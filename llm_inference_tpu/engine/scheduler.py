@@ -90,6 +90,7 @@ class Request:
     guided_regex: Optional[str] = None
     guided_json: Optional[dict] = None
     constraint: Optional[object] = None   # compiled guided.TokenDFA
+    _cidx: Optional[int] = None           # registered constraint index
     # -- filled by the scheduler --
     output_ids: List[int] = dataclasses.field(default_factory=list)
     output_logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -308,7 +309,12 @@ class ContinuousBatchingScheduler:
                                            jnp.int32(slot))
         self.bias_on_host[slot] = bool(req.logit_bias)
         if req.constraint is not None:
-            self.cidx_host[slot] = self._register_dfa(req.constraint)
+            # registered at submit (req._cidx); _register_dfa here only
+            # dedups — it cannot raise for an already-registered key
+            cidx = req._cidx
+            if cidx is None:
+                cidx = self._register_dfa(req.constraint)
+            self.cidx_host[slot] = cidx
             # the admission-sampled first token already advanced the DFA
             self.dstate_host[slot] = req.constraint.walk(req.output_ids)
         else:
@@ -390,6 +396,10 @@ class ContinuousBatchingScheduler:
                 tokenizer=self.engine.tokenizer,
                 choice=guided_choice, regex=guided_regex,
                 json_schema=guided_json)
+            # register NOW: table-size errors must reach the submitting
+            # thread as a 400, never the scheduler loop (which has no
+            # handler — a raise there would hang every live request)
+            req._cidx = self._register_dfa(req.constraint)
         if len(self.queue) >= self.engine.engine_cfg.max_queued_requests:
             raise RuntimeError("request queue full")
         self.queue.append(req)
@@ -475,7 +485,9 @@ class ContinuousBatchingScheduler:
                 req.done_t = now
                 self.slot_req[b] = None
                 self.dstate_host[b] = -1     # constraint no longer active
-                self.bias_on_host[b] = False
+                # bias_on_host stays True: it marks the device bias ROW as
+                # dirty so the next occupant's admission zeroes it
+                # (use_bias only scans live slots, so no cost meanwhile)
                 self._on_retire(b)
 
     def _on_retire(self, slot: int) -> None:
@@ -813,7 +825,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
         req = self.slot_req[slot]
         self.slot_req[slot] = None
         self.dstate_host[slot] = -1
-        self.bias_on_host[slot] = False
+        # bias_on_host intentionally NOT cleared (dirty-row marker)
         self._on_retire(slot)
         req.output_ids = []          # replayed from the prompt (the replay
         req.output_logprobs = []     # is byte-identical: seeded sampling)

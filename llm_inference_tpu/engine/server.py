@@ -438,6 +438,9 @@ def make_handler(backend: ServingBackend):
                     reqs.append(backend.submit(prompt, max_new, **samp_i))
                 for req in reqs:
                     backend.wait(req)
+                # usage counts everything GENERATED (OpenAI bills all
+                # best_of candidates, not just the kept ones)
+                generated_toks = sum(len(r.output_ids) for r in reqs)
                 if best_of > n:
                     reqs.sort(key=lambda r: -(
                         sum(r.output_logprobs) / max(len(r.output_logprobs),
@@ -456,12 +459,10 @@ def make_handler(backend: ServingBackend):
                                            "type": "overloaded_error"}})
                 return
             choices = []
-            completion_toks = 0
             for i, req in enumerate(reqs):
                 text = (req.final_text if req.final_text is not None
                         else tok.decode(req.output_ids) if tok else "")
                 finish = "stop" if req.finished else "length"
-                completion_toks += len(req.output_ids)
                 if chat:
                     choice = {"index": i, "finish_reason": finish,
                               "message": {"role": "assistant",
@@ -504,9 +505,9 @@ def make_handler(backend: ServingBackend):
                 choices.append(choice)
             obj = "chat.completion" if chat else "text_completion"
             usage = {"prompt_tokens": len(reqs[0].prompt_ids),
-                     "completion_tokens": completion_toks,
+                     "completion_tokens": generated_toks,
                      "total_tokens": len(reqs[0].prompt_ids)
-                                     + completion_toks}
+                                     + generated_toks}
             self._json(200, {
                 "id": f"cmpl-{reqs[0].req_id}", "object": obj,
                 "model": backend.engine.cfg.name,

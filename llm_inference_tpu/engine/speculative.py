@@ -217,6 +217,13 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
 
     def __init__(self, engine, gen=None, slots=None, gamma: int = 4,
                  ngram: int = 3):
+        if engine._sharded:
+            # the verify closure calls model.forward directly (no
+            # shard_map); sharded params would crash in the scheduler
+            # loop thread, hanging every client
+            raise ValueError("speculative scheduler is single-device "
+                             "for now (use the plain scheduler under "
+                             "tp/dp)")
         super().__init__(engine, gen, slots)
         self.gamma = gamma
         self.ngram = ngram
@@ -309,7 +316,6 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
                 req.done_t = now
                 self.slot_req[b] = None
                 self.dstate_host[b] = -1
-                self.bias_on_host[b] = False
                 self._on_retire(b)
             else:
                 new_tok[b] = req.output_ids[-1]

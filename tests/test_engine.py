@@ -381,3 +381,25 @@ class TestScore:
         sc = engine.score([full])[0]
         np.testing.assert_allclose(sc[len(prompt):], r.output_logprobs,
                                    rtol=2e-3, atol=2e-3)
+
+    def test_empty_prompt_scores_empty(self, cfg, params, engine):
+        out = engine.score([[], [5, 6, 7]])
+        assert out[0] == []
+        assert len(out[1]) == 3
+
+    def test_odd_max_seq_len_chunk_cap(self, cfg, params):
+        """max_seq_len not a multiple of the chunk: the last chunk's
+        bucket must be capped, not clamp-corrupt committed KV."""
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=20, decode_chunk=4,
+                                    prefill_buckets=(8, 16)))
+        rng = np.random.default_rng(5)
+        toks = [int(t) for t in rng.integers(3, 200, 20)]  # 16 + 4 chunk
+        got = eng.score([toks])[0]
+        big = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(32,)))
+        want = big.score([toks])[0]
+        np.testing.assert_allclose(got[1:], want[1:], rtol=2e-3, atol=2e-3)

@@ -480,3 +480,84 @@ class TestSchedulerLogitBias:
                                eos_token_ids=(), logit_bias={tid: 100.0})
         out = eng.generate([[1, 2, 3]], gen)[0]
         assert out.token_ids == [tid] * 4
+
+
+class TestReviewRegressions:
+    def test_stale_bias_row_not_inherited(self):
+        """A finished request's logit_bias row must not leak into the next
+        occupant of its slot while another biased request is live."""
+        eng = _engine()
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=())
+        base = ContinuousBatchingScheduler(eng, gen, slots=2)
+        want = base.submit([3, 4, 5])
+        _run(base)
+        sched = ContinuousBatchingScheduler(eng, gen, slots=2)
+        # short biased request occupies a slot and finishes fast
+        a = sched.submit([9, 10], max_new_tokens=1, logit_bias={17: 100.0})
+        # long-running biased request keeps use_bias True afterwards
+        b = sched.submit([11, 12], logit_bias={23: 100.0})
+        sched.step()                       # admits both, decodes
+        # unbiased request lands in the retired slot of `a`
+        c = sched.submit([3, 4, 5])
+        _run(sched)
+        assert a.output_ids == [17]
+        assert all(t == 23 for t in b.output_ids)
+        assert c.output_ids == want.output_ids, (
+            "stale bias row leaked into the reused slot")
+
+    def test_all_optional_json_never_emits_leading_comma(self):
+        """Skipping the first optional property must not allow '{,'."""
+        import json as _json
+        schema = {"type": "object",
+                  "properties": {"a": {"type": "integer"},
+                                 "b": {"type": "integer"}},
+                  "required": []}
+        pat = guided.regex_for_json_schema(schema)
+        d = guided.char_dfa_for_regex(pat)
+
+        def match(s):
+            cur = d.start
+            for ch in s:
+                cur = d.step(cur, ch)
+                if cur == 0:
+                    return False
+            return cur in d.accept
+
+        for ok in ('{}', '{"a": 1}', '{"b": 2}', '{"a": 1, "b": 2}'):
+            assert match(ok), ok
+            _json.loads(ok)
+        for bad in ('{, "b": 2}', '{"b": 2, "a": 1}', '{"a": 1,}'):
+            assert not match(bad), bad
+
+    def test_unsatisfiable_constraint_rejected_at_submit(self):
+        eng = _engine()
+        sched = ContinuousBatchingScheduler(eng, GEN, slots=2)
+
+        class Tok:
+            def decode_token(self, t):
+                return "a"      # vocabulary can never produce 'z'
+
+            def decode(self, ids):
+                return "a" * len(ids)
+
+            def encode(self, text, add_bos=True):
+                return [3]
+        eng2 = _engine(tokenizer=Tok())
+        s2 = ContinuousBatchingScheduler(eng2, GEN, slots=2)
+        with pytest.raises(ValueError, match="unsatisfiable"):
+            s2.submit([1, 2], guided_regex="z+")
+
+    def test_oversized_table_rejected_at_submit(self):
+        """Registration-time table-size errors surface to the SUBMITTING
+        caller (a raise in the scheduler loop would hang the server)."""
+        eng = _engine()
+        sched = ContinuousBatchingScheduler(eng, GEN, slots=2)
+        old = sched._register_dfa
+
+        def boom(dfa):
+            raise ValueError("guided-decoding tables would need too much")
+        sched._register_dfa = boom
+        with pytest.raises(ValueError, match="tables"):
+            sched.submit([1, 2], guided_choice=[[5, 6]])
+        sched._register_dfa = old
