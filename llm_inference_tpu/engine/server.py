@@ -57,6 +57,15 @@ class ServingBackend:
         if speculative and paged:
             raise ValueError("speculative serving uses the dense "
                              "scheduler (no paged variant yet)")
+        draft_engine = sched_kw.pop("draft_engine", None)
+        if draft_engine is not None:
+            from llm_inference_tpu.engine.speculative import (
+                DraftSpeculativeBatchingScheduler)
+            self.engine = engine
+            self.sched = DraftSpeculativeBatchingScheduler(
+                engine, draft_engine, gen, **sched_kw)
+            self._start_loop()
+            return
         if speculative:
             from llm_inference_tpu.engine.speculative import (
                 SpeculativeBatchingScheduler)
@@ -65,11 +74,14 @@ class ServingBackend:
             cls = PagedScheduler if paged else ContinuousBatchingScheduler
         self.engine = engine
         self.sched = cls(engine, gen, **sched_kw)
+        self._start_loop()
+
+    def _start_loop(self):
         self._lock = threading.Lock()
         self._wake = threading.Event()
-        self._done: dict[int, threading.Event] = {}
-        self._reqs: dict[int, "object"] = {}
-        self._done_at: dict[int, float] = {}    # completion time, for GC
+        self._done = {}
+        self._reqs = {}
+        self._done_at = {}                      # completion time, for GC
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -649,6 +661,12 @@ def main(argv=None):
                          "(greedy-only; dense scheduler)")
     ap.add_argument("--gamma", type=int, default=4,
                     help="speculative window width (proposed tokens)")
+    ap.add_argument("--draft-model", default=None,
+                    help="preset name of a DRAFT model for two-model "
+                         "speculative serving (greedy-only)")
+    ap.add_argument("--draft-checkpoint", default=None,
+                    help="HF safetensors dir for the draft's weights "
+                         "(else dummy weights)")
     ap.add_argument("--slots", type=int, default=None)
     # engine-building flags (same set as the chat CLI)
     ap.add_argument("--model", default="tiny")
@@ -678,8 +696,16 @@ def main(argv=None):
     kw = {}
     if args.prefix_cache:
         kw["prefix_cache"] = True
-    if args.speculative:
+    if args.speculative or args.draft_model:
         kw["gamma"] = args.gamma
+    if args.draft_model:
+        import copy
+        dargs = copy.copy(args)
+        dargs.model = args.draft_model
+        dargs.checkpoint = args.draft_checkpoint
+        dargs.lora = None
+        dargs.tp = dargs.dp = 1        # draft stays single-device
+        kw["draft_engine"] = _cli.build_engine(dargs)
     httpd = serve(engine, args.host, args.port, gen,
                   paged=args.paged or args.prefix_cache,
                   speculative=args.speculative,

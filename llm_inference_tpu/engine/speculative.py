@@ -241,6 +241,16 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
 
         self._verify_batched = jax.jit(verify, donate_argnums=(3,))
 
+    def _propose_all(self, live, tok_np, pos_np) -> dict:
+        """Proposal hook: slot → up to γ proposed token ids. Base class:
+        n-gram lookup over each request's own history."""
+        props = {}
+        for b in live:
+            req = self.slot_req[b]
+            hist = list(req.prompt_ids) + req.output_ids
+            props[b] = propose_ngram(hist, self.gamma, self.ngram)
+        return props
+
     def _resolve_sampling(self, req):
         out = super()._resolve_sampling(req)
         t, k, p, gr, minp, rep, pres, freq = out
@@ -270,14 +280,10 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
             return
         ids = np.zeros((self.B, W), np.int32)
         posm = np.tile(np.arange(W, dtype=np.int32), (self.B, 1))
-        props = {}
+        props = self._propose_all(live, tok_np, pos_np)
         for b in live:
-            req = self.slot_req[b]
             cur = int(tok_np[b])
-            hist = list(req.prompt_ids) + req.output_ids
-            p = propose_ngram(hist, self.gamma, self.ngram)
-            props[b] = p
-            ids[b] = ([cur] + p + [cur] * W)[:W]
+            ids[b] = ([cur] + props[b] + [cur] * W)[:W]
             posm[b] += int(pos_np[b])
         g, glp, self.cache = self._verify_batched(
             self.engine.params, jnp.asarray(ids), jnp.asarray(posm),
@@ -322,3 +328,86 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
                 new_pos[b] = int(pos_np[b]) + kept
         self.token = jnp.asarray(new_tok)
         self.pos = jnp.asarray(new_pos)
+
+
+class DraftSpeculativeBatchingScheduler(SpeculativeBatchingScheduler):
+    """Classic two-model speculative decoding inside continuous batching:
+    a small DRAFT model keeps its own batched KV cache aligned with the
+    target's slots; each step it (a) catches its cache up with whatever
+    the target committed since last time (one fixed-width forward per
+    lag window — plain chunks from fallbacks included), then (b) runs a
+    batched γ-step greedy scan to propose, and the target verifies all
+    rows in the shared γ+1-wide forward of the base class. Rejected
+    draft KV is overwritten just in time by the same position-masking
+    invariant as the target's. Greedy-exact: the emitted streams equal
+    the plain scheduler's regardless of draft quality."""
+
+    def __init__(self, engine, draft_engine, gen=None, slots=None,
+                 gamma: int = 4):
+        if draft_engine.cfg.vocab_size != engine.cfg.vocab_size:
+            raise ValueError("draft and target must share a vocabulary")
+        if draft_engine._sharded:
+            raise ValueError("draft engine must be single-device")
+        super().__init__(engine, gen, slots, gamma=gamma)
+        self.draft = draft_engine
+        dcfg = draft_engine.cfg
+        dmodel = draft_engine._model
+        self._dcache = draft_engine.new_cache(self.B)
+        self._dtok = jnp.zeros((self.B,), jnp.int32)
+        self._dpos = jnp.zeros((self.B,), jnp.int32)
+        self._dnext = np.zeros((self.B,), np.int64)  # next unwritten pos
+        self._dinsert = jax.jit(self._insert_fn, donate_argnums=(0,))
+        self._draft_scan = draft_engine._get_decode_jit(
+            gamma, GenerationConfig(greedy=True))
+        self._key = jax.random.PRNGKey(0)            # unused under greedy
+
+        def catchup(params, ids, positions, cache):
+            _, cache = dmodel.forward(dcfg, params, ids, positions, cache,
+                                      logits_mode="none")
+            return cache
+
+        self._catchup = jax.jit(catchup, donate_argnums=(3,))
+
+    def _admit_one(self, slot, req) -> bool:
+        ok = super()._admit_one(slot, req)
+        if ok and self.slot_req[slot] is req:
+            # draft-prefill the prompt into this slot's draft-cache row
+            _, one = self.draft.prefill([list(req.prompt_ids)])
+            z = jnp.zeros((1,), jnp.int32)
+            self._dcache, self._dtok, self._dpos = self._dinsert(
+                self._dcache, one, z, z, self._dtok, self._dpos,
+                jnp.int32(slot))
+            self._dnext[slot] = len(req.prompt_ids)
+        return ok
+
+    def _propose_all(self, live, tok_np, pos_np) -> dict:
+        C = self.gamma + 1
+        # (a) catch up: write committed-but-unseen history into the draft
+        # cache, C tokens per round (fallback plain chunks can lag more)
+        while True:
+            lag = [b for b in live if self._dnext[b] < int(pos_np[b])]
+            if not lag:
+                break
+            ids = np.zeros((self.B, C), np.int32)
+            posm = np.tile(np.arange(C, dtype=np.int32), (self.B, 1))
+            for b in live:
+                req = self.slot_req[b]
+                hist = list(req.prompt_ids) + req.output_ids
+                o = int(self._dnext[b])
+                w = hist[o:min(o + C, int(pos_np[b]))]
+                ids[b, :len(w)] = w
+                posm[b] += o
+                self._dnext[b] = o + len(w)
+            self._dcache = self._catchup(
+                self.draft.params, jnp.asarray(ids), jnp.asarray(posm),
+                self._dcache)
+        # (b) batched draft proposals: γ-step greedy scan fed the target's
+        # pending token (writes its KV at pos, proposes pos+1..pos+γ)
+        toks, _, self._dcache, self._dtok, self._dpos, *_ = \
+            self._draft_scan(self.draft.params, self._dcache,
+                             jnp.asarray(tok_np), jnp.asarray(pos_np),
+                             self._key, None, None, None, None)
+        toks = np.asarray(toks)                      # [B, γ]
+        for b in live:
+            self._dnext[b] = int(pos_np[b]) + self.gamma
+        return {b: [int(t) for t in toks[b]] for b in live}

@@ -530,3 +530,25 @@ class TestSpeculativeServing:
                                     prefill_buckets=(8, 16)))
         with pytest.raises(ValueError, match="dense"):
             srv.ServingBackend(engine, paged=True, speculative=True)
+
+    def test_draft_backend_matches_plain(self):
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=128, decode_chunk=4,
+                            max_batch_size=2, prefill_buckets=(8, 16, 32))
+        engine = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        draft = InferenceEngine(
+            cfg, llama.init_params(cfg, jax.random.PRNGKey(3)),
+            engine_cfg=ecfg)
+        gen = GenerationConfig(greedy=True, max_new_tokens=12,
+                               eos_token_ids=(1,))
+        plain = srv.ServingBackend(engine, gen, slots=2)
+        w = plain.submit([3, 4, 5, 6])
+        plain.wait(w, timeout=120)
+        plain.shutdown()
+        spec = srv.ServingBackend(engine, gen, slots=2, gamma=3,
+                                  draft_engine=draft)
+        g = spec.submit([3, 4, 5, 6])
+        spec.wait(g, timeout=120)
+        spec.shutdown()
+        assert g.output_ids == w.output_ids

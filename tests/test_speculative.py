@@ -240,3 +240,99 @@ class TestSpeculativeBatchingScheduler:
         while spec.step():
             pass
         assert g.output_ids == w.output_ids
+
+
+class TestDraftSpeculativeBatchingScheduler:
+    def _engines(self):
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        cfg = tiny_llama()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ecfg = EngineConfig(max_seq_len=128, decode_chunk=4,
+                            max_batch_size=2, prefill_buckets=(8, 16, 32))
+        target = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        # a DIFFERENT (weaker) draft: same arch, different weights
+        dparams = llama.init_params(cfg, jax.random.PRNGKey(7))
+        draft = InferenceEngine(cfg, dparams, engine_cfg=ecfg)
+        # and a self-draft (same weights → near-total acceptance)
+        selfd = InferenceEngine(cfg, params, engine_cfg=ecfg)
+        return target, draft, selfd
+
+    def test_matches_plain_scheduler_any_draft(self):
+        """Output streams equal the plain scheduler's regardless of how
+        good the draft is (greedy acceptance is exact)."""
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        from llm_inference_tpu.engine.speculative import (
+            DraftSpeculativeBatchingScheduler)
+        target, draft, selfd = self._engines()
+        gen = GenerationConfig(greedy=True, max_new_tokens=16,
+                               eos_token_ids=(1,))
+        prompts = [[3, 4, 5, 6, 7], [9, 10, 11, 12]]
+        plain = ContinuousBatchingScheduler(target, gen, slots=2)
+        wants = [plain.submit(list(p)) for p in prompts]
+        while plain.step():
+            pass
+        for d in (draft, selfd):
+            sched = DraftSpeculativeBatchingScheduler(target, d, gen,
+                                                      slots=2, gamma=3)
+            gots = [sched.submit(list(p)) for p in prompts]
+            while sched.step():
+                pass
+            for w, g in zip(wants, gots):
+                assert g.output_ids == w.output_ids, (
+                    g.output_ids, w.output_ids, sched.spec_stats)
+
+    def test_self_draft_accepts(self):
+        """Target drafting for itself must accept nearly everything."""
+        from llm_inference_tpu.engine.speculative import (
+            DraftSpeculativeBatchingScheduler)
+        target, _, selfd = self._engines()
+        gen = GenerationConfig(greedy=True, max_new_tokens=20,
+                               eos_token_ids=(1,))
+        sched = DraftSpeculativeBatchingScheduler(target, selfd, gen,
+                                                  slots=2, gamma=4)
+        r = sched.submit([3, 4, 5, 6, 7])
+        while sched.step():
+            pass
+        st = sched.spec_stats
+        assert st["produced"] / st["steps"] > 2.0, st
+
+    def test_staggered_admission_catchup(self):
+        """A request admitted mid-flight (draft cache lags the target's
+        committed history) must still match plain greedy."""
+        from llm_inference_tpu.engine.scheduler import (
+            ContinuousBatchingScheduler)
+        from llm_inference_tpu.engine.speculative import (
+            DraftSpeculativeBatchingScheduler)
+        target, draft, _ = self._engines()
+        gen = GenerationConfig(greedy=True, max_new_tokens=14,
+                               eos_token_ids=(1,))
+        plain = ContinuousBatchingScheduler(target, gen, slots=2)
+        w1 = plain.submit([3, 4, 5, 6])
+        w2 = plain.submit([9, 10, 11])
+        while plain.step():
+            pass
+        sched = DraftSpeculativeBatchingScheduler(target, draft, gen,
+                                                  slots=2, gamma=3)
+        g1 = sched.submit([3, 4, 5, 6])
+        sched.step()                      # g1 alone for a few windows
+        g2 = sched.submit([9, 10, 11])    # staggered admission
+        while sched.step():
+            pass
+        assert g1.output_ids == w1.output_ids
+        assert g2.output_ids == w2.output_ids
+
+    def test_vocab_mismatch_rejected(self):
+        from llm_inference_tpu.config import EngineConfig
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        from llm_inference_tpu.engine.speculative import (
+            DraftSpeculativeBatchingScheduler)
+        target, _, _ = self._engines()
+        cfg2 = tiny_llama(vocab_size=128)
+        bad = InferenceEngine(
+            cfg2, llama.init_params(cfg2, jax.random.PRNGKey(1)),
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(8,)))
+        with pytest.raises(ValueError, match="vocab"):
+            DraftSpeculativeBatchingScheduler(target, bad)
