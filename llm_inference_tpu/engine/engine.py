@@ -824,17 +824,69 @@ def gemma_chat_template(user_text: str, round_idx: int) -> str:
             f"<start_of_turn>model\n")
 
 
+def llama3_chat_template(user_text: str, round_idx: int) -> str:
+    """LLaMA-3-instruct header format (<|start_header_id|> markers)."""
+    return ("<|start_header_id|>user<|end_header_id|>\n\n"
+            f"{user_text}<|eot_id|>"
+            "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+def chatml_chat_template(user_text: str, round_idx: int) -> str:
+    """ChatML (<|im_start|> markers) — the Qwen family's format."""
+    return (f"<|im_start|>user\n{user_text}<|im_end|>\n"
+            "<|im_start|>assistant\n")
+
+
 def chat_template_for(model_name: str):
-    """Per-family chat template (ChatSession default selection)."""
-    if model_name.split("-")[0].startswith("gemma"):
+    """Per-family chat template (ChatSession default selection).
+    Mistral/Mixtral instruct use the [INST] format like LLaMA-2."""
+    head = model_name.split("-")[0].lower()
+    if head.startswith("gemma"):
         return gemma_chat_template
+    if head.startswith("llama3") or head.startswith("llama-3"):
+        return llama3_chat_template
+    if head.startswith("qwen"):
+        return chatml_chat_template
     return llama2_chat_template
 
 
-def format_chat_messages(messages: Sequence[dict]) -> str:
-    """Render an OpenAI-style message list as a LLaMA-2-chat prompt
-    ([INST]...[/INST], <<SYS>> block folded into the first user turn) —
-    the stateless-endpoint counterpart of ChatSession's per-round template."""
+def format_chat_messages(messages: Sequence[dict],
+                         model_name: str = "") -> str:
+    """Render an OpenAI-style message list as the target family's chat
+    prompt — the stateless-endpoint counterpart of ChatSession's
+    per-round template. LLaMA-2/Mistral: [INST]...[/INST] with the
+    <<SYS>> block folded into the first user turn; LLaMA-3: header
+    markers; Qwen: ChatML; Gemma: start_of_turn markers (system folded
+    into the first user turn — gemma has no system role)."""
+    head = (model_name or "").split("-")[0].lower()
+    if head.startswith("llama3") or head.startswith("llama-3"):
+        out = []
+        for m in messages:
+            out.append(f"<|start_header_id|>{m['role']}<|end_header_id|>"
+                       f"\n\n{m['content']}<|eot_id|>")
+        out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+        return "".join(out)
+    if head.startswith("qwen"):
+        out = []
+        for m in messages:
+            out.append(f"<|im_start|>{m['role']}\n{m['content']}"
+                       f"<|im_end|>\n")
+        out.append("<|im_start|>assistant\n")
+        return "".join(out)
+    if head.startswith("gemma"):
+        out = []
+        system = ""
+        for m in messages:
+            if m["role"] == "system":
+                system = m["content"] + "\n\n"
+                continue
+            role = "model" if m["role"] == "assistant" else "user"
+            body = (system + m["content"]) if role == "user" else \
+                m["content"]
+            system = ""
+            out.append(f"<start_of_turn>{role}\n{body}<end_of_turn>\n")
+        out.append("<start_of_turn>model\n")
+        return "".join(out)
     system = ""
     turns: List[str] = []
     pending_user: Optional[str] = None

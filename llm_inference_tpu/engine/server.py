@@ -335,7 +335,8 @@ def make_handler(backend: ServingBackend):
                         format_chat_messages)
                     if tok is None:
                         raise ValueError("chat endpoint needs a tokenizer")
-                    prompt = format_chat_messages(body["messages"])
+                    prompt = format_chat_messages(
+                        body["messages"], backend.engine.cfg.name)
                 else:
                     prompt = body["prompt"]
             except (KeyError, TypeError, ValueError) as e:

@@ -403,3 +403,51 @@ class TestScore:
                                     prefill_buckets=(32,)))
         want = big.score([toks])[0]
         np.testing.assert_allclose(got[1:], want[1:], rtol=2e-3, atol=2e-3)
+
+
+class TestChatTemplates:
+    def test_family_template_selection(self):
+        from llm_inference_tpu.engine.engine import (
+            chat_template_for, llama2_chat_template, llama3_chat_template,
+            chatml_chat_template, gemma_chat_template)
+        assert chat_template_for("llama2-7b") is llama2_chat_template
+        assert chat_template_for("mistral-7b") is llama2_chat_template
+        assert chat_template_for("llama3-8b") is llama3_chat_template
+        assert chat_template_for("llama3.1-8b") is llama3_chat_template
+        assert chat_template_for("qwen2-7b") is chatml_chat_template
+        assert chat_template_for("gemma2-2b") is gemma_chat_template
+
+    def test_format_chat_llama3(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        out = format_chat_messages(
+            [{"role": "system", "content": "be brief"},
+             {"role": "user", "content": "hi"}], "llama3-8b")
+        assert "<|start_header_id|>system<|end_header_id|>\n\nbe brief" \
+            in out
+        assert out.endswith(
+            "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    def test_format_chat_chatml(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        out = format_chat_messages(
+            [{"role": "user", "content": "hi"},
+             {"role": "assistant", "content": "hello"},
+             {"role": "user", "content": "more"}], "qwen2-7b")
+        assert out.count("<|im_start|>") == 4      # 3 turns + open
+        assert out.endswith("<|im_start|>assistant\n")
+
+    def test_format_chat_gemma_folds_system(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        out = format_chat_messages(
+            [{"role": "system", "content": "rules"},
+             {"role": "user", "content": "hi"}], "gemma2-2b")
+        assert "<start_of_turn>user\nrules\n\nhi<end_of_turn>" in out
+        assert "system" not in out                 # gemma has no sys role
+        assert out.endswith("<start_of_turn>model\n")
+
+    def test_format_chat_default_llama2_unchanged(self):
+        from llm_inference_tpu.engine.engine import format_chat_messages
+        a = format_chat_messages([{"role": "user", "content": "hi"}])
+        b = format_chat_messages([{"role": "user", "content": "hi"}],
+                                 "llama2-7b")
+        assert a == b and "[INST]" in a
