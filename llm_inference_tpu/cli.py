@@ -57,7 +57,8 @@ def build_engine(args):
         # MoE shards whole expert stacks (no TP dim split) — no padding
         params = llama.pad_params_for_tp(params, cfg, args.tp)
     if args.quant != "none":
-        qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size)
+        qcfg = C.QuantConfig(weights=args.quant, group_size=args.group_size,
+                             asymmetric=getattr(args, "asym", False))
         if is_moe:
             # --tp names the EXPERT axis for MoE: lay the quantized expert
             # stacks out expert-block-major so axis-0 sharding is per-expert
@@ -120,6 +121,8 @@ def main(argv=None):
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--asym", action="store_true",
+                    help="asymmetric (min/max, zero-point) weight quantization")
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--lora", action="append", default=None,
                     metavar="NAME=PEFT_DIR",

@@ -231,10 +231,15 @@ class QuantConfig:
     (which is FP32/FP16 only — reference: src/utils/tensor.h:20 lists INT8
     in the enum but no kernel ever uses it)."""
 
-    # "none" | "int8" | "int4"  (weight-only, symmetric)
+    # "none" | "int8" | "int4"  (weight-only)
     weights: str = "none"
     # Sub-channel group size along the contraction dim; 0 = per-channel.
     group_size: int = 0
+    # Asymmetric (min/max) quantization with per-group zero-points —
+    # halves the effective step for skewed weight groups (the usual INT4
+    # Δppl win); dequant w = q·scale + zbias, folded into the kernels as
+    # an output-side rowsum(x)·zbias FMA. False = symmetric (absmax).
+    asymmetric: bool = False
     # "none" | "int8" — per-head-scale quantized KV cache.
     kv_cache: str = "none"
     # Skip quantizing embedding / lm_head (they are gather/peak-sensitive).

@@ -676,6 +676,8 @@ def main(argv=None):
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--quant", default="none")
     ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--asym", action="store_true",
+                    help="asymmetric (min/max, zero-point) weight quantization")
     ap.add_argument("--kv-cache", default="bf16")
     ap.add_argument("--lora", action="append", default=None,
                     metavar="NAME=PEFT_DIR",

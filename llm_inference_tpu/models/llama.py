@@ -153,7 +153,9 @@ def fuse_params(params: Params, tp_size: int = 1) -> Params:
                 q=_interleave_cols([w.q for w in ws], tp_size),
                 scale=_interleave_cols([w.scale for w in ws], tp_size),
                 bits=ws[0].bits, group_size=ws[0].group_size,
-                orig_dtype=ws[0].orig_dtype, block_rows=ws[0].block_rows)
+                orig_dtype=ws[0].orig_dtype, block_rows=ws[0].block_rows,
+                zbias=(None if ws[0].zbias is None else _interleave_cols(
+                    [w.zbias for w in ws], tp_size)))
         else:
             layers[out_key] = _interleave_cols(ws, tp_size)
 
@@ -289,14 +291,17 @@ def quantize_params(params: Params, qcfg: QuantConfig,
     bits = {"int8": 8, "int4": 4}[qcfg.weights]
     out = dict(params)
     layers = dict(params["layers"])
+    asym = getattr(qcfg, "asymmetric", False)
     for name in _QUANT_KEYS:
         w = layers[name]  # [L, K, N]
         blocks = row_shards if name in ("wo", "w_down") else 1
         layers[name] = jax.vmap(
-            lambda m: quantize(m, bits, qcfg.group_size, pack_blocks=blocks))(w)
+            lambda m: quantize(m, bits, qcfg.group_size, pack_blocks=blocks,
+                               asymmetric=asym))(w)
     out["layers"] = layers
     if qcfg.quantize_embedding and "lm_head" in params:
-        out["lm_head"] = quantize(params["lm_head"], bits, qcfg.group_size)
+        out["lm_head"] = quantize(params["lm_head"], bits, qcfg.group_size,
+                                  asymmetric=asym)
     return out
 
 
@@ -325,9 +330,12 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array,
         gs = qcfg.group_size
         groups = K // gs if (0 < gs < K) else 1
         scale = jnp.full((L, groups, N), scale_val, jnp.float32)
+        zb = (jnp.full((L, groups, N), scale_val * 0.5, jnp.float32)
+              if getattr(qcfg, "asymmetric", False) else None)
         return QTensor(q=q, scale=scale, bits=bits,
                        group_size=qcfg.group_size, orig_dtype=str(dtype),
-                       block_rows=(K // 2 // blocks if bits == 4 else 0))
+                       block_rows=(K // 2 // blocks if bits == 4 else 0),
+                       zbias=zb)
 
     def rnd(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dtype)

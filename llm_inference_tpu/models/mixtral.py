@@ -197,11 +197,13 @@ def quantize_params(params: Params, qcfg, row_shards: int = 1,
     if not qcfg.enabled:
         return params
     bits = {"int8": 8, "int4": 4}[qcfg.weights]
+    asym = getattr(qcfg, "asymmetric", False)
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo"):
         layers[name] = jax.vmap(
-            lambda m: quantize(m, bits, qcfg.group_size))(layers[name])
+            lambda m: quantize(m, bits, qcfg.group_size,
+                               asymmetric=asym))(layers[name])
     for name in ("e_gate", "e_up", "e_down"):
         w = layers[name]                       # [L, E, K, N]
         L_, E_, K, N = w.shape
@@ -213,7 +215,8 @@ def quantize_params(params: Params, qcfg, row_shards: int = 1,
             w = (w.reshape(L_, ep_shards, El, K, N)
                   .transpose(1, 0, 2, 3, 4))   # [ep, L, El, K, N]
         layers[name] = jax.vmap(
-            lambda m: quantize(m, bits, qcfg.group_size))(
+            lambda m: quantize(m, bits, qcfg.group_size,
+                               asymmetric=asym))(
                 w.reshape(L_ * E_, K, N))
     out["layers"] = layers
     return out

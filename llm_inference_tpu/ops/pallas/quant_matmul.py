@@ -56,8 +56,13 @@ _PALLAS_MAX_M = 128
 _ROW_CHUNK = 2048
 
 
-def _kernel(lyr_ref, x_ref, w_ref, s_ref, o_ref, *, bits: int,
-            block_rows: int, gsize: int, per_channel: bool):
+def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
+            block_rows: int, gsize: int, per_channel: bool,
+            asym: bool):
+    if asym:
+        z_ref, o_ref = rest            # zbias rides as one more operand
+    else:
+        (o_ref,) = rest
     x = x_ref[:]                       # [M, K] bf16
     w = w_ref[0, 0]                    # [Kp, bn] int8 (packed rows for int4)
     Kp, bn = w.shape
@@ -68,17 +73,28 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, o_ref, *, bits: int,
     # (exact for symmetric quant: y_n = Σ_g s[g,n]·(x_g·Wq_g)_n). Dequantizing
     # weights in VMEM instead costs ~20 bytes of f32/bf16 intermediate
     # traffic per weight byte and measures ~10% slower on v5e.
+    # Asymmetric quant adds the per-group zero-point as an OUTPUT-side
+    # correction too: + rowsum(x_g)·zbias[g] — one reduce + FMA per group,
+    # never a dequantized weight in VMEM.
     if bits == 8:
         if per_channel:
             acc = jnp.dot(x, w.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
+            if asym:
+                acc = acc * s_ref[0, 0][0][None, :]
+                xsum = jnp.sum(x.astype(jnp.float32), -1, keepdims=True)
+                acc = acc + xsum * z_ref[0, 0][0][None, :]
         else:
             for g in range(Kp // gsize):
                 r0 = g * gsize
-                d = jnp.dot(x[:, r0:r0 + gsize],
-                            w[r0:r0 + gsize].astype(jnp.bfloat16),
+                xg = x[:, r0:r0 + gsize]
+                d = jnp.dot(xg, w[r0:r0 + gsize].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
                 acc += d * s_ref[0, 0][g][None, :]
+                if asym:
+                    xs = jnp.sum(xg.astype(jnp.float32), -1,
+                                 keepdims=True)
+                    acc += xs * z_ref[0, 0][g][None, :]
     else:  # int4, block-local split-half packing
         blocks = Kp // block_rows
         # the unpack materializes i32 lo/hi chunks in VMEM — bound them to
@@ -115,40 +131,55 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, o_ref, *, bits: int,
                     # ch == gsize ⇒ each chunk is exactly one scale group
                     acc += d_lo * s_ref[0, 0][lo_r // gsize][None, :]
                     acc += d_hi * s_ref[0, 0][hi_r // gsize][None, :]
+                    if asym:
+                        acc += (jnp.sum(x_lo, -1, keepdims=True)
+                                * z_ref[0, 0][lo_r // gsize][None, :])
+                        acc += (jnp.sum(x_hi, -1, keepdims=True)
+                                * z_ref[0, 0][hi_r // gsize][None, :])
+        if per_channel:
+            acc = acc * s_ref[0, 0][0][None, :]
+            if asym:   # y = (Σ raw dots)·s + rowsum(x)·z — z NOT scaled
+                xsum = jnp.sum(x.astype(jnp.float32), -1, keepdims=True)
+                acc = acc + xsum * z_ref[0, 0][0][None, :]
 
-    if per_channel:
+    if bits == 8 and per_channel and not asym:
         acc = acc * s_ref[0, 0][0][None, :]
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
                                              "per_channel", "interpret"))
-def _quant_matmul_blocked(x, q4, s4, lyr, *, bits, block_rows, gsize,
-                          per_channel, interpret):
+def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
+                          gsize, per_channel, interpret):
     """q4/s4 are STACKED over a leading layer axis ([L, NB, Kp, bn] /
     [L, NB, G, bn]) and `lyr` (shape [1], scalar-prefetched) picks the layer
     inside the kernel's index maps. This matters: when the layer scan slices
     a stacked weight and feeds it to an (opaque) Pallas custom call, XLA
     MATERIALIZES the slice — an HBM→HBM copy of every weight every step that
     doubles decode weight traffic (measured ~350 ms of a 557 ms 32-step
-    trace). Indexing inside the kernel makes the DMA read the original."""
+    trace). Indexing inside the kernel makes the DMA read the original.
+    z4 (asymmetric zero-point bias, scale-shaped) rides as one more
+    scale-sized operand when present."""
     M, K = x.shape
     L, NB, Kp, bn = q4.shape
     G = s4.shape[2]
+    asym = z4 is not None
     kernel = functools.partial(_kernel, bits=bits, block_rows=block_rows,
-                               gsize=gsize, per_channel=per_channel)
+                               gsize=gsize, per_channel=per_channel,
+                               asym=asym)
+    sspec = pl.BlockSpec((1, 1, G, bn), lambda n, lyr: (lyr[0], n, 0, 0))
+    in_specs = [
+        pl.BlockSpec((M, K), lambda n, lyr: (0, 0)),
+        pl.BlockSpec((1, 1, Kp, bn), lambda n, lyr: (lyr[0], n, 0, 0)),
+        sspec,
+    ] + ([sspec] if asym else [])
+    operands = (lyr, x, q4, s4) + ((z4,) if asym else ())
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB,),
-            in_specs=[
-                pl.BlockSpec((M, K), lambda n, lyr: (0, 0)),
-                pl.BlockSpec((1, 1, Kp, bn),
-                             lambda n, lyr: (lyr[0], n, 0, 0)),
-                pl.BlockSpec((1, 1, G, bn),
-                             lambda n, lyr: (lyr[0], n, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((M, bn), lambda n, lyr: (0, n)),
         ),
         out_shape=jax.ShapeDtypeStruct((M, NB * bn), x.dtype),
@@ -161,7 +192,7 @@ def _quant_matmul_blocked(x, q4, s4, lyr, *, bits, block_rows, gsize,
             + M * NB * bn * 2,
             transcendentals=0),
         interpret=interpret,
-    )(lyr, x, q4, s4)
+    )(*operands)
 
 
 def _index_layer(qt: QTensor, layer) -> QTensor:
@@ -170,7 +201,9 @@ def _index_layer(qt: QTensor, layer) -> QTensor:
         q=jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False),
         scale=jax.lax.dynamic_index_in_dim(qt.scale, layer, 0, keepdims=False),
         bits=qt.bits, group_size=qt.group_size, orig_dtype=qt.orig_dtype,
-        block_rows=qt.block_rows, block_n=qt.block_n)
+        block_rows=qt.block_rows, block_n=qt.block_n,
+        zbias=None if qt.zbias is None else jax.lax.dynamic_index_in_dim(
+            qt.zbias, layer, 0, keepdims=False))
 
 
 def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
@@ -218,7 +251,10 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     m_pad = max(8, M)
     if m_pad != M:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
-    out = _quant_matmul_blocked(x2, q4, s4, lyr, bits=qt.bits,
+    z4 = None
+    if qt.zbias is not None:
+        z4 = qt.zbias if stacked else qt.zbias[None]
+    out = _quant_matmul_blocked(x2, q4, s4, lyr, z4, bits=qt.bits,
                                 block_rows=block_rows, gsize=gsize,
                                 per_channel=per_channel,
                                 interpret=use_interpret())

@@ -46,6 +46,11 @@ class QTensor:
     # the Pallas decode GEMV streams these at ~87% of HBM bandwidth vs ~25%
     # for strided [bk, bn] tiles of a row-major weight (measured on v5e).
     block_n: int = struct.field(pytree_node=False, default=0)
+    # Asymmetric quantization: dequant is w = q·scale + zbias with zbias
+    # float32 [num_groups, N] (None = symmetric). The matmul correction is
+    # a per-group activation row-sum times zbias — one FMA per group per
+    # output element, folded into the same pass as the scales.
+    zbias: jnp.ndarray = None
 
     @property
     def in_features(self) -> int:
@@ -100,10 +105,17 @@ def quantize(
     bits: int = 8,
     group_size: int = 0,
     pack_blocks: int = 1,
+    asymmetric: bool = False,
 ) -> QTensor:
-    """Symmetric quantization of a [K, N] weight.
+    """Quantization of a [K, N] weight.
 
-    scale = max|w| per (group, column) / qmax;  q = round(w / scale).
+    Symmetric (default): scale = max|w| per (group, column) / qmax;
+    q = round(w / scale).
+    Asymmetric: scale = (max−min)/(2^bits−1), zbias = min + 2^(bits−1)·scale
+    so q = round((w − zbias)/scale) uses the full signed code range —
+    dequant is w ≈ q·scale + zbias. Halves the effective step for skewed
+    weight groups (the usual INT4 Δppl win).
+
     `pack_blocks`: number of row-blocks for INT4 packing — set to the
     tensor-parallel degree for row-sharded weights so each shard's slice is
     self-contained (see QTensor docstring).
@@ -119,9 +131,18 @@ def quantize(
     qmax = float(2 ** (bits - 1) - 1)
 
     w32 = w.astype(jnp.float32).reshape(num_groups, group_size_eff, N)
-    absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)          # [G#,1,N]
-    scale = jnp.maximum(absmax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(w32 / scale), -qmax - 1, qmax)
+    zbias = None
+    if asymmetric:
+        wmin = jnp.min(w32, axis=1, keepdims=True)                 # [G#,1,N]
+        wmax = jnp.max(w32, axis=1, keepdims=True)
+        scale = jnp.maximum((wmax - wmin) / (2 ** bits - 1), 1e-8)
+        zb = wmin + (qmax + 1) * scale           # code −2^(b−1) ↦ wmin
+        q = jnp.clip(jnp.round((w32 - zb) / scale), -qmax - 1, qmax)
+        zbias = zb[:, 0, :]
+    else:
+        absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)      # [G#,1,N]
+        scale = jnp.maximum(absmax / qmax, 1e-8)
+        q = jnp.clip(jnp.round(w32 / scale), -qmax - 1, qmax)
     q = q.reshape(K, N).astype(jnp.int8)
     block_rows = 0
     if bits == 4:
@@ -131,7 +152,8 @@ def quantize(
         raise ValueError(f"unsupported bits={bits}")
     return QTensor(q=q, scale=scale.reshape(num_groups, N),
                    bits=bits, group_size=group_size,
-                   orig_dtype=str(w.dtype), block_rows=block_rows)
+                   orig_dtype=str(w.dtype), block_rows=block_rows,
+                   zbias=zbias)
 
 
 def choose_block_n(K_packed: int, N: int, target_bytes: int = 3 << 20,
@@ -166,7 +188,8 @@ def to_blocked(qt: QTensor, block_n: int) -> QTensor:
 
     return QTensor(q=blk(qt.q), scale=blk(qt.scale), bits=qt.bits,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
-                   block_rows=qt.block_rows, block_n=block_n)
+                   block_rows=qt.block_rows, block_n=block_n,
+                   zbias=None if qt.zbias is None else blk(qt.zbias))
 
 
 def from_blocked(qt: QTensor) -> QTensor:
@@ -180,7 +203,8 @@ def from_blocked(qt: QTensor) -> QTensor:
 
     return QTensor(q=unblk(qt.q), scale=unblk(qt.scale), bits=qt.bits,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
-                   block_rows=qt.block_rows, block_n=0)
+                   block_rows=qt.block_rows, block_n=0,
+                   zbias=None if qt.zbias is None else unblk(qt.zbias))
 
 
 def dequantize(qt: QTensor, dtype=None) -> jnp.ndarray:
@@ -192,6 +216,8 @@ def dequantize(qt: QTensor, dtype=None) -> jnp.ndarray:
     num_groups = qt.scale.shape[0]
     gsize = K // num_groups
     w = q.astype(jnp.float32).reshape(num_groups, gsize, N) * qt.scale[:, None, :]
+    if qt.zbias is not None:
+        w = w + qt.zbias[:, None, :]
     return w.reshape(K, N).astype(dtype)
 
 
@@ -212,6 +238,9 @@ def qmatmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
         y = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
         y = y * qt.scale[0][(None,) * (y.ndim - 1)]
+        if qt.zbias is not None:
+            xsum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+            y = y + xsum * qt.zbias[0][(None,) * (y.ndim - 1)]
         return y.astype(dtype)
     K, N = q.shape
     gsize = K // num_groups
@@ -220,7 +249,11 @@ def qmatmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
     # per-group partial dots, scaled then summed: [..., G#, N]
     partial = jnp.einsum("...gk,gkn->...gn", xg, wg,
                          preferred_element_type=jnp.float32)
-    y = jnp.sum(partial * qt.scale[:, :], axis=-2)
+    partial = partial * qt.scale[:, :]
+    if qt.zbias is not None:
+        # asymmetric correction: per-group activation row-sums × zbias
+        partial = partial + xg.sum(-1)[..., None] * qt.zbias[:, :]
+    y = jnp.sum(partial, axis=-2)
     return y.astype(dtype)
 
 
@@ -247,10 +280,16 @@ def _qmatmul_ref_blocked(x: jnp.ndarray, qt: QTensor, dtype) -> jnp.ndarray:
                         q3.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         y3 = y3 * qt.scale[:, 0, :][None]
+        if qt.zbias is not None:
+            xsum = jnp.sum(x2.astype(jnp.float32), -1)       # [M]
+            y3 = y3 + xsum[:, None, None] * qt.zbias[:, 0, :][None]
     else:
         gsize = K // G
         w3 = (q3.astype(jnp.float32).reshape(NB, G, gsize, bn)
-              * qt.scale[:, :, None, :]).reshape(NB, K, bn)
+              * qt.scale[:, :, None, :])
+        if qt.zbias is not None:
+            w3 = w3 + qt.zbias[:, :, None, :]
+        w3 = w3.reshape(NB, K, bn)
         y3 = jnp.einsum("mk,nkb->mnb", x2.astype(jnp.bfloat16),
                         w3.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)

@@ -64,7 +64,9 @@ def _spec_for(path, leaf, tp: str, tp_size: int,
 def _spec_for_tp(path, leaf, tp: str, tp_size: int) -> P:
     keys = _path_keys(path)
     names = set(keys)
-    is_scale = keys[-1] == "scale"
+    # zbias (asymmetric zero-point, ops/quantization.QTensor) is
+    # scale-shaped and shards identically
+    is_scale = keys[-1] in ("scale", "zbias")
 
     # blocked streaming layout (QTensor.block_n): layer weights are
     # [L, NB, K', bn] (q) / [L, NB, G, bn] (scale); lm_head drops the L.

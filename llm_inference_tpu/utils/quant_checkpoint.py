@@ -34,9 +34,12 @@ def _describe(tree, prefix="") -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
     def walk(node, path):
         if isinstance(node, QTensor):
             manifest[path] = {"kind": "qtensor",
+                              "asym": node.zbias is not None,
                               **{f: getattr(node, f) for f in _QT_FIELDS}}
             arrays[path + ".q"] = np.asarray(node.q)
             arrays[path + ".scale"] = np.asarray(node.scale)
+            if node.zbias is not None:
+                arrays[path + ".zbias"] = np.asarray(node.zbias)
         elif isinstance(node, dict):
             manifest[path] = {"kind": "dict", "keys": sorted(node)}
             for k in node:
@@ -79,6 +82,8 @@ def load_prepared(path: str) -> Tuple[ModelConfig, Any]:
         if desc["kind"] == "qtensor":
             return QTensor(q=jnp.asarray(blob[pathkey + ".q"]),
                            scale=jnp.asarray(blob[pathkey + ".scale"]),
+                           zbias=(jnp.asarray(blob[pathkey + ".zbias"])
+                                  if desc.get("asym") else None),
                            **{f: desc[f] for f in _QT_FIELDS})
         arr = blob[pathkey]
         if desc["dtype"] == "bfloat16":

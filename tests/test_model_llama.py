@@ -213,3 +213,42 @@ class TestSlidingWindowDecodeKernel:
         want = run()
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
         assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+
+
+class TestAsymmetricForward:
+    def test_asym_at_least_as_close_as_sym(self, cfg, params):
+        """Asymmetric int4 logits track the dense model at least as well
+        as symmetric (strictly better on real skewed weights; random test
+        weights are symmetric so parity is the floor), and the PREPARED
+        (fused + blocked, kernel-path) params agree with the raw ones."""
+        ids = jnp.ones((1, 4), jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None, :]
+        dense, _ = llama.forward(cfg, params, ids, pos, make_cache(cfg, 1))
+        d = np.asarray(dense[0])
+        corrs = {}
+        for asym in (False, True):
+            qp = llama.quantize_params(
+                params, QuantConfig(weights="int4", group_size=32,
+                                    asymmetric=asym))
+            quant, _ = llama.forward(cfg, qp, ids, pos, make_cache(cfg, 1))
+            corrs[asym] = np.corrcoef(d, np.asarray(quant[0]))[0, 1]
+            prep = llama.prepare_params(qp, donate=False)
+            prepped, _ = llama.forward(cfg, prep, ids, pos,
+                                       make_cache(cfg, 1))
+            np.testing.assert_allclose(np.asarray(quant[0]),
+                                       np.asarray(prepped[0]),
+                                       atol=2e-2, rtol=2e-2)
+        assert corrs[True] > corrs[False] - 0.005, corrs
+
+    def test_quant_checkpoint_roundtrip_asym(self, cfg, params, tmp_path):
+        from llm_inference_tpu.utils import quant_checkpoint as qc
+        qp = llama.quantize_params(
+            params, QuantConfig(weights="int4", group_size=32,
+                                asymmetric=True))
+        qc.save_prepared(str(tmp_path), cfg, qp)
+        cfg2, back = qc.load_prepared(str(tmp_path))
+        w0 = qp["layers"]["wq"]
+        w1 = back["layers"]["wq"]
+        assert w1.zbias is not None
+        np.testing.assert_array_equal(np.asarray(w0.zbias),
+                                      np.asarray(w1.zbias))

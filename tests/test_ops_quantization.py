@@ -175,3 +175,84 @@ class TestKVQuant:
         q, scale = Q.quantize_kv(jnp.asarray(x))
         back = np.asarray(Q.dequantize_kv(q, scale, jnp.float32))
         assert np.abs(back - x).max() < np.abs(x).max() / 100.0
+
+
+class TestAsymmetricQuant:
+    """Asymmetric (zero-point) quantization: better reconstruction for
+    skewed weight groups; dequant w = q·scale + zbias with the matmul
+    correction folded as rowsum(x)·zbias."""
+
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 64), (4, 0), (4, 64)])
+    def test_beats_symmetric_on_skewed_weights(self, bits, gs):
+        rng = np.random.default_rng(7)
+        # heavily shifted distribution: symmetric wastes half its codes
+        w = (rng.standard_normal((256, 128)) * 0.3 + 2.0).astype(np.float32)
+        sym = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs)
+        asym = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs,
+                          asymmetric=True)
+        assert asym.zbias is not None and sym.zbias is None
+        e_sym = np.abs(np.asarray(Q.dequantize(sym, jnp.float32)) - w).mean()
+        e_asym = np.abs(np.asarray(Q.dequantize(asym,
+                                                jnp.float32)) - w).mean()
+        assert e_asym < 0.5 * e_sym, (e_asym, e_sym)
+
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 128), (4, 0), (4, 128)])
+    def test_ref_matmul_matches_dequant(self, bits, gs):
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        w = (rng.standard_normal((256, 128)) * 0.2 + 1.0).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=bits, group_size=gs,
+                        asymmetric=True)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = Q.qmatmul_ref(jnp.asarray(x), qt, jnp.float32)
+        assert rel_err(out, golden) < 2e-2
+
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 128), (4, 0), (4, 128)])
+    def test_blocked_ref_matches(self, bits, gs):
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((4, 256)).astype(np.float32) * 0.1
+        w = (rng.standard_normal((256, 256)) * 0.2 + 0.5).astype(np.float32)
+        qt = Q.to_blocked(Q.quantize(jnp.asarray(w), bits=bits,
+                                     group_size=gs, asymmetric=True), 128)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = Q.qmatmul_ref(jnp.asarray(x), qt, jnp.float32)
+        assert rel_err(out, golden) < 2e-2
+
+    @pytest.mark.parametrize("bits,gs", [(8, 0), (8, 128), (4, 0), (4, 128)])
+    def test_pallas_kernel_matches_golden(self, bits, gs):
+        rng = np.random.default_rng(10)
+        M, K, N = 4, 512, 256
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        w = (rng.standard_normal((K, N)) * 0.2 + 0.7).astype(np.float32)
+        qt = Q.to_blocked(Q.quantize(jnp.asarray(w), bits=bits,
+                                     group_size=gs, asymmetric=True), 128)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        assert out.shape == (M, N)
+        assert rel_err(out, golden) < 2e-2
+
+    def test_pallas_kernel_stacked_layers(self):
+        rng = np.random.default_rng(11)
+        L, M, K, N = 3, 4, 256, 256
+        ws = (rng.standard_normal((L, K, N)) * 0.2 + 0.4).astype(np.float32)
+        import jax as _jax
+        qt = _jax.vmap(lambda m: Q.quantize(m, 4, 128,
+                                            asymmetric=True))(
+            jnp.asarray(ws))
+        qt = Q.to_blocked(qt, 128)
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        for layer in range(L):
+            one = Q.quantize(jnp.asarray(ws[layer]), 4, 128,
+                             asymmetric=True)
+            golden = np.asarray(x) @ np.asarray(Q.dequantize(one,
+                                                             jnp.float32))
+            out = QM.quant_matmul(jnp.asarray(x), qt, layer=layer)
+            assert rel_err(out, golden) < 2e-2, layer
+
+    def test_blocked_roundtrip_keeps_zbias(self):
+        rng = np.random.default_rng(12)
+        w = (rng.standard_normal((256, 256)) + 1.0).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), 4, 64, asymmetric=True)
+        rt = Q.from_blocked(Q.to_blocked(qt, 128))
+        np.testing.assert_array_equal(np.asarray(rt.zbias),
+                                      np.asarray(qt.zbias))
