@@ -94,7 +94,15 @@ def decode_attend(
     positions: jnp.ndarray,    # [B, 1] absolute position of the new token
     scale: Optional[float] = None,
     logit_softcap: float = 0.0,
+    k_scale: Optional[jnp.ndarray] = None,   # [B, S, Hkv] (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Single-step cached attention (reference's launchDecoderMaskedMHA)."""
+    """Single-step cached attention (reference's launchDecoderMaskedMHA).
+    Quantized (int8) caches must pass their k/v scales — attending over
+    raw codes would be silently wrong, so that case is rejected."""
+    if jnp.issubdtype(k.dtype, jnp.integer) and k_scale is None:
+        raise ValueError("int8 KV cache passed without k_scale/v_scale — "
+                         "raw codes are not attendable")
     mask = make_attention_mask(positions, k.shape[2])
-    return attend(q, k, v, mask, scale, logit_softcap)
+    return attend(q, k, v, mask, scale, logit_softcap,
+                  k_scale=k_scale, v_scale=v_scale)

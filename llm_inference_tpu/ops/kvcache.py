@@ -88,16 +88,13 @@ def update_kv_cache(
     v_new: jnp.ndarray,
     offsets: jnp.ndarray,   # [B] int32 — write position per sequence
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Write T new tokens per sequence into the cache at per-seq offsets."""
-    B = k_new.shape[0]
-    k_new = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B, Hkv, T, D]
-    v_new = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
-    zero = jnp.int32(0)
-    for b in range(B):
-        idx = (jnp.int32(b), zero, offsets[b], zero)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new[b][None], idx)
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new[b][None], idx)
-    return k_cache, v_cache
+    """Write T new tokens per sequence into the cache at per-seq offsets.
+
+    Delegates to _write_pages (the single home of the DUS-chain write
+    invariant — no vmap, no batched scatter) via a unit layer axis."""
+    k_all, v_all = _write_pages(k_cache[None], v_cache[None], jnp.int32(0),
+                                k_new, v_new, offsets)
+    return k_all[0], v_all[0]
 
 
 def update_cache_layer(

@@ -136,15 +136,19 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
     # reads multiply by exactly-zero probabilities — sanitize non-finite
     # garbage (overflowed bf16 activations) or 0 x Inf would NaN-poison
     # every live sequence whose tail blocks alias the null page
-    k_in, v_in = k_new[:, 0], v_new[:, 0]
+    # sanitize BEFORE quantizing: an Inf activation would otherwise turn
+    # into scale=Inf (quantize_kv absmax), and the int8-code nan_to_num
+    # below would be a no-op on the poisoned SCALE rows
+    k_in = jnp.nan_to_num(k_new[:, 0])
+    v_in = jnp.nan_to_num(v_new[:, 0])
     ks_rows = vs_rows = None
     if cache.quantized:
         from llm_inference_tpu.ops.quantization import quantize_kv
         k_in, ks = quantize_kv(k_in)            # int8, scale [B, Hkv, 1]
         v_in, vs = quantize_kv(v_in)
         ks_rows, vs_rows = ks[..., 0], vs[..., 0]
-    k_rows = jnp.nan_to_num(k_in).astype(cache.k_pages.dtype)
-    v_rows = jnp.nan_to_num(v_in).astype(cache.v_pages.dtype)
+    k_rows = k_in.astype(cache.k_pages.dtype)
+    v_rows = v_in.astype(cache.v_pages.dtype)
     # per-sequence chain of dynamic_update_slice — the batched-scatter and
     # vmapped forms force full-pool copies inside the decode scan (see
     # kvcache._write_pages for the measurements)

@@ -157,6 +157,11 @@ def flash_attention(
         scale = 1.0 / (D ** 0.5)
     bt = min(block_t, T)
     bs = min(block_s, S)
+    # bs must DIVIDE S: the grid's slot dim is S // bs, so a non-dividing
+    # block would silently drop the trailing S % bs cache slots from
+    # attention (supports() guarantees S % 128 == 0, so 128 always works)
+    while S % bs:
+        bs -= 128
     pad_t = (-T) % bt
     if pad_t:
         q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))

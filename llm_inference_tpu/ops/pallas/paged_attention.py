@@ -54,7 +54,11 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
         q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)   # rows (h, g)
         if quantized:
             # slot-major [ps, hb] scale blocks (natural layout — see
-            # decode_attention.py): dequantize the page's codes in VMEM
+            # decode_attention.py): dequantize the page's codes in VMEM.
+            # TODO(perf, needs chip): decode_attention.py measured this
+            # per-head VPU dequant at ~2.4x the DMA time and replaced it
+            # with scale columns folded into the score/probability matrices
+            # via one MXU transpose — port that scheme here and A/B it.
             ks = ks_ref[0, 0]                              # [ps, hb] f32
             vs = vs_ref[0, 0]
             kparts, vparts = [], []
@@ -103,9 +107,17 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
     quantized = ks_pages is not None
-    hb = max(1, min(Hkv, (512 * 1024) // (ps * D * k_pages.dtype.itemsize)))
-    while Hkv % hb:
-        hb -= 1
+    if quantized:
+        # the [ps, hb] scale block's minor dim must be 128-divisible or
+        # the FULL array dim for Mosaic (same rule decode_attention.py
+        # pins hb=Hkv for) — a partial hb compiles in interpret mode but
+        # fails lowering on the chip
+        hb = Hkv
+    else:
+        hb = max(1, min(Hkv,
+                        (512 * 1024) // (ps * D * k_pages.dtype.itemsize)))
+        while Hkv % hb:
+            hb -= 1
     grid = (B, Hkv // hb, NB)
     kernel = functools.partial(_kernel, hb=hb, nb=NB, scale=scale,
                                softcap=softcap, quantized=quantized)

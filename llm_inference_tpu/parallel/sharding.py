@@ -88,10 +88,18 @@ def _spec_for_tp(path, leaf, tp: str, tp_size: int) -> P:
     if names & _ROW_SHARDED:
         if is_scale:
             # group scales follow the contraction rows; per-channel scales
-            # (or non-divisible group counts) replicate
+            # (one group) replicate
             g = leaf.shape[-2]
             if g > 1 and g % tp_size == 0:
                 return P(*([None] * (leaf.ndim - 2) + [tp, None]))
+            if g > 1:
+                # replicating would silently corrupt the shard-local
+                # matmul: qmatmul derives gsize = K_local // G, so the
+                # replicated rows map to WRONG group boundaries
+                raise ValueError(
+                    f"{'/'.join(keys)}: {g} quant groups do not divide "
+                    f"tp={tp_size} for a row-sharded weight — pick a "
+                    f"group_size giving a tp-divisible group count")
             return P(*([None] * leaf.ndim))
         return P(*([None] * (leaf.ndim - 2) + [tp, None]))  # rows = axis -2
     # norms and anything unrecognized: replicate

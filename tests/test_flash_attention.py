@@ -71,3 +71,20 @@ class TestFlashAttention:
         assert not FA.supports((1, 1024, 4, 32), 2048, quantized=False)
         # short prefills stay on the XLA path (flash grid overhead dominates)
         assert not FA.supports((1, 128, 4, 128), 512, quantized=False)
+
+
+class TestBlockDividesS:
+    def test_non_dividing_block_s_still_attends_tail(self):
+        """S=1280 with the default block_s=512: the grid must shrink the
+        slot block until it divides S, or the last 256 slots silently
+        vanish from attention (queries at the tail attend nothing)."""
+        B, T, Hq, Hkv, S, D = 1, 64, 2, 2, 1280, 64
+        q, k, v = make(B, T, Hq, Hkv, S, D, seed=5)
+        start = S - T                         # tail of the cache
+        pos = jnp.tile(start + jnp.arange(T, dtype=jnp.int32), (B, 1))
+        mask = attention.make_attention_mask(pos, S)
+        ref = attention.attend(q, k, v, mask)
+        out = FA.flash_attention(q, k[None], v[None], 0, pos,
+                                 block_t=32, block_s=512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=8e-3, rtol=2e-2)

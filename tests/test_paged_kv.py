@@ -251,3 +251,19 @@ class TestPagedWindowed:
                                v_seq.transpose(0, 2, 1, 3), mask)
         err = np.abs(np.asarray(out) - np.asarray(ref)).max()
         assert err < 0.05, err       # int8 rounding
+
+
+class TestNullPageSanitize:
+    def test_inf_write_does_not_poison_quantized_scales(self):
+        """A retired slot writing Inf activations into the (shared) null
+        page must not store a non-finite SCALE: masked readers multiply
+        exactly-zero probs by the scale, and 0 x Inf = NaN would poison
+        every live sequence (the int8-code nan_to_num alone is a no-op
+        for this — the scale is where the Inf lands)."""
+        cache = pk.init_paged_cache(1, 4, 2, 8, 16, batch=1,
+                                    max_blocks=4, dtype="int8")
+        bad = jnp.full((1, 1, 2, 16), jnp.inf, jnp.float32)
+        cache = pk.write_token(cache, jnp.int32(0), bad, bad,
+                               jnp.asarray([3], jnp.int32))
+        assert np.isfinite(np.asarray(cache.k_scale)).all()
+        assert np.isfinite(np.asarray(cache.v_scale)).all()

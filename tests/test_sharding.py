@@ -206,3 +206,31 @@ class TestShardedScore:
         assert len(got) == 1
         np.testing.assert_allclose(got[0][1:], want[1:], rtol=2e-3,
                                    atol=2e-3)
+
+
+class TestGroupScaleShardGuard:
+    def test_non_divisible_group_count_raises(self, cfg, params):
+        """Row-sharded grouped quant scales whose group count does not
+        divide tp must RAISE — replicating them makes the shard-local
+        matmul derive wrong group boundaries (silent corruption)."""
+        from llm_inference_tpu.config import QuantConfig
+        # cfg hidden=128: w_down is [I=352->?]: use llama tiny defaults —
+        # craft a weight with 3 groups and tp=2
+        qp = llama.quantize_params(
+            params, QuantConfig(weights="int8", group_size=0))
+        mesh = make_mesh(ShardingConfig(data=1, tensor=2))
+        param_pspecs(qp, mesh)        # per-channel (1 group): fine
+        import jax.numpy as jnp
+        from llm_inference_tpu.ops.quantization import QTensor
+        bad = dict(qp)
+        layers = dict(bad["layers"])
+        wd = layers["w_down"]
+        # forge a 3-group scale (3 % tp=2 != 0)
+        layers["w_down"] = QTensor(
+            q=wd.q, scale=jnp.ones((wd.scale.shape[0], 3,
+                                    wd.scale.shape[-1]), jnp.float32),
+            bits=wd.bits, group_size=0, orig_dtype=wd.orig_dtype,
+            block_rows=wd.block_rows)
+        bad["layers"] = layers
+        with pytest.raises(ValueError, match="quant groups"):
+            param_pspecs(bad, mesh)
