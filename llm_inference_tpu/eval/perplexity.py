@@ -49,6 +49,11 @@ def score_token_logprobs(
     ids = np.asarray(ids, np.int32)
     N = ids.shape[0]
     window = min(window, N)
+    if stride >= window and N > window:
+        # next window's first target (position `end`) would never be
+        # scored — caught hours later by the NaN assert; reject up front
+        raise ValueError(f"stride ({stride}) must be < window ({window}) "
+                         f"so consecutive windows overlap by ≥1 token")
 
     fwd = jax.jit(
         lambda p, i, q, c: _registry.get_model(cfg.name).forward(
@@ -117,11 +122,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         ids = ids[:args.max_tokens]
     print(f"[ppl] {ids.shape[0]} tokens", file=sys.stderr)
 
+    # family-aware weight prep (same dispatch as cli.build_engine: fusing
+    # qkv into wqkv is a LLAMA-layout contract — gemma2/mixtral keep raw
+    # keys and only get the blocked streaming layout)
+    from llm_inference_tpu.models import registry
+    model_mod = registry.get_model(cfg.name)
+    is_llama = model_mod is llama
     if args.quant != "none":
-        params = llama.quantize_params(
+        quantize_fn = getattr(model_mod, "quantize_params",
+                              llama.quantize_params)
+        params = quantize_fn(
             params, QuantConfig(weights=args.quant,
                                 group_size=args.group_size))
-    params = llama.prepare_params(params)
+    if is_llama:
+        params = llama.prepare_params(params)
+    elif args.quant != "none":
+        params = llama.prepare_params(params, fuse=False)
     ppl = perplexity(cfg, params, ids, args.window, args.stride)
     print(f"perplexity: {ppl:.4f}")
 

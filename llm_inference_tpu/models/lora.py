@@ -116,21 +116,32 @@ def load_peft_adapter(cfg: ModelConfig, path: str) -> Tuple[Dict, float]:
     with safe_open(os.path.join(path, "adapter_model.safetensors"),
                    framework="np") as f:
         for k in f.keys():
-            t = f.get_tensor(k)
             parts = k.split(".")
-            li = int(parts[parts.index("layers") + 1])
+            # skip non-decoder-layer entries (modules_to_save like
+            # lm_head/embed adapters) BEFORE indexing into the key
             proj = next((p for p in parts if p in TARGETS), None)
-            if proj is None:
+            if proj is None or "layers" not in parts:
                 continue
+            li = int(parts[parts.index("layers") + 1])
             which = "a" if "lora_A" in k else "b"
-            raw.setdefault(TARGETS[proj], {}).setdefault(li, {})[which] = t
+            raw.setdefault(TARGETS[proj],
+                           {}).setdefault(li, {})[which] = f.get_tensor(k)
     out = {}
     for name, per_layer in raw.items():
         L = cfg.num_layers
-        a_l = [np.asarray(per_layer[i]["a"], np.float32).T   # [d_in, r]
-               for i in range(L)]
-        b_l = [np.asarray(per_layer[i]["b"], np.float32).T   # [r, d_out]
-               for i in range(L)]
+        any_li = next(iter(per_layer))
+        r_eff, d_in = np.asarray(per_layer[any_li]["a"]).shape
+        d_out = np.asarray(per_layer[any_li]["b"]).shape[0]
+        a_l, b_l = [], []
+        for i in range(L):
+            if i in per_layer:
+                a_l.append(np.asarray(per_layer[i]["a"], np.float32).T)
+                b_l.append(np.asarray(per_layer[i]["b"], np.float32).T)
+            else:
+                # layers_to_transform-style partial adapters: untouched
+                # layers get zero factors (identity contribution)
+                a_l.append(np.zeros((d_in, r_eff), np.float32))
+                b_l.append(np.zeros((r_eff, d_out), np.float32))
         out[name] = (np.stack(a_l), np.stack(b_l))
     return out, scaling
 

@@ -201,9 +201,14 @@ def quantize_params(params: Params, qcfg, row_shards: int = 1,
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo"):
+        # row_shards aligns wo's INT4 pack blocks to TP shard boundaries
+        # (same contract as llama.quantize_params; under pure EP the
+        # attention weights replicate and row_shards stays 1)
+        blocks = row_shards if name == "wo" else 1
         layers[name] = jax.vmap(
-            lambda m: quantize(m, bits, qcfg.group_size,
-                               asymmetric=asym))(layers[name])
+            lambda m, _b=blocks: quantize(m, bits, qcfg.group_size,
+                                          pack_blocks=_b,
+                                          asymmetric=asym))(layers[name])
     for name in ("e_gate", "e_up", "e_down"):
         w = layers[name]                       # [L, E, K, N]
         L_, E_, K, N = w.shape
@@ -223,7 +228,8 @@ def quantize_params(params: Params, qcfg, row_shards: int = 1,
 
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
-           write_offsets, mask, cos, sin, expert_axis):
+           write_offsets, mask, cos, sin, expert_axis,
+           paged_history: bool = False):
     B, T, H = h.shape
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
@@ -242,7 +248,8 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
 
     from llm_inference_tpu.models.llama import cached_attention
     attn, cache = cached_attention(cfg, q, k, v, cache, layer_idx,
-                                   positions, write_offsets, mask)
+                                   positions, write_offsets, mask,
+                                   paged_history)
     h = h + mm("wo", attn.reshape(B, T, -1))
 
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
@@ -293,7 +300,8 @@ def forward(
     def body(carry, lp):
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, mask, cos, sin, expert_axis)
+                          write_offsets, mask, cos, sin, expert_axis,
+                          paged_history=paged_history)
         return (h, cache, idx + 1), None
 
     (h, new_cache, _), _ = jax.lax.scan(body, (h, cache, jnp.int32(0)), xs)

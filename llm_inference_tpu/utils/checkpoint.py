@@ -83,9 +83,16 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         rms_norm_eps=g("rms_norm_eps", 1e-5),
         tie_word_embeddings=bool(g("tie_word_embeddings", gemma)),
         rope_scaling=rope_scaling,
-        sliding_window=g("sliding_window") or 0,
+        # qwen2-style configs carry a sliding_window value but gate it
+        # behind use_sliding_window (default False in HF) — honoring the
+        # value alone would wrongly mask tokens beyond the window
+        sliding_window=(g("sliding_window") or 0)
+        if g("use_sliding_window", True) else 0,
         sliding_pattern="alternating" if gemma else "all",
-        qkv_bias=bool(g("attention_bias", False)),
+        # HF Qwen2 hardcodes q/k/v biases (no attention_bias config key),
+        # so the key's absence must not drop trained biases
+        qkv_bias=bool(g("attention_bias",
+                        str(family).startswith("qwen2"))),
         attn_logit_softcap=g("attn_logit_softcapping") or 0.0,
         final_logit_softcap=g("final_logit_softcapping") or 0.0,
         query_pre_attn_scalar=g("query_pre_attn_scalar") or 0.0,
@@ -122,7 +129,13 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         if name not in sd:
             raise KeyError(f"missing weight {name!r}; have e.g. "
                            f"{sorted(sd)[:5]}")
-        return _np(sd[name]).astype(np.float32)
+        a = _np(sd[name])
+        # keep f16 as-is: upcasting every tensor to f32 doubles peak host
+        # memory on the dominant checkpoint format, and _as_jnp's native
+        # f16→bf16 fast path (weight_io.cc) only runs on f16 input
+        if a.dtype in (np.float16, np.float32):
+            return a
+        return a.astype(np.float32)
 
     L = cfg.num_layers
     gemma = cfg.name.split("-")[0] == "gemma2"

@@ -31,6 +31,10 @@ class _Scope:
     def __init__(self, out_dir: str, max_layer: int):
         self.out_dir = out_dir
         self.max_layer = max_layer
+        # set by __exit__: run-time callbacks baked into still-cached
+        # compiled programs check this (NOT the thread-local — the
+        # runtime executes callbacks on its own threads)
+        self.closed = False
 
 
 def dump_activations(out_dir: str, max_layer: int = 2):
@@ -45,6 +49,8 @@ def dump_activations(out_dir: str, max_layer: int = 2):
             return out_dir
 
         def __exit__(self, *exc):
+            if _state.scope is not None:
+                _state.scope.closed = True
             _state.scope = None
 
     return _Ctx()
@@ -56,24 +62,34 @@ def _active() -> Optional[_Scope]:
 
 def tap(name: str, x, layer=None) -> None:
     """Dump `x` as <name>.npy (or layerNNN_<name>.npy) when a dump scope is
-    active; otherwise free (no trace pollution)."""
+    active; otherwise free (no trace pollution).
+
+    The gate is TRACE-time: a jitted program compiled OUTSIDE a scope has
+    no callback baked in and will never dump even if later run inside one
+    — use a fresh engine (or clear its jit caches) for dumping. The
+    converse leak is handled at RUN time: a program compiled inside a
+    scope re-checks the live scope in its callback, so dumps stop when
+    the scope exits instead of continuing for the process lifetime."""
     scope = _active()
     if scope is None:
         return
     import jax
     import numpy as np
 
-    out_dir, max_layer = scope.out_dir, scope.max_layer
-
     if layer is None:
-        def save(val):
-            np.save(os.path.join(out_dir, f"{name}.npy"), np.asarray(val))
+        def save(val, _s=scope):
+            if _s.closed:
+                return
+            np.save(os.path.join(_s.out_dir, f"{name}.npy"),
+                    np.asarray(val))
         jax.debug.callback(save, x)
         return
 
-    def save_l(val, lyr):
+    def save_l(val, lyr, _s=scope):
+        if _s.closed:
+            return
         lyr = int(lyr)
-        if lyr <= max_layer:
-            np.save(os.path.join(out_dir, f"layer{lyr:03d}_{name}.npy"),
+        if lyr <= _s.max_layer:
+            np.save(os.path.join(_s.out_dir, f"layer{lyr:03d}_{name}.npy"),
                     np.asarray(val))
     jax.debug.callback(save_l, x, layer)

@@ -31,6 +31,12 @@ namespace {
 inline uint16_t F32ToBf16(float f) {
   uint32_t bits;
   std::memcpy(&bits, &f, 4);
+  // NaN guard first: a low-payload NaN (upper-mantissa bits < 0x8000)
+  // would carry into the exponent under round-to-nearest-even and come
+  // out as Inf; ml_dtypes/XLA preserve NaN (quietened)
+  if ((bits & 0x7F800000u) == 0x7F800000u && (bits & 0x007FFFFFu)) {
+    return static_cast<uint16_t>((bits >> 16) | 0x0040u);  // quiet NaN
+  }
   // round-to-nearest-even, matching XLA/numpy ml_dtypes semantics
   uint32_t rounding = 0x7FFF + ((bits >> 16) & 1);
   return static_cast<uint16_t>((bits + rounding) >> 16);

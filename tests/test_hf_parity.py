@@ -165,3 +165,32 @@ class TestLlama31RopeScaling:
             jnp.arctan2(sin[1, :head_dim // 2], cos[1, :head_dim // 2]))))
         np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-5,
                                    atol=1e-7)
+
+
+class TestHFConfigQuirks:
+    def test_qwen2_biases_default_on(self):
+        """HF Qwen2 hardcodes q/k/v biases with NO attention_bias config
+        key — the converter must not silently drop them."""
+        from llm_inference_tpu.utils import checkpoint
+        cfg = checkpoint.model_config_from_hf(
+            {"model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+             "intermediate_size": 64, "num_hidden_layers": 2,
+             "num_attention_heads": 4, "num_key_value_heads": 2})
+        assert cfg.qkv_bias is True
+        cfg2 = checkpoint.model_config_from_hf(
+            {"model_type": "llama", "vocab_size": 64, "hidden_size": 32,
+             "intermediate_size": 64, "num_hidden_layers": 2,
+             "num_attention_heads": 4, "num_key_value_heads": 2})
+        assert cfg2.qkv_bias is False
+
+    def test_use_sliding_window_false_disables_window(self):
+        from llm_inference_tpu.utils import checkpoint
+        base = {"model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+                "intermediate_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "sliding_window": 512}
+        on = checkpoint.model_config_from_hf(
+            dict(base, use_sliding_window=True))
+        off = checkpoint.model_config_from_hf(
+            dict(base, use_sliding_window=False))
+        assert on.sliding_window == 512 and off.sliding_window == 0

@@ -244,3 +244,48 @@ class TestPeftLoader:
         want, _ = llama.forward(CFG, mp, ids, pos, c)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-3, rtol=2e-3)
+
+
+class TestPeftLoaderRobustness:
+    def _write(self, tmp_path, tensors, r=4, alpha=8):
+        import json as _json
+        import os
+        from safetensors.numpy import save_file
+        d = str(tmp_path / "peft")
+        os.makedirs(d, exist_ok=True)
+        save_file(tensors, os.path.join(d, "adapter_model.safetensors"))
+        _json.dump({"lora_alpha": alpha, "r": r},
+                   open(os.path.join(d, "adapter_config.json"), "w"))
+        return d
+
+    def test_non_layer_keys_skipped(self, tmp_path):
+        """modules_to_save entries (lm_head etc.) must be skipped, not
+        crash the 'layers' index lookup."""
+        r, H = 4, CFG.hidden_size
+        qd = CFG.num_heads * CFG.head_dim
+        t = {"base_model.model.lm_head.weight":
+             np.zeros((8, H), np.float32)}
+        for i in range(CFG.num_layers):
+            t[f"base_model.model.model.layers.{i}.self_attn.q_proj."
+              f"lora_A.weight"] = np.ones((r, H), np.float32)
+            t[f"base_model.model.model.layers.{i}.self_attn.q_proj."
+              f"lora_B.weight"] = np.ones((qd, r), np.float32)
+        d = self._write(tmp_path, t, r)
+        ad, sc = lora.load_peft_adapter(CFG, d)
+        assert "wq" in ad and ad["wq"][0].shape[0] == CFG.num_layers
+
+    def test_partial_layer_adapter_zero_fills(self, tmp_path):
+        """layers_to_transform-style adapters (only some layers trained)
+        zero-fill the untouched layers (identity contribution)."""
+        r, H = 4, CFG.hidden_size
+        qd = CFG.num_heads * CFG.head_dim
+        t = {"base_model.model.model.layers.0.self_attn.q_proj."
+             "lora_A.weight": np.ones((r, H), np.float32),
+             "base_model.model.model.layers.0.self_attn.q_proj."
+             "lora_B.weight": np.ones((qd, r), np.float32)}
+        d = self._write(tmp_path, t, r)
+        ad, sc = lora.load_peft_adapter(CFG, d)
+        a, b = ad["wq"]
+        assert a.shape == (CFG.num_layers, H, r)
+        assert np.abs(a[0]).sum() > 0
+        assert np.abs(a[1:]).sum() == 0 and np.abs(b[1:]).sum() == 0

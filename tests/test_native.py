@@ -94,3 +94,14 @@ class TestNativeConvert:
         want = x.astype(np.float32).astype(ml_dtypes.bfloat16)
         np.testing.assert_array_equal(got.view(np.uint16),
                                       want.view(np.uint16))
+
+    def test_nan_preserved_not_inf(self):
+        """Low-payload NaNs must stay NaN through the native converter —
+        round-to-nearest-even without a NaN guard carries into the
+        exponent and produces Inf (ml_dtypes/XLA preserve NaN)."""
+        bad = np.array([0x7F800001, 0xFF800001, 0x7FC00000, 0x7F801234],
+                       np.uint32).view(np.float32)
+        got = native.convert_to_bf16(bad)
+        import ml_dtypes
+        assert np.isnan(got.view(ml_dtypes.bfloat16)
+                        .astype(np.float32)).all()
