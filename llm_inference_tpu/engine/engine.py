@@ -176,20 +176,27 @@ class InferenceEngine:
             return None
         return jnp.asarray(slots, jnp.int32)
 
-    def _bias_rows(self, logit_bias, batch: int):
-        """{token_id: bias} → [B, V] f32 bias array (same row broadcast),
-        or None when unset. Out-of-range ids are rejected."""
-        if not logit_bias:
-            return None
+    def _bias_row_np(self, logit_bias) -> np.ndarray:
+        """{token_id: bias} → [V] f32 row (validated) — the ONE builder
+        every logit_bias consumer uses (engine + scheduler paths)."""
         V = self.cfg.vocab_size
         row = np.zeros((V,), np.float32)
-        for t, b in logit_bias.items():
+        for t, b in (logit_bias or {}).items():
             t = int(t)
             if not 0 <= t < V:
                 raise ValueError(f"logit_bias token id {t} out of range "
                                  f"[0, {V})")
             row[t] = float(b)
-        return jnp.broadcast_to(jnp.asarray(row), (batch, V))
+        return row
+
+    def _bias_rows(self, logit_bias, batch: int):
+        """{token_id: bias} → [B, V] f32 bias array (same row broadcast),
+        or None when unset. Out-of-range ids are rejected."""
+        if not logit_bias:
+            return None
+        row = self._bias_row_np(logit_bias)
+        return jnp.broadcast_to(jnp.asarray(row),
+                                (batch, self.cfg.vocab_size))
 
     def _fwd_for(self, cache) -> Callable:
         from llm_inference_tpu.ops.paged_kvcache import PagedKVCache
@@ -663,20 +670,20 @@ class InferenceEngine:
                 self.params, cache, token, pos, key, counts, seen, aidx,
                 bias)
             toks_np = np.asarray(toks)        # [B, steps]
-            decoded += steps
             for i in range(B):
                 for j in range(steps):
                     if finished[i]:
                         break
                     t = int(toks_np[i, j])
                     results[i].append(t)
+                    decoded += 1              # only DELIVERED tokens count
                     if t in eos:
                         finished[i] = True
                     elif stream is not None:
                         self._stream_one(stream, i, t)
             produced += steps
         dt = time.perf_counter() - t_dec
-        tps = decoded * B / dt if dt > 0 else 0.0
+        tps = decoded / dt if dt > 0 else 0.0
         self.metrics.observe("decode_tokens_per_s", tps)
 
         out = []

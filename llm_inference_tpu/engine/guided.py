@@ -282,6 +282,9 @@ class _RegexParser:
             raise ValueError(f"bad repeat bounds {{{lo},{hi}}}")
         if lo == 0 and hi is None:          # {0,} == *
             return self.nfa.star(first)
+        if hi == 0:                          # {0} / {0,0}: exactly empty
+            # (`first` stays orphaned in the NFA — unreachable, harmless)
+            return self.nfa.frag_empty()
         parts: List[_Frag] = []
         if lo > 0:
             parts.append(first)

@@ -43,6 +43,9 @@ from llm_inference_tpu.ops import kvcache, sampling
 
 TOP_LOGPROBS_CAP = 16   # static top-k width of the logprobs program (one
                         # extra compiled variant, any request n ≤ cap)
+# HBM budget for the stacked guided-decoding DFA tables ([C,S,V] bool +
+# int16); exceeding it rejects the SUBMIT (never the scheduler loop)
+GUIDED_TABLE_MAX_ENTRIES = 256 * 1024 * 1024
 
 
 @dataclasses.dataclass
@@ -108,6 +111,18 @@ class Request:
     final_text: Optional[str] = None  # decoded output trimmed at stop_hit
     _text: str = ""                 # incremental decode for stop matching
     halt_stream_at: Optional[int] = None  # first output index NOT streamed
+
+    def reset_generation(self) -> None:
+        """Reset for a from-the-prompt replay (preemption / elastic
+        drain). stream_pos is KEPT so clients never see duplicate tokens;
+        the replay is byte-identical under seeded sampling."""
+        self.output_ids = []
+        self.output_logprobs = []
+        self.output_top_logprobs = []
+        self.first_token_t = 0.0
+        self.finished = False
+        self._text = ""
+        self.halt_stream_at = None
 
     @property
     def ttft_s(self) -> float:
@@ -237,29 +252,33 @@ class ContinuousBatchingScheduler:
         idx = self._dfa_key2idx.get(k)
         if idx is not None:
             return idx
-        idx = len(self._dfa_list)
-        self._dfa_list.append(dfa)
-        self._dfa_key2idx[k] = idx
         V = self.engine.cfg.vocab_size
-        S = max(d.n_states for d in self._dfa_list)
+        # validate the CANDIDATE registry fully before mutating anything:
+        # a raise after registration would poison the key cache (a retry
+        # of the same constraint would be admitted with NO device tables
+        # and decode unconstrained)
+        if dfa.vocab_size != V:
+            raise ValueError(f"constraint vocab {dfa.vocab_size} != "
+                             f"model vocab {V}")
+        cand = self._dfa_list + [dfa]
+        S = max(d.n_states for d in cand)
         S_pad = max(8, 1 << (S - 1).bit_length())
-        C_pad = 1 << (len(self._dfa_list) - 1).bit_length() \
-            if len(self._dfa_list) > 1 else 1
+        C_pad = 1 << (len(cand) - 1).bit_length() if len(cand) > 1 else 1
         # int16 transitions halve the dominant table (S is capped at
         # guided.MAX_CHAR_STATES + done < 2^15); guard total HBM cost
-        if C_pad * S_pad * V > 256 * 1024 * 1024:
+        if C_pad * S_pad * V > GUIDED_TABLE_MAX_ENTRIES:
             raise ValueError(
                 f"guided-decoding tables would need {C_pad}x{S_pad}x{V} "
                 f"entries — too many resident constraints / states; "
                 f"simplify the constraint or retire old ones")
         gmask = np.zeros((C_pad, S_pad, V), bool)
         gtrans = np.zeros((C_pad, S_pad, V), np.int16)
-        for i, d in enumerate(self._dfa_list):
-            if d.vocab_size != V:
-                raise ValueError(f"constraint vocab {d.vocab_size} != "
-                                 f"model vocab {V}")
+        for i, d in enumerate(cand):
             gmask[i, :d.n_states] = d.mask
             gtrans[i, :d.n_states] = d.trans.astype(np.int16)
+        idx = len(self._dfa_list)
+        self._dfa_list.append(dfa)
+        self._dfa_key2idx[k] = idx
         self._gmask_dev = jnp.asarray(gmask)
         self._gtrans_dev = jnp.asarray(gtrans)
         return idx
@@ -301,10 +320,7 @@ class ContinuousBatchingScheduler:
                     (self.B, self.engine.cfg.vocab_size), jnp.float32)
         if self._bias is not None and (req.logit_bias
                                        or self.bias_on_host[slot]):
-            V = self.engine.cfg.vocab_size
-            row = np.zeros((V,), np.float32)
-            for t, b in (req.logit_bias or {}).items():
-                row[int(t)] = float(b)
+            row = self.engine._bias_row_np(req.logit_bias)
             self._bias = self._row_set_jit(self._bias, jnp.asarray(row),
                                            jnp.int32(slot))
         self.bias_on_host[slot] = bool(req.logit_bias)
@@ -371,6 +387,8 @@ class ContinuousBatchingScheduler:
             raise ValueError(
                 f"prompt({len(ids)}) + max_new_tokens exceeds max_seq_len "
                 f"{self.S}")
+        self._validate_capacity(len(ids),
+                                max_new_tokens or self.gen.max_new_tokens)
         if isinstance(stop, str):
             stop = [stop]
         req = Request(req_id=next(self._ids), prompt_ids=ids,
@@ -419,6 +437,22 @@ class ContinuousBatchingScheduler:
             [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp),
             adapter_idx=aidx1)
         logits = logits[:1]
+        first, done = self._first_token_epilogue(slot, req, logits)
+        if done:
+            return True
+        pos1 = jnp.asarray([len(req.prompt_ids)], jnp.int32)
+        self.cache, self.token, self.pos = self._insert_jit(
+            self.cache, one_cache, first.astype(jnp.int32), pos1,
+            self.token, self.pos, jnp.int32(slot))
+        self._set_slot_sampling(slot, req)
+        self.slot_req[slot] = req
+        return True
+
+    def _first_token_epilogue(self, slot: int, req: Request, logits):
+        """Shared admission tail (dense AND paged): sample the first token
+        with the request's knobs, record it (logprobs, stop checks, TTFT),
+        and retire the request if it already finished. Returns the sampled
+        device array and whether the request is done."""
         first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
         tok_np, lp_np = jax.device_get((first, first_lp))
@@ -441,14 +475,8 @@ class ContinuousBatchingScheduler:
             req.done_t = time.perf_counter()
             self.slot_req[slot] = None
             self._on_retire(slot)
-            return True
-        pos1 = jnp.asarray([len(req.prompt_ids)], jnp.int32)
-        self.cache, self.token, self.pos = self._insert_jit(
-            self.cache, one_cache, first.astype(jnp.int32), pos1,
-            self.token, self.pos, jnp.int32(slot))
-        self._set_slot_sampling(slot, req)
-        self.slot_req[slot] = req
-        return True
+            return first, True
+        return first, False
 
     def _harvest(self, toks_np: np.ndarray,
                  lps_np: Optional[np.ndarray] = None,
@@ -489,6 +517,11 @@ class ContinuousBatchingScheduler:
                 # dirty so the next occupant's admission zeroes it
                 # (use_bias only scans live slots, so no cost meanwhile)
                 self._on_retire(b)
+
+    def _validate_capacity(self, prompt_len: int, max_new: int) -> None:
+        """Hook: reject a request that could NEVER be served (the paged
+        backend checks the page pool — without this, an oversized request
+        would hot-spin forever between preemption and re-admission)."""
 
     def _on_retire(self, slot: int) -> None:
         """Hook: a slot's request finished (paged backend frees pages)."""
@@ -572,9 +605,7 @@ class ContinuousBatchingScheduler:
             seen_row[np.asarray(req.prompt_ids, np.int64) % V] = True
         # logit_bias + guided-constraint start mask, folded into one
         # additive row (disallowed tokens get -inf)
-        bias_row = np.zeros((V,), np.float32)
-        for t_, b_ in (req.logit_bias or {}).items():
-            bias_row[int(t_)] = float(b_)
+        bias_row = self.engine._bias_row_np(req.logit_bias)
         if req.constraint is not None:
             bias_row = bias_row + np.where(
                 req.constraint.mask[req.constraint.start], 0.0,
@@ -701,14 +732,9 @@ class ContinuousBatchingScheduler:
             if req is None:
                 continue
             self.slot_req[b] = None
+            self.dstate_host[b] = -1
             self._on_retire(b)
-            req.output_ids = []
-            req.output_logprobs = []
-            req.output_top_logprobs = []
-            req.first_token_t = 0.0
-            req.finished = False
-            req._text = ""
-            req.halt_stream_at = None
+            req.reset_generation()
             drained.append(req)
         for req in reversed(drained):
             self.queue.appendleft(req)
@@ -827,18 +853,21 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.dstate_host[slot] = -1
         # bias_on_host intentionally NOT cleared (dirty-row marker)
         self._on_retire(slot)
-        req.output_ids = []          # replayed from the prompt (the replay
-        req.output_logprobs = []     # is byte-identical: seeded sampling)
-        req.output_top_logprobs = []
-        req.first_token_t = 0.0
-        req.finished = False         # stream_pos is kept: no duplicates
-        req._text = ""
-        req.halt_stream_at = None
-        self.queue.appendleft(req)
+        req.reset_generation()       # replayed from the prompt — byte-
+        self.queue.appendleft(req)   # identical under seeded sampling
 
     def _sync_table(self) -> None:
         self.cache = self.cache.replace(
             page_table=jnp.asarray(self.pt_host))
+
+    def _validate_capacity(self, prompt_len: int, max_new: int) -> None:
+        need = (prompt_len + max_new + self.ps - 1) // self.ps
+        usable = self.alloc.num_pages - 1          # page 0 is reserved
+        if need > usable:
+            raise ValueError(
+                f"request needs {need} KV pages but the pool has {usable} "
+                f"— it could never be admitted (raise num_pages or lower "
+                f"max_new_tokens)")
 
     def _on_retire(self, slot: int) -> None:
         if self.store is not None:
@@ -979,27 +1008,8 @@ class PagedScheduler(ContinuousBatchingScheduler):
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
-        first, first_lp, ftv, fti = self._sample_first(logits, req)
-        req.first_token_t = time.perf_counter()
-        tok_np, lp_np = jax.device_get((first, first_lp))
-        tok = int(tok_np[0])
-        stops = self._stops(req)
-        req.output_ids.append(tok)
-        req.output_logprobs.append(float(lp_np[0]))
-        if req.top_logprobs:
-            tv, ti = jax.device_get((ftv, fti))
-            req.output_top_logprobs.append(
-                [(int(i), float(v)) for i, v in
-                 zip(ti[0][:req.top_logprobs], tv[0][:req.top_logprobs])])
-        self._check_stop_strings(req, tok)
-        if tok not in stops:
-            self._emit(req)
-        self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if (tok in stops or req.finished
-                or len(req.output_ids) >= req.max_new_tokens):
-            req.finished = req.finished or tok in stops
-            req.done_t = time.perf_counter()
-            self._on_retire(slot)
+        first, done = self._first_token_epilogue(slot, req, logits)
+        if done:
             return True
         self.token, self.pos = self._set_tok_pos(
             self.token, self.pos, first.astype(jnp.int32),

@@ -46,6 +46,21 @@ from llm_inference_tpu.engine.scheduler import (ContinuousBatchingScheduler,
                                                 PagedScheduler)
 
 
+def _final_text(req, tok) -> str:
+    """Completion text for a finished request: stop-string requests are
+    already trimmed (final_text); stop-TOKEN requests exclude the
+    terminating token's piece (the stream path never emitted it, and
+    OpenAI responses don't include stop sequences)."""
+    if req.final_text is not None:
+        return req.final_text
+    if tok is None:
+        return ""
+    ids = req.output_ids
+    if req.finished and ids:
+        ids = ids[:-1]
+    return tok.decode(ids)
+
+
 class ServingBackend:
     """Thread-safe wrapper: scheduler + background step loop + completion
     signaling. Usable on its own (tests drive it without sockets)."""
@@ -235,7 +250,7 @@ def make_handler(backend: ServingBackend):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 prompt = body["prompt"]
-            except (KeyError, ValueError) as e:
+            except (KeyError, TypeError, ValueError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
             max_new = body.get("max_new_tokens")
@@ -294,8 +309,7 @@ def make_handler(backend: ServingBackend):
                 else:
                     req = backend.submit(prompt, max_new, **samp)
                     backend.wait(req)
-                    text = (req.final_text if req.final_text is not None
-                            else tok.decode(req.output_ids) if tok else "")
+                    text = _final_text(req, tok)
                     resp = {
                         "request_id": req.req_id,
                         "token_ids": req.output_ids,
@@ -473,8 +487,7 @@ def make_handler(backend: ServingBackend):
                 return
             choices = []
             for i, req in enumerate(reqs):
-                text = (req.final_text if req.final_text is not None
-                        else tok.decode(req.output_ids) if tok else "")
+                text = _final_text(req, tok)
                 finish = "stop" if req.finished else "length"
                 if chat:
                     choice = {"index": i, "finish_reason": finish,

@@ -561,3 +561,52 @@ class TestReviewRegressions:
         with pytest.raises(ValueError, match="tables"):
             sched.submit([1, 2], guided_choice=[[5, 6]])
         sched._register_dfa = old
+
+
+class TestReviewRegressions2:
+    def test_zero_repeat_quantifier(self):
+        """a{0} / {0,0} must match exactly the empty string (it used to
+        compile to 0-or-1)."""
+        d = guided.char_dfa_for_regex("a{0}b")
+        def match(dfa, s):
+            cur = dfa.start
+            for c in s:
+                cur = dfa.step(cur, c)
+                if cur == 0:
+                    return False
+            return cur in dfa.accept
+        assert match(d, "b") and not match(d, "ab")
+        # reachable from schemas: maxItems == 1 must reject 2 elements
+        schema = {"type": "object",
+                  "properties": {"xs": {"type": "array",
+                                        "items": {"type": "integer"},
+                                        "minItems": 1, "maxItems": 1}}}
+        pat = guided.regex_for_json_schema(schema)
+        d2 = guided.char_dfa_for_regex(pat)
+        assert match(d2, '{"xs": [1]}')
+        assert not match(d2, '{"xs": [1, 2]}')
+
+    def test_failed_registration_does_not_poison_registry(self):
+        """A constraint whose tables exceed the size guard must raise on
+        EVERY submit (a cached-but-tableless registration would decode
+        unconstrained on retry)."""
+        eng = _engine()
+        sched = ContinuousBatchingScheduler(eng, GEN, slots=2)
+        import llm_inference_tpu.engine.scheduler as S
+        dfa = guided.from_token_sequences([[5, 6]], CFG.vocab_size, [2])
+        big = guided.TokenDFA(
+            trans=np.zeros((512, CFG.vocab_size), np.int32),
+            mask=np.zeros((512, CFG.vocab_size), bool), start=1)
+        old_cap = S.GUIDED_TABLE_MAX_ENTRIES
+        S.GUIDED_TABLE_MAX_ENTRIES = 64 * CFG.vocab_size   # force the guard
+        try:
+            with pytest.raises(ValueError, match="tables"):
+                sched._register_dfa(big)
+        finally:
+            S.GUIDED_TABLE_MAX_ENTRIES = old_cap
+        # the failed constraint must NOT be in the registry
+        assert big.key() not in sched._dfa_key2idx
+        # and a legitimate constraint still registers + builds tables
+        idx = sched._register_dfa(dfa)
+        assert sched._gmask_dev is not None
+        assert sched._gmask_dev.shape[0] >= idx + 1

@@ -215,3 +215,33 @@ class TestInterleavedPrefill:
         assert a_int == a_ser       # seeded stream unchanged by schedule
         assert b_int == b_ser       # admitted prompt's KV uncorrupted
         assert len(b_int) == 10
+
+
+class TestPoolCapacityGuard:
+    def test_impossible_request_rejected_at_submit(self):
+        """A request whose KV need exceeds the whole page pool must be
+        rejected up front — otherwise the scheduler hot-spins forever
+        between preemption and re-admission (no client error, repeated
+        device prefills)."""
+        from llm_inference_tpu.config import (EngineConfig,
+                                              GenerationConfig, tiny_llama)
+        from llm_inference_tpu.engine.engine import InferenceEngine
+        from llm_inference_tpu.engine.scheduler import PagedScheduler
+        import jax as _jax
+        from llm_inference_tpu.models import llama as _llama
+        cfg = tiny_llama(num_kv_heads=2)
+        eng = InferenceEngine(
+            cfg, _llama.init_params(cfg, _jax.random.PRNGKey(0)),
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16), page_size=8))
+        gen = GenerationConfig(greedy=True, max_new_tokens=40,
+                               eos_token_ids=())
+        sched = PagedScheduler(eng, gen, slots=2, num_pages=4)  # 3 usable
+        with pytest.raises(ValueError, match="KV pages"):
+            sched.submit([3, 4, 5])          # needs ceil(43/8)=6 pages
+        # a servable request still goes through
+        r = sched.submit([3, 4], max_new_tokens=8)
+        while sched.step():
+            pass
+        assert len(r.output_ids) == 8

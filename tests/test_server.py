@@ -552,3 +552,41 @@ class TestSpeculativeServing:
         spec.wait(g, timeout=120)
         spec.shutdown()
         assert g.output_ids == w.output_ids
+
+
+class TestStopTokenTextTrim:
+    def test_text_excludes_stop_token_piece(self):
+        """Non-streaming responses must not include the terminating stop
+        token's text (the stream never emitted it)."""
+        class Tok:
+            def encode(self, text, add_bos=True):
+                return [int(t) for t in text.split()]
+
+            def decode(self, ids):
+                return "".join(f"{t} " for t in ids)
+
+            def decode_token(self, tid):
+                return f"{tid} "
+
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        engine = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)),
+            tokenizer=Tok())
+        gen = GenerationConfig(greedy=True, max_new_tokens=10,
+                               eos_token_ids=())
+        b = srv.ServingBackend(engine, gen, slots=2)
+        base = b.submit([5, 6, 7])
+        b.wait(base, timeout=120)
+        stop_tok = base.output_ids[3]
+        r = b.submit([5, 6, 7], stop_token_ids=[stop_tok])
+        b.wait(r, timeout=120)
+        b.shutdown()
+        assert r.output_ids[-1] == stop_tok         # ids keep it
+        text = srv._final_text(r, Tok())
+        assert f"{stop_tok} " not in text.split(str(stop_tok) + " ")[0] \
+            or not text.endswith(f"{stop_tok} ")
+        assert text == "".join(f"{t} " for t in r.output_ids[:-1])
