@@ -55,6 +55,9 @@ class ModelConfig:
     sliding_pattern: str = "all"
     # Bias terms on qkv projection (qwen2 uses them).
     qkv_bias: bool = False
+    # per-head RMSNorm on q and k after the projections, before RoPE
+    # (the qwen3 family; weight shape [head_dim] per layer)
+    qk_norm: bool = False
     # Gemma-2 specifics: attention scale uses this instead of head_dim
     # (0 → head_dim), embeddings scaled by sqrt(hidden_size).
     query_pre_attn_scalar: float = 0.0
@@ -160,6 +163,15 @@ def qwen2_7b(**kw) -> ModelConfig:
                        qkv_bias=True, tie_word_embeddings=False, **kw)
 
 
+def qwen3_8b(**kw) -> ModelConfig:
+    """Qwen3-8B: llama architecture + per-head QK-norm (no qkv biases)."""
+    return ModelConfig(name="qwen3-8b", vocab_size=151936, hidden_size=4096,
+                       intermediate_size=12288, num_layers=36, num_heads=32,
+                       num_kv_heads=8, head_dim=128, rms_norm_eps=1e-6,
+                       rope_theta=1000000.0, max_position_embeddings=40960,
+                       qk_norm=True, tie_word_embeddings=False, **kw)
+
+
 def mixtral_8x7b(**kw) -> ModelConfig:
     """Mixtral-8x7B: llama attention + top-2 of 8 experts per token."""
     return ModelConfig(name="mixtral-8x7b", vocab_size=32000,
@@ -218,6 +230,7 @@ PRESETS = {
     "llama3.1-70b": llama3_1_70b,
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
+    "qwen3-8b": qwen3_8b,
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,

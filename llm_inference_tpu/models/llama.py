@@ -103,6 +103,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         layers["bq"] = jnp.zeros((L, Hq * D), dtype)
         layers["bk"] = jnp.zeros((L, Hkv * D), dtype)
         layers["bv"] = jnp.zeros((L, Hkv * D), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
     params: Params = {
         "embed": rnd(ks[7], (V, H)),
         "layers": layers,
@@ -589,6 +592,11 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
     k = k.reshape(B, T, -1, D)
     v = v.reshape(B, T, -1, D)
+    if cfg.qk_norm:
+        # qwen3: per-head RMSNorm over head_dim, before RoPE (HF
+        # Qwen3Attention applies q_norm/k_norm to the reshaped heads)
+        q = norms.rms_norm(q, lp["q_norm"], eps)
+        k = norms.rms_norm(k, lp["k_norm"], eps)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
@@ -718,4 +726,5 @@ _registry.register_model("llama3", _sys.modules[__name__])
 # same decoder family, differing only by config (sliding window / qkv bias)
 _registry.register_model("mistral", _sys.modules[__name__])
 _registry.register_model("qwen2", _sys.modules[__name__])
+_registry.register_model("qwen3", _sys.modules[__name__])
 _registry.register_model("tiny", _sys.modules[__name__])

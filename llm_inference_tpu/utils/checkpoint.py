@@ -90,9 +90,11 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         if g("use_sliding_window", True) else 0,
         sliding_pattern="alternating" if gemma else "all",
         # HF Qwen2 hardcodes q/k/v biases (no attention_bias config key),
-        # so the key's absence must not drop trained biases
+        # so the key's absence must not drop trained biases (Qwen3 DOES
+        # carry the key, default False)
         qkv_bias=bool(g("attention_bias",
                         str(family).startswith("qwen2"))),
+        qk_norm=str(family) == "qwen3",
         attn_logit_softcap=g("attn_logit_softcapping") or 0.0,
         final_logit_softcap=g("final_logit_softcapping") or 0.0,
         query_pre_attn_scalar=g("query_pre_attn_scalar") or 0.0,
@@ -142,6 +144,7 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
     moe = cfg.num_experts > 0
     acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                            "w_gate", "w_up", "w_down", "bq", "bk", "bv",
+                           "q_norm", "k_norm",
                            "post_attn_norm", "post_ffn_norm",
                            "router", "e_gate", "e_up", "e_down")}
     for i in range(L):
@@ -154,6 +157,9 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
             acc["bq"].append(get(p + "self_attn.q_proj.bias"))
             acc["bk"].append(get(p + "self_attn.k_proj.bias"))
             acc["bv"].append(get(p + "self_attn.v_proj.bias"))
+        if cfg.qk_norm:
+            acc["q_norm"].append(get(p + "self_attn.q_norm.weight"))
+            acc["k_norm"].append(get(p + "self_attn.k_norm.weight"))
         acc["wo"].append(get(p + "self_attn.o_proj.weight").T)
         if gemma:
             # gemma2's sandwich norms: post_attention is a POST norm and

@@ -58,3 +58,54 @@ class TestFamilies:
         assert "bqkv" in prep["layers"]
         l2, _ = run_model(cfg, prep)
         np.testing.assert_allclose(l1, l2, atol=5e-3, rtol=1e-3)
+
+
+class TestQwen3:
+    def test_qk_norm_changes_logits_and_survives_prepare(self):
+        cfg = tiny_llama(num_kv_heads=2, qk_norm=True)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        assert "q_norm" in params["layers"]
+        l0, _ = run_model(cfg, params)
+        params["layers"]["q_norm"] = (
+            jnp.ones_like(params["layers"]["q_norm"]) * 1.7)
+        l1, _ = run_model(cfg, params)
+        assert not np.allclose(l0, l1, atol=1e-5)
+        # fused + blocked serving layout keeps the norms as plain lp keys
+        prep = llama.prepare_params(params, donate=False)
+        l2, _ = run_model(cfg, prep)
+        np.testing.assert_allclose(l1, l2, atol=5e-3, rtol=1e-3)
+
+    def test_hf_parity_qwen3(self):
+        """Logits parity vs transformers Qwen3ForCausalLM (the per-head
+        QK-norm + no-bias family)."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from llm_inference_tpu.utils import checkpoint
+        from llm_inference_tpu.models import registry as _registry
+        hf_cfg = transformers.Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=128, rms_norm_eps=1e-6,
+            rope_theta=10000.0, tie_word_embeddings=False,
+            attention_bias=False, torch_dtype="float32")
+        torch.manual_seed(0)
+        hf = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+        cfg = checkpoint.model_config_from_hf(hf.config)
+        assert cfg.qk_norm and not cfg.qkv_bias
+        cfg = cfg.__class__(**{**cfg.to_dict(), "dtype": "float32"})
+        params = checkpoint.convert_hf_state_dict(cfg, hf.state_dict(),
+                                                  dtype="float32")
+        rng = np.random.default_rng(0)
+        ids = rng.integers(2, 120, (2, 7)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        import jax.numpy as _jnp
+        from llm_inference_tpu.ops import kvcache
+        cache = kvcache.init_cache(cfg.num_layers, 2, cfg.num_kv_heads,
+                                   16, cfg.head_dim, _jnp.float32)
+        pos = _jnp.tile(_jnp.arange(7, dtype=_jnp.int32), (2, 1))
+        got, _ = llama.forward(cfg, params, _jnp.asarray(ids, _jnp.int32),
+                               pos, cache, logits_mode="all")
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=2e-3)
