@@ -172,6 +172,15 @@ def qwen3_8b(**kw) -> ModelConfig:
                        qk_norm=True, tie_word_embeddings=False, **kw)
 
 
+def phi3_mini(**kw) -> ModelConfig:
+    """Phi-3-mini-4k: llama architecture (MHA, fused checkpoint keys)."""
+    return ModelConfig(name="phi3-mini", vocab_size=32064, hidden_size=3072,
+                       intermediate_size=8192, num_layers=32, num_heads=32,
+                       num_kv_heads=32, head_dim=96, rms_norm_eps=1e-5,
+                       rope_theta=10000.0, max_position_embeddings=4096,
+                       tie_word_embeddings=False, **kw)
+
+
 def mixtral_8x7b(**kw) -> ModelConfig:
     """Mixtral-8x7B: llama attention + top-2 of 8 experts per token."""
     return ModelConfig(name="mixtral-8x7b", vocab_size=32000,
@@ -231,6 +240,7 @@ PRESETS = {
     "mistral-7b": mistral_7b,
     "qwen2-7b": qwen2_7b,
     "qwen3-8b": qwen3_8b,
+    "phi3-mini": phi3_mini,
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,

@@ -727,4 +727,5 @@ _registry.register_model("llama3", _sys.modules[__name__])
 _registry.register_model("mistral", _sys.modules[__name__])
 _registry.register_model("qwen2", _sys.modules[__name__])
 _registry.register_model("qwen3", _sys.modules[__name__])
+_registry.register_model("phi3", _sys.modules[__name__])
 _registry.register_model("tiny", _sys.modules[__name__])

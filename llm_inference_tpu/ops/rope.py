@@ -68,12 +68,32 @@ def make_rope_table(
         blended = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
         medium = (wavelen >= orig / hi) & (wavelen <= orig / lo)
         inv_freq = jnp.where(medium, blended, scaled)
+    mscale = 1.0
+    if scaling and stype == "longrope":
+        # Phi-3 LongRoPE: per-dimension frequency rescale factors plus an
+        # attention magnitude factor on cos/sin. HF picks short vs long
+        # factors by the RUNTIME sequence length crossing
+        # original_max_position_embeddings (re-roping cached history!);
+        # here the choice is static by the table size — consistent for a
+        # KV-cache serving engine, identical to HF whenever the serving
+        # context sits entirely on one side of the threshold.
+        orig = float(scaling.get("original_max_position_embeddings",
+                                 max_positions))
+        use_long = max_positions > orig
+        fac = scaling["long_factor" if use_long else "short_factor"]
+        inv_freq = inv_freq / jnp.asarray(fac, jnp.float32)
+        s = max(float(scaling.get("max_position_embeddings",
+                                  max_positions)) / orig, 1.0)
+        if s > 1.0:
+            import math
+            mscale = math.sqrt(1.0 + math.log(s) / math.log(orig))
     pos = jnp.arange(max_positions, dtype=jnp.float32)
     if scaling and stype == "linear":
         pos = pos / float(scaling["factor"])
     freqs = jnp.outer(pos, inv_freq)                       # [P, d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)         # [P, d]
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return ((jnp.cos(emb) * mscale).astype(dtype),
+            (jnp.sin(emb) * mscale).astype(dtype))
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:

@@ -59,6 +59,16 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
     rope_scaling = g("rope_scaling")
     if rope_scaling is not None and not isinstance(rope_scaling, dict):
         rope_scaling = dict(rope_scaling)
+    if rope_scaling and (rope_scaling.get("type")
+                         or rope_scaling.get("rope_type")) == "longrope":
+        # phi3 keeps the longrope magnitude inputs at the TOP level of the
+        # config — fold them into the scaling dict ops/rope.py consumes
+        rope_scaling = dict(rope_scaling)
+        rope_scaling.setdefault("max_position_embeddings",
+                                g("max_position_embeddings", 4096))
+        rope_scaling.setdefault(
+            "original_max_position_embeddings",
+            g("original_max_position_embeddings", 4096))
     family = g("model_type", "llama")
     if str(family).startswith("gemma") and family != "gemma2":
         raise NotImplementedError(
@@ -147,12 +157,24 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
                            "q_norm", "k_norm",
                            "post_attn_norm", "post_ffn_norm",
                            "router", "e_gate", "e_up", "e_down")}
+    phi3 = cfg.name.split("-")[0] == "phi3"
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
     for i in range(L):
         p = f"layers.{i}."
         acc["attn_norm"].append(get(p + "input_layernorm.weight"))
-        acc["wq"].append(get(p + "self_attn.q_proj.weight").T)   # [H, HqD]
-        acc["wk"].append(get(p + "self_attn.k_proj.weight").T)
-        acc["wv"].append(get(p + "self_attn.v_proj.weight").T)
+        if phi3:
+            # phi3 checkpoints store FUSED projections — split them into
+            # the canonical layout (fuse_params re-fuses at load, with
+            # TP-interleaved columns)
+            qkv = get(p + "self_attn.qkv_proj.weight")   # [(Hq+2Hkv)D, H]
+            acc["wq"].append(qkv[:nq].T)
+            acc["wk"].append(qkv[nq:nq + nkv].T)
+            acc["wv"].append(qkv[nq + nkv:].T)
+        else:
+            acc["wq"].append(get(p + "self_attn.q_proj.weight").T)
+            acc["wk"].append(get(p + "self_attn.k_proj.weight").T)
+            acc["wv"].append(get(p + "self_attn.v_proj.weight").T)
         if cfg.qkv_bias:
             acc["bq"].append(get(p + "self_attn.q_proj.bias"))
             acc["bk"].append(get(p + "self_attn.k_proj.bias"))
@@ -186,6 +208,12 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
             acc["e_down"].append(np.stack(
                 [get(p + f"block_sparse_moe.experts.{e}.w2.weight").T
                  for e in range(cfg.num_experts)]))
+        elif phi3:
+            gu = get(p + "mlp.gate_up_proj.weight")          # [2I, H]
+            half = gu.shape[0] // 2
+            acc["w_gate"].append(gu[:half].T)
+            acc["w_up"].append(gu[half:].T)
+            acc["w_down"].append(get(p + "mlp.down_proj.weight").T)
         else:
             acc["w_gate"].append(get(p + "mlp.gate_proj.weight").T)  # [H, I]
             acc["w_up"].append(get(p + "mlp.up_proj.weight").T)

@@ -109,3 +109,67 @@ class TestQwen3:
                                pos, cache, logits_mode="all")
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
                                    rtol=2e-3)
+
+
+class TestPhi3:
+    def test_hf_parity_phi3(self):
+        """Logits parity vs transformers Phi3ForCausalLM — the fused
+        qkv_proj / gate_up_proj checkpoint layout splits into the
+        canonical keys at load."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from llm_inference_tpu.utils import checkpoint
+        hf_cfg = transformers.Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0,
+            tie_word_embeddings=False, pad_token_id=0,
+            torch_dtype="float32")
+        torch.manual_seed(0)
+        hf = transformers.Phi3ForCausalLM(hf_cfg).eval()
+        cfg = checkpoint.model_config_from_hf(hf.config)
+        assert cfg.name.startswith("phi3")
+        cfg = cfg.__class__(**{**cfg.to_dict(), "dtype": "float32"})
+        params = checkpoint.convert_hf_state_dict(cfg, hf.state_dict(),
+                                                  dtype="float32")
+        rng = np.random.default_rng(1)
+        ids = rng.integers(2, 120, (2, 6)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        import jax.numpy as _jnp
+        from llm_inference_tpu.ops import kvcache
+        cache = kvcache.init_cache(cfg.num_layers, 2, cfg.num_kv_heads,
+                                   16, cfg.head_dim, _jnp.float32)
+        pos = _jnp.tile(_jnp.arange(6, dtype=_jnp.int32), (2, 1))
+        got, _ = llama.forward(cfg, params, _jnp.asarray(ids, _jnp.int32),
+                               pos, cache, logits_mode="all")
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=2e-3)
+
+    def test_longrope_table(self):
+        """LongRoPE: per-dim factors rescale inv_freq and the magnitude
+        factor multiplies cos/sin when extended past the original
+        context."""
+        from llm_inference_tpu.ops import rope
+        import math
+        D = 8
+        short = [1.0] * (D // 2)
+        long = [4.0] * (D // 2)
+        scaling = {"type": "longrope", "short_factor": short,
+                   "long_factor": long,
+                   "original_max_position_embeddings": 16,
+                   "max_position_embeddings": 64}
+        cb, sb = rope.make_rope_table(8, D)          # unscaled baseline
+        cs, ss = rope.make_rope_table(8, D, scaling=scaling)
+        # within the original context: short factors (1.0) but the
+        # magnitude factor still applies (config extends to 64 > 16)
+        m = math.sqrt(1.0 + math.log(64 / 16) / math.log(16))
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(cb) * m,
+                                   rtol=1e-6)
+        cl, _ = rope.make_rope_table(64, D, scaling=scaling)
+        # beyond the original context: long factors slow the frequencies —
+        # position p with factor 4 matches unscaled position p/4
+        cb64, _ = rope.make_rope_table(64, D)
+        np.testing.assert_allclose(np.asarray(cl[32]) / m,
+                                   np.asarray(cb64[8]), atol=1e-5)
