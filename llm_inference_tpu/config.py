@@ -56,8 +56,15 @@ class ModelConfig:
     # Bias terms on qkv projection (qwen2 uses them).
     qkv_bias: bool = False
     # per-head RMSNorm on q and k after the projections, before RoPE
-    # (the qwen3 family; weight shape [head_dim] per layer)
+    # (qwen3: llama-convention norm; gemma3: (1+w)-convention norm —
+    # weight shape [head_dim] per layer)
     qk_norm: bool = False
+    # gemma3 dual RoPE: sliding-attention layers use this LOCAL theta
+    # while full-attention layers use rope_theta (0 = single rope)
+    rope_local_theta: float = 0.0
+    # explicit per-layer attention kinds ("sliding_attention" /
+    # "full_attention") — gemma3's 5:1 pattern; None = sliding_pattern
+    layer_types: Optional[Tuple[str, ...]] = None
     # Gemma-2 specifics: attention scale uses this instead of head_dim
     # (0 → head_dim), embeddings scaled by sqrt(hidden_size).
     query_pre_attn_scalar: float = 0.0
@@ -172,6 +179,24 @@ def qwen3_8b(**kw) -> ModelConfig:
                        qk_norm=True, tie_word_embeddings=False, **kw)
 
 
+def gemma3_4b(**kw) -> ModelConfig:
+    """Gemma-3-4B (text): gemma2 sandwich norms + QK-norm, NO softcaps,
+    5:1 sliding:full layer pattern with dual RoPE (local theta 10k)."""
+    L = 34
+    lt = tuple("full_attention" if (i + 1) % 6 == 0 else "sliding_attention"
+               for i in range(L))
+    return ModelConfig(name="gemma3-4b", vocab_size=262208,
+                       hidden_size=2560, intermediate_size=10240,
+                       num_layers=L, num_heads=8, num_kv_heads=4,
+                       head_dim=256, rms_norm_eps=1e-6,
+                       rope_theta=1000000.0, rope_local_theta=10000.0,
+                       max_position_embeddings=131072,
+                       sliding_window=1024, layer_types=lt,
+                       qk_norm=True, query_pre_attn_scalar=256.0,
+                       scale_embeddings=True, tie_word_embeddings=True,
+                       **kw)
+
+
 def phi3_mini(**kw) -> ModelConfig:
     """Phi-3-mini-4k: llama architecture (MHA, fused checkpoint keys)."""
     return ModelConfig(name="phi3-mini", vocab_size=32064, hidden_size=3072,
@@ -244,6 +269,7 @@ PRESETS = {
     "mixtral-8x7b": mixtral_8x7b,
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
+    "gemma3-4b": gemma3_4b,
     "tiny-llama": tiny_llama,
 }
 

@@ -84,6 +84,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         "w_up": rnd(ks[5], (L, H, I)),
         "w_down": rnd(ks[6], (L, I, H)),
     }
+    if cfg.qk_norm:          # gemma3: per-head (1+w) norms, zeros = identity
+        layers["q_norm"] = jnp.zeros((L, D), dtype)
+        layers["k_norm"] = jnp.zeros((L, D), dtype)
     return {
         "embed": rnd(ks[7], (V, H)),
         "layers": layers,
@@ -94,6 +97,10 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
 def _layer_windows(cfg: ModelConfig) -> jnp.ndarray:
     """Per-layer sliding window sizes [L] (0 = global attention)."""
     L = cfg.num_layers
+    if cfg.layer_types is not None:          # gemma3: explicit per-layer
+        return jnp.asarray(
+            [cfg.sliding_window if t == "sliding_attention" else 0
+             for t in cfg.layer_types], jnp.int32)
     if cfg.sliding_window <= 0:
         return jnp.zeros((L,), jnp.int32)
     if cfg.sliding_pattern == "alternating":
@@ -129,6 +136,10 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     q = mm("wq", normed).reshape(B, T, -1, D)
     k = mm("wk", normed).reshape(B, T, -1, D)
     v = mm("wv", normed).reshape(B, T, -1, D)
+    if cfg.qk_norm:
+        # gemma3: per-head (1+w) RMSNorm before RoPE (HF Gemma3Attention)
+        q = gemma_rms_norm(q, lp["q_norm"], eps)
+        k = gemma_rms_norm(k, lp["k_norm"], eps)
     q = rope.apply_rope(q, positions, cos, sin)
     k = rope.apply_rope(k, positions, cos, sin)
 
@@ -211,20 +222,35 @@ def forward(
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
     write_offsets = positions[:, 0]
     base_mask = attention.make_attention_mask(positions, S)
-    cos, sin = rope.make_rope_table(
-        min(cfg.max_position_embeddings, S), cfg.head_dim, cfg.rope_theta,
-        cfg.rope_scaling)
+    P = min(cfg.max_position_embeddings, S)
+    cos, sin = rope.make_rope_table(P, cfg.head_dim, cfg.rope_theta,
+                                    cfg.rope_scaling)
+    if cfg.rope_local_theta > 0:
+        # gemma3 dual RoPE: sliding layers rotate with the LOCAL theta
+        # (no scaling on the local tables, matching HF Gemma3RotaryEmbedding
+        # local variant); the per-layer pick rides the scan as a selector
+        cos_l, sin_l = rope.make_rope_table(P, cfg.head_dim,
+                                            cfg.rope_local_theta)
+    else:
+        cos_l, sin_l = cos, sin
 
     qw = {k: v for k, v in params["layers"].items() if isinstance(v, QTensor)}
     xs = {k: v for k, v in params["layers"].items()
           if not isinstance(v, QTensor)}
     xs["_window"] = _layer_windows(cfg)
 
+    dual_rope = cfg.rope_local_theta > 0
+
     def body(carry, lp):
         h, cache, idx = carry
         window = lp.pop("_window")
+        if dual_rope:
+            c = jax.lax.select(window > 0, cos_l, cos)
+            s = jax.lax.select(window > 0, sin_l, sin)
+        else:
+            c, s = cos, sin
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, base_mask, cos, sin, window,
+                          write_offsets, base_mask, c, s, window,
                           tp_axis)
         return (h, cache, idx + 1), None
 
@@ -260,3 +286,4 @@ def forward(
 from llm_inference_tpu.models import registry as _registry  # noqa: E402
 import sys as _sys  # noqa: E402
 _registry.register_model("gemma2", _sys.modules[__name__])
+_registry.register_model("gemma3", _sys.modules[__name__])

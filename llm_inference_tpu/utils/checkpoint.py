@@ -70,11 +70,12 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
             "original_max_position_embeddings",
             g("original_max_position_embeddings", 4096))
     family = g("model_type", "llama")
-    if str(family).startswith("gemma") and family != "gemma2":
+    gemma3 = str(family) in ("gemma3", "gemma3_text")
+    if str(family).startswith("gemma") and family != "gemma2" and not gemma3:
         raise NotImplementedError(
-            f"model_type {family!r}: only the gemma2 generation is wired "
-            f"(gemma-1 lacks the sandwich norms; gemma3 adds qk-norms)")
-    gemma = family == "gemma2"
+            f"model_type {family!r}: gemma2/gemma3 are wired (gemma-1 "
+            f"lacks the sandwich norms)")
+    gemma = family == "gemma2" or gemma3
     moe_kw = {}
     if family == "mixtral":
         moe_kw = dict(num_experts=g("num_local_experts", 8),
@@ -98,13 +99,17 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         # value alone would wrongly mask tokens beyond the window
         sliding_window=(g("sliding_window") or 0)
         if g("use_sliding_window", True) else 0,
-        sliding_pattern="alternating" if gemma else "all",
+        sliding_pattern="alternating" if (gemma and not gemma3) else "all",
+        layer_types=(tuple(g("layer_types")) if gemma3 and g("layer_types")
+                     else None),
+        rope_local_theta=(g("rope_local_base_freq") or 0.0) if gemma3
+        else 0.0,
         # HF Qwen2 hardcodes q/k/v biases (no attention_bias config key),
         # so the key's absence must not drop trained biases (Qwen3 DOES
         # carry the key, default False)
         qkv_bias=bool(g("attention_bias",
                         str(family).startswith("qwen2"))),
-        qk_norm=str(family) == "qwen3",
+        qk_norm=str(family) == "qwen3" or gemma3,
         attn_logit_softcap=g("attn_logit_softcapping") or 0.0,
         final_logit_softcap=g("final_logit_softcapping") or 0.0,
         query_pre_attn_scalar=g("query_pre_attn_scalar") or 0.0,
@@ -150,7 +155,7 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
         return a.astype(np.float32)
 
     L = cfg.num_layers
-    gemma = cfg.name.split("-")[0] == "gemma2"
+    gemma = cfg.name.split("-")[0].startswith("gemma")  # sandwich norms
     moe = cfg.num_experts > 0
     acc = {k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                            "w_gate", "w_up", "w_down", "bq", "bk", "bv",

@@ -484,3 +484,69 @@ class TestGemma2DecodeKernel:
         want = run()
         np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
         assert (np.argmax(got, -1) == np.argmax(want, -1)).all()
+
+
+class TestGemma3:
+    """Gemma-3 (text): gemma2 sandwich norms + per-head QK-norm, NO
+    softcaps, explicit per-layer sliding/full pattern with DUAL RoPE
+    (local theta on sliding layers)."""
+
+    def _hf(self, layer_types, seed=0):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from llm_inference_tpu.utils import checkpoint
+        hf_cfg = transformers.Gemma3TextConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=len(layer_types), num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, rms_norm_eps=1e-6,
+            rope_theta=100000.0, rope_local_base_freq=10000.0,
+            max_position_embeddings=64, sliding_window=8,
+            layer_types=list(layer_types), query_pre_attn_scalar=32,
+            tie_word_embeddings=True, pad_token_id=0,
+            attention_bias=False, torch_dtype="float32")
+        torch.manual_seed(seed)
+        hf = transformers.Gemma3ForCausalLM(hf_cfg).eval()
+        cfg = checkpoint.model_config_from_hf(hf.config)
+        assert cfg.qk_norm and cfg.rope_local_theta == 10000.0
+        assert cfg.layer_types == tuple(layer_types)
+        cfg = cfg.__class__(**{**cfg.to_dict(), "dtype": "float32"})
+        params = checkpoint.convert_hf_state_dict(cfg, hf.state_dict(),
+                                                  dtype="float32")
+        return hf, cfg, params
+
+    def test_hf_logits_parity_mixed_layers(self):
+        torch = pytest.importorskip("torch")
+        lt = ["sliding_attention", "sliding_attention", "full_attention",
+              "sliding_attention"]
+        hf, cfg, params = self._hf(lt)
+        rng = np.random.default_rng(2)
+        T = 12                                  # beyond the window of 8
+        ids = rng.integers(2, 120, (2, T)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        cache = kvcache.init_cache(cfg.num_layers, 2, cfg.num_kv_heads,
+                                   16, cfg.head_dim, jnp.float32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (2, 1))
+        got, _ = gemma2.forward(cfg, params,
+                                jnp.asarray(ids, jnp.int32), pos, cache,
+                                logits_mode="all")
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-3,
+                                   rtol=3e-3)
+
+    def test_greedy_decode_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        lt = ["sliding_attention", "full_attention"]
+        hf, cfg, params = self._hf(lt, seed=3)
+        prompt = [3, 17, 42, 9]
+        ids = torch.tensor([prompt])
+        with torch.no_grad():
+            hf_out = hf.generate(ids, max_new_tokens=8, do_sample=False)
+        want = hf_out[0, len(prompt):].tolist()
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(8, 16)))
+        got = eng.generate([prompt],
+                           GenerationConfig(greedy=True, max_new_tokens=8,
+                                            eos_token_ids=()))[0].token_ids
+        assert got == want, (got, want)
