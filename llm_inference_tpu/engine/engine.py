@@ -115,6 +115,7 @@ class InferenceEngine:
         self._prefill_jit = jax.jit(self._prefill_fn, donate_argnums=(3,))
         self._decode_jits: Dict[Any, Callable] = {}
         self._score_jit: Optional[Callable] = None
+        self._embed_jit: Optional[Callable] = None
 
     def paged_forward(self, history: bool = False) -> Callable:
         """Raw forward for a PAGED cache (mesh-mapped when sharded):
@@ -592,6 +593,57 @@ class InferenceEngine:
             else:
                 out.append([None] + [float(x) for x in got[i, :L - 1]])
         return out
+
+    def embed(self, prompts: Sequence[Union[str, Sequence[int]]],
+              pooling: str = "last") -> List[List[float]]:
+        """Final-norm hidden-state embeddings per prompt ([hidden] each,
+        L2-normalized): pooling "last" takes the final token's state (the
+        decoder-LM convention), "mean" averages over the prompt. The
+        OpenAI /v1/embeddings surface — no reference analogue (the
+        reference exposes generation only)."""
+        if pooling not in ("last", "mean"):
+            raise ValueError(f"pooling must be last|mean, got {pooling!r}")
+        if self._sharded:
+            raise NotImplementedError("embed() is single-device for now")
+        token_lists = self._encode_prompts(prompts)
+        B = len(token_lists)
+        lengths = [len(t) for t in token_lists]
+        if min(lengths) == 0:
+            raise ValueError("cannot embed an empty prompt")
+        T = self._bucket(max(lengths))
+        if T > self.engine_cfg.max_seq_len:
+            raise ValueError(f"prompt needs {T} slots but max_seq_len is "
+                             f"{self.engine_cfg.max_seq_len}")
+        if self._embed_jit is None:
+            def _fn(params, ids, positions, mask, last_idx, cache,
+                    mean: bool):
+                h, _ = self._model.forward(self.cfg, params, ids,
+                                           positions, cache,
+                                           logits_mode="hidden")
+                h = h.astype(jnp.float32)
+                if mean:
+                    m = mask[..., None].astype(jnp.float32)
+                    v = (h * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+                else:
+                    v = h[jnp.arange(h.shape[0]), last_idx]
+                return v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+            self._embed_jit = jax.jit(_fn, static_argnames=("mean",),
+                                      donate_argnums=(5,))
+        ids = np.zeros((B, T), np.int32)
+        mask = np.zeros((B, T), bool)
+        last = np.zeros((B,), np.int32)
+        for i, toks in enumerate(token_lists):
+            ids[i, :len(toks)] = toks
+            mask[i, :len(toks)] = True
+            last[i] = len(toks) - 1
+        pos = np.tile(np.arange(T, dtype=np.int32), (B, 1))
+        cache = self.new_cache(B, max_seq=T)
+        out = self._embed_jit(self.params, jnp.asarray(ids),
+                              jnp.asarray(pos), jnp.asarray(mask),
+                              jnp.asarray(last), cache,
+                              mean=(pooling == "mean"))
+        return [[float(x) for x in row] for row in np.asarray(out)]
 
     def generate(self,
                  prompts: Sequence[Union[str, Sequence[int]]],

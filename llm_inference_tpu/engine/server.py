@@ -233,6 +233,32 @@ def make_handler(backend: ServingBackend):
             if self.path in ("/v1/completions", "/v1/chat/completions"):
                 self._openai(chat=self.path.endswith("chat/completions"))
                 return
+            if self.path == "/v1/embeddings":
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    inp = body["input"]
+                    if isinstance(inp, str) or (
+                            inp and isinstance(inp[0], int)):
+                        inp = [inp]          # single string / one id list
+                    vecs = backend.engine.embed(
+                        inp, pooling=body.get("pooling", "last"))
+                except (KeyError, TypeError, ValueError,
+                        NotImplementedError) as e:
+                    self._json(400, {"error": {
+                        "message": f"bad request: {e}",
+                        "type": "invalid_request_error"}})
+                    return
+                self._json(200, {
+                    "object": "list",
+                    "model": backend.engine.cfg.name,
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": v}
+                             for i, v in enumerate(vecs)],
+                    "usage": {"prompt_tokens": sum(
+                        len(backend.engine._encode_prompts([p])[0])
+                        for p in inp), "total_tokens": 0}})
+                return
             if self.path == "/cancel":
                 try:
                     n = int(self.headers.get("Content-Length", 0))

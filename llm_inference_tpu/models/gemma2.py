@@ -259,6 +259,8 @@ def forward(
     if logits_mode == "none":
         return None, new_cache
     h = gemma_rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if logits_mode == "hidden":
+        return h.astype(jnp.float32), new_cache
     if logits_mode == "last":
         if last_idx is None:
             last_idx = jnp.full((B,), T - 1, jnp.int32)

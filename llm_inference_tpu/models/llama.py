@@ -691,6 +691,10 @@ def forward(
         return None, new_cache
 
     h = norms.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if logits_mode == "hidden":
+        # final-norm hidden states [B, T, H] — the embeddings surface
+        # (engine.embed / /v1/embeddings); no lm_head projection
+        return h, new_cache
     if logits_mode == "last":
         if last_idx is None:
             last_idx = jnp.full((B,), T - 1, jnp.int32)

@@ -451,3 +451,36 @@ class TestChatTemplates:
         b = format_chat_messages([{"role": "user", "content": "hi"}],
                                  "llama2-7b")
         assert a == b and "[INST]" in a
+
+
+class TestEmbed:
+    def test_last_pooling_matches_forward(self, cfg, params, engine):
+        """embed('last') equals the L2-normalized final-norm hidden state
+        at the prompt's last position from a direct forward."""
+        toks = [3, 7, 11, 5]
+        got = np.asarray(engine.embed([toks])[0])
+        cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 8,
+                                   cfg.head_dim, jnp.bfloat16)
+        ids = jnp.zeros((1, 8), jnp.int32).at[0, :4].set(jnp.asarray(toks))
+        pos = jnp.arange(8, dtype=jnp.int32)[None]
+        h, _ = llama.forward(cfg, params, ids, pos, cache,
+                             logits_mode="hidden")
+        want = np.asarray(h, np.float32)[0, 3]
+        want = want / np.linalg.norm(want)
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+        assert abs(np.linalg.norm(got) - 1.0) < 1e-5
+
+    def test_mean_pool_ignores_padding(self, engine):
+        """The same prompt batched with a longer one (forcing pad) must
+        embed identically to a solo run — mean pooling masks padding."""
+        a = [5, 6, 7]
+        solo = np.asarray(engine.embed([a], pooling="mean")[0])
+        both = engine.embed([a, list(range(3, 17))], pooling="mean")
+        np.testing.assert_allclose(np.asarray(both[0]), solo, atol=2e-3,
+                                   rtol=2e-3)
+
+    def test_bad_inputs(self, engine):
+        with pytest.raises(ValueError, match="pooling"):
+            engine.embed([[1, 2]], pooling="max")
+        with pytest.raises(ValueError, match="empty"):
+            engine.embed([[]])

@@ -590,3 +590,21 @@ class TestStopTokenTextTrim:
         assert f"{stop_tok} " not in text.split(str(stop_tok) + " ")[0] \
             or not text.endswith(f"{stop_tok} ")
         assert text == "".join(f"{t} " for t in r.output_ids[:-1])
+
+
+class TestEmbeddingsHTTP:
+    def test_v1_embeddings(self, httpd):
+        with _post(httpd, {"input": [[5, 6, 7], [9, 10]]},
+                   path="/v1/embeddings") as r:
+            out = json.load(r)
+        assert out["object"] == "list" and len(out["data"]) == 2
+        v = out["data"][0]["embedding"]
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4   # L2-normalized
+        want = httpd.backend.engine.embed([[5, 6, 7]])[0]
+        np.testing.assert_allclose(v, want, atol=1e-6)
+
+    def test_v1_embeddings_bad_input_is_400(self, httpd):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(httpd, {"input": [[]]}, path="/v1/embeddings")
+        assert e.value.code == 400
