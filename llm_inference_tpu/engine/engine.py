@@ -628,8 +628,9 @@ class InferenceEngine:
                     v = h[jnp.arange(h.shape[0]), last_idx]
                 return v / jnp.maximum(
                     jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-            self._embed_jit = jax.jit(_fn, static_argnames=("mean",),
-                                      donate_argnums=(5,))
+            # no cache donation: the cache is not among the outputs, so
+            # XLA can't alias it (it would only warn)
+            self._embed_jit = jax.jit(_fn, static_argnames=("mean",))
         ids = np.zeros((B, T), np.int32)
         mask = np.zeros((B, T), bool)
         last = np.zeros((B,), np.int32)
@@ -896,6 +897,11 @@ def chatml_chat_template(user_text: str, round_idx: int) -> str:
             "<|im_start|>assistant\n")
 
 
+def phi3_chat_template(user_text: str, round_idx: int) -> str:
+    """Phi-3 instruct format (<|user|> / <|assistant|> with <|end|>)."""
+    return f"<|user|>\n{user_text}<|end|>\n<|assistant|>\n"
+
+
 def chat_template_for(model_name: str):
     """Per-family chat template (ChatSession default selection).
     Mistral/Mixtral instruct use the [INST] format like LLaMA-2."""
@@ -906,6 +912,8 @@ def chat_template_for(model_name: str):
         return llama3_chat_template
     if head.startswith("qwen"):
         return chatml_chat_template
+    if head.startswith("phi3"):
+        return phi3_chat_template
     return llama2_chat_template
 
 
@@ -931,6 +939,12 @@ def format_chat_messages(messages: Sequence[dict],
             out.append(f"<|im_start|>{m['role']}\n{m['content']}"
                        f"<|im_end|>\n")
         out.append("<|im_start|>assistant\n")
+        return "".join(out)
+    if head.startswith("phi3"):
+        out = []
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m['content']}<|end|>\n")
+        out.append("<|assistant|>\n")
         return "".join(out)
     if head.startswith("gemma"):
         out = []

@@ -216,8 +216,19 @@ def make_handler(backend: ServingBackend):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok", **backend.stats()})
-            elif self.path == "/metrics":
-                self._json(200, backend.engine.metrics.snapshot())
+            elif self.path.startswith("/metrics"):
+                if ("format=prometheus" in self.path
+                        or "text/plain" in (self.headers.get("Accept")
+                                            or "")):
+                    body = backend.engine.metrics.prometheus().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._json(200, backend.engine.metrics.snapshot())
             elif self.path == "/v1/models":
                 # OpenAI model listing: the base model plus every resident
                 # LoRA adapter (selectable as `model` on /v1 requests)

@@ -50,6 +50,31 @@ class Metrics:
     def log_snapshot(self) -> None:
         logger.info("metrics %s", json.dumps(self.snapshot(), default=float))
 
+    def prometheus(self, prefix: str = "llmi") -> str:
+        """Prometheus text exposition of the snapshot (GET /metrics with
+        Accept: text/plain or ?format=prometheus). Counters become
+        `counter`s, series percentiles become `gauge`s; names are
+        sanitized to the metric charset."""
+        def name(n):
+            return prefix + "_" + "".join(
+                c if c.isalnum() or c == "_" else "_" for c in n)
+
+        lines = []
+        for k, v in sorted(self._counters.items()):
+            m = name(k)
+            lines.append(f"# TYPE {m} counter")
+            lines.append(f"{m} {float(v)}")
+        for k, s in sorted(self._series.items()):
+            if not s:
+                continue
+            m = name(k)
+            lines.append(f"# TYPE {m} gauge")
+            for q in (50, 99):
+                lines.append(
+                    f'{m}{{quantile="0.{q}"}} {self.percentile(k, q)}')
+            lines.append(f'{m}{{quantile="last"}} {s[-1]}')
+        return "\n".join(lines) + "\n"
+
 
 class Timer:
     """Context-manager timer feeding a Metrics series."""

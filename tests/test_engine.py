@@ -484,3 +484,12 @@ class TestEmbed:
             engine.embed([[1, 2]], pooling="max")
         with pytest.raises(ValueError, match="empty"):
             engine.embed([[]])
+
+    def test_phi3_template(self):
+        from llm_inference_tpu.engine.engine import (chat_template_for,
+                                                     phi3_chat_template,
+                                                     format_chat_messages)
+        assert chat_template_for("phi3-mini") is phi3_chat_template
+        out = format_chat_messages([{"role": "user", "content": "hi"}],
+                                   "phi3-mini")
+        assert out == "<|user|>\nhi<|end|>\n<|assistant|>\n"

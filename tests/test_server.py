@@ -608,3 +608,21 @@ class TestEmbeddingsHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(httpd, {"input": [[]]}, path="/v1/embeddings")
         assert e.value.code == 400
+
+
+class TestPrometheusMetrics:
+    def test_prometheus_exposition(self, httpd):
+        with _post(httpd, {"prompt": [5, 6, 7], "max_new_tokens": 3}) as r:
+            json.load(r)
+        req = urllib.request.Request(
+            _url(httpd, "/metrics?format=prometheus"))
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        assert "# TYPE llmi_ttft_s gauge" in text
+        assert 'llmi_ttft_s{quantile="0.50"}' in text
+        # JSON is still the default
+        with urllib.request.urlopen(_url(httpd, "/metrics"),
+                                    timeout=30) as r:
+            snap = json.load(r)
+        assert "ttft_s_p50" in snap
