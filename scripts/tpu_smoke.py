@@ -37,15 +37,20 @@ def main():
     ok = True
     key = jax.random.PRNGKey(0)
 
-    # ---- quant matmul, every mode, decode + prefill M ----
+    # ---- quant matmul, every mode, decode + prefill M, sym AND asym ----
     for bits, gs in [(8, 0), (8, 128), (4, 0), (4, 128)]:
-        w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
-        qt = Q.to_blocked(Q.quantize(w, bits, gs), 768)
-        for M in (1, 8, 128):
-            x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
-            got = QM.quant_matmul(x, qt)
-            want = Q.qmatmul_ref(x, qt)
-            ok &= check(f"quant_matmul bits={bits} gs={gs} M={M}", got, want)
+        for asym in (False, True):
+            w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
+            if asym:
+                w = w + 0.01                    # skew so zbias matters
+            qt = Q.to_blocked(Q.quantize(w, bits, gs, asymmetric=asym),
+                              768)
+            for M in (1, 8, 128):
+                x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
+                got = QM.quant_matmul(x, qt)
+                want = Q.qmatmul_ref(x, qt)
+                ok &= check(f"quant_matmul bits={bits} gs={gs} M={M} "
+                            f"asym={asym}", got, want)
 
     # ---- decode attention: MHA / GQA / int8 KV ----
     for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
@@ -114,6 +119,39 @@ def main():
         qp, cache.k_pages, cache.v_pages, cache.page_table, 1, pos,
         window=w))(jnp.int32(W))
     ok &= check("paged_decode_attention traced window", got, want)
+
+    # int8 page pool at Hkv=40 (13B MHA shape): exercises the hb=Hkv pin —
+    # a partial head-block's [ps, hb] scale BlockSpec violates Mosaic's
+    # minor-dim rule and only fails at COMPILE on a real chip
+    H8, NB8 = 40, 2
+    c8 = pk.init_paged_cache(1, NB8 + 1, H8, ps, 128, 1, NB8, "int8")
+    c8 = c8.replace(page_table=jnp.arange(1, NB8 + 1, dtype=jnp.int32)[None])
+    S8 = NB8 * ps
+    k8 = jax.random.normal(ks[1], (1, S8, H8, 128), jnp.bfloat16)
+    v8 = jax.random.normal(ks[2], (1, S8, H8, 128), jnp.bfloat16)
+    c8 = pk.write_prompt(c8, jnp.int32(0), 0, k8[0], v8[0])
+    q8 = jax.random.normal(ks[0], (1, 1, H8, 128), jnp.bfloat16)
+    p8 = jnp.array([S8 - 2], jnp.int32)
+    got = PA.paged_decode_attention(q8, c8.k_pages, c8.v_pages,
+                                    c8.page_table, 0, p8,
+                                    k_scale=c8.k_scale, v_scale=c8.v_scale)
+    # golden: host-dequantized pages through the dense attend
+    # (pages [L, P, H, ps, D]; scales slot-major [L, P, ps, H])
+    import numpy as _np
+    kk = _np.asarray(c8.k_pages)[0, 1:].transpose(0, 2, 1, 3) \
+        .reshape(NB8 * ps, H8, 128)
+    ss = _np.asarray(c8.k_scale)[0, 1:].reshape(NB8 * ps, H8)
+    kdq = (kk.astype(_np.float32)
+           * ss[..., None]).transpose(1, 0, 2)[None]           # [1,H,S,D]
+    vv = _np.asarray(c8.v_pages)[0, 1:].transpose(0, 2, 1, 3) \
+        .reshape(NB8 * ps, H8, 128)
+    sv = _np.asarray(c8.v_scale)[0, 1:].reshape(NB8 * ps, H8)
+    vdq = (vv.astype(_np.float32) * sv[..., None]).transpose(1, 0, 2)[None]
+    want = attention.decode_attend(q8, jnp.asarray(kdq, jnp.bfloat16),
+                                   jnp.asarray(vdq, jnp.bfloat16),
+                                   p8[:, None])
+    ok &= check("paged_decode_attention int8 Hkv=40 (hb pin)", got, want,
+                tol=6e-2)
 
     # dense decode kernel with a static window (mistral decode path)
     kd = jax.random.normal(ks[1], (2, 2, 8, 512, 128), jnp.bfloat16)
