@@ -61,8 +61,8 @@ def measure(cfg, qcfg, *, cache_dtype, seq_len, prompt_len, steps_a, steps_b,
         np.asarray(logits[0, :8])  # fetch → true completion
         ts.append(time.perf_counter() - t0)
     ttft = min(ts)
-    log(f"[bench:{tag}] prefill({prompt_len} tokens) p50 ≈ {ttft*1e3:.1f} ms "
-        f"(includes ~30ms relay RTT)")
+    log(f"[bench:{tag}] prefill({prompt_len} tokens) best-of-3 ≈ "
+        f"{ttft*1e3:.1f} ms (includes ~30ms relay RTT)")
 
     # ---- decode: jitted scan of N greedy steps ----
     def decode_n(params, cache, token, pos0, steps):
@@ -81,15 +81,18 @@ def measure(cfg, qcfg, *, cache_dtype, seq_len, prompt_len, steps_a, steps_b,
 
     times = {}
     for steps in (steps_a, steps_b):
-        fn = jax.jit(lambda p, c, t, q, s=steps: decode_n(p, c, t, q, s))
+        # donate the cache (scan carry) — without it XLA copies the whole
+        # cache HBM→HBM at scan entry (scripts/bench_batched.py measured it)
+        fn = jax.jit(lambda p, c, t, q, s=steps: decode_n(p, c, t, q, s),
+                     donate_argnums=(1,))
         t0 = time.time()
-        toks, _ = fn(params, cache, token0, pos0)
+        toks, cache = fn(params, cache, token0, pos0)
         np.asarray(toks[-1])
         log(f"[bench:{tag}] decode[{steps}] compile+run {time.time()-t0:.1f}s")
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            toks, _ = fn(params, cache, token0, pos0)
+            toks, cache = fn(params, cache, token0, pos0)
             np.asarray(toks[-1])     # fetch → true completion
             best = min(best, time.perf_counter() - t0)
         times[steps] = best
@@ -105,8 +108,12 @@ def measure(cfg, qcfg, *, cache_dtype, seq_len, prompt_len, steps_a, steps_b,
     wbytes -= params["embed"].size * params["embed"].dtype.itemsize
     wbytes += params["embed"].shape[1] * 2
     kv_itemsize = 1 if cache_dtype == "int8" else 2
+    # mean KV length over the MARGINAL window (steps_a..steps_b — the steps
+    # the metric actually measures); the decode kernel's position gating
+    # streams only the live prefix, not the whole bucketed S
+    kv_mean = prompt_len + (steps_a + steps_b) // 2
     kv_bytes = (cfg.num_layers * cfg.num_kv_heads
-                * (prompt_len + steps_b // 2) * cfg.head_dim * 2 * kv_itemsize)
+                * kv_mean * cfg.head_dim * 2 * kv_itemsize)
     roofline = hbm_bw / (wbytes + kv_bytes)
     frac = tokens_per_s / roofline
     log(f"[bench:{tag}] marginal decode: {dt*1e3:.2f} ms/token → "
@@ -133,8 +140,9 @@ def main():
         steps_a, steps_b = 4, 12
         hbm_bw = 50e9
 
-    # cache sized to the request limit (prompt + max generation), the way a
-    # serving engine buckets it — attention reads whole pages, so S is cost
+    # cache sized to the request limit (prompt + max generation), the way
+    # a serving engine buckets it; the decode kernel position-gates its
+    # streaming, so the KV cost scales with the LIVE prefix, not S
     seq_len = 512 if on_tpu else 64
     prompt_len = 128 if on_tpu else 16
     common = dict(seq_len=seq_len, prompt_len=prompt_len, steps_a=steps_a,

@@ -23,7 +23,9 @@ def log(*a):
 
 
 cfg = llama2_7b()
-qcfg = QuantConfig(weights="int8")
+# match bench.py's headline config exactly (int8 lm_head too) — otherwise
+# the attribution explains a DIFFERENT model than the number it explains
+qcfg = QuantConfig(weights="int8", quantize_embedding=True)
 S = 1024
 params = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
 params = llama.prepare_params(params)
@@ -40,19 +42,31 @@ def split_qkv(qkv):
     return qkv[..., :NQ], qkv[..., NQ:NQ + NKV], qkv[..., NQ + NKV:]
 
 
-def layer_matmuls(h, lp, k_all, v_all, idx, positions, write_offsets, mask, cos, sin):
+def layer_matmuls(h, lp, qw, k_all, v_all, idx, positions,
+                  write_offsets, mask, cos, sin):
+    # QTensors come from qw (the WHOLE stack, layer-indexed inside the
+    # kernel) — scan-slicing them into the Pallas custom call would
+    # materialize an HBM->HBM copy of every weight every step and corrupt
+    # this very attribution (CLAUDE.md invariant #1; llama._layer)
     B, T, H = h.shape
+
+    def mm(name, x):
+        if name in qw:
+            return matmul(x, qw[name], layer=idx)
+        return matmul(x, lp[name])
+
     normed = norms.rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
-    q, k, v = split_qkv(matmul(normed, lp["wqkv"]))
+    q, k, v = split_qkv(mm("wqkv", normed))
     attn = q + jnp.pad(k + v, ((0, 0), (0, 0), (0, NQ - NKV)))
-    h = h + matmul(attn, lp["wo"])
+    h = h + mm("wo", attn)
     normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
-    gate, up = jnp.split(matmul(normed, lp["w_gateup"]), 2, axis=-1)
-    h = h + matmul(activations.swiglu_split(gate, up), lp["w_down"])
+    gate, up = jnp.split(mm("w_gateup", normed), 2, axis=-1)
+    h = h + mm("w_down", activations.swiglu_split(gate, up))
     return h, k_all, v_all
 
 
-def layer_attn(h, lp, k_all, v_all, idx, positions, write_offsets, mask, cos, sin):
+def layer_attn(h, lp, qw, k_all, v_all, idx, positions,
+               write_offsets, mask, cos, sin):
     B, T, H = h.shape
     normed = norms.rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
     q = jnp.broadcast_to(normed[:, :, None, :D], (B, T, cfg.num_heads, D))
@@ -78,14 +92,20 @@ def make_decode(layer_fn=None, with_head=True):
         cos, sin = rope.make_rope_table(cfg.max_position_embeddings,
                                         cfg.head_dim, cfg.rope_theta, None)
 
+        from llm_inference_tpu.ops.quantization import QTensor
+        qw = {k: v for k, v in params["layers"].items()
+              if isinstance(v, QTensor)}
+        xs = {k: v for k, v in params["layers"].items()
+              if not isinstance(v, QTensor)}
+
         def body(carry, lp):
             h, k_all, v_all, idx = carry
-            h, k_all, v_all = layer_fn(h, lp, k_all, v_all, idx, pos,
+            h, k_all, v_all = layer_fn(h, lp, qw, k_all, v_all, idx, pos,
                                        pos[:, 0], mask, cos, sin)
             return (h, k_all, v_all, idx + 1), None
 
         (h, kn, vn, _), _ = jax.lax.scan(
-            body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"])
+            body, (h, cache.k, cache.v, jnp.int32(0)), xs)
         nc = kvcache.KVCache(k=kn, v=vn)
         h = norms.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
         if with_head:

@@ -12,9 +12,18 @@ jax.config.update after import — env vars alone are not enough here.
 import os
 import sys
 
+import re as _re
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_force_host_platform_device_count" in _flags:
+    # the suite REQUIRES 8 virtual devices (mesh tests assume it) — replace
+    # a conflicting pre-set count instead of asserting the session to death
+    _flags = _re.sub(r"--xla_force_host_platform_device_count=\d+",
+                     "--xla_force_host_platform_device_count=8", _flags)
+    os.environ["XLA_FLAGS"] = _flags
+else:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
