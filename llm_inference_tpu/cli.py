@@ -67,7 +67,9 @@ def build_engine(args):
             params = quantize_fn(params, qcfg, row_shards=args.tp)
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
-        params = llama.prepare_params(params, tp_size=args.tp)
+        params = llama.prepare_params(
+            params, tp_size=args.tp,
+            int4_npair=getattr(args, "int4_npair", False))
     elif args.quant != "none":
         # gemma2/mixtral keep raw layer keys (no qkv fusion) but still need
         # the column-blocked streaming layout for the Pallas quant matmul —
@@ -121,6 +123,9 @@ def main(argv=None):
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--int4-npair", action="store_true",
+                    help="N-pair int4 layout (difference-of-dots unpack; "
+                         "single-chip llama-family only)")
     ap.add_argument("--asym", action="store_true",
                     help="asymmetric (min/max, zero-point) weight quantization")
     ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])

@@ -61,7 +61,8 @@ from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
 from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
 from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
 from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
-                                                quantize, to_blocked)
+                                                quantize, to_blocked,
+                                                to_blocked_npair)
 
 Params = Dict[str, Any]
 
@@ -180,13 +181,22 @@ _ROW_KEYS = ("wo", "w_down")
 
 
 def block_params(params: Params, tp_size: int = 1,
-                 target_bytes: int = 3 << 20) -> Params:
+                 target_bytes: int = 3 << 20,
+                 int4_npair: bool = False) -> Params:
     """Re-lay every QTensor into the column-blocked streaming layout
     (quantization.to_blocked) so the Pallas decode GEMV DMAs contiguous
     chunks. The block width divides the TP-shard-local output dim so the
     blocked leading axis shards cleanly; the chunk-size budget is computed
-    on the shard-local contraction rows."""
+    on the shard-local contraction rows.
+
+    int4_npair: re-lay INT4 weights with N-PAIR nibble packing
+    (quantization.to_blocked_npair) enabling the difference-of-dots unpack
+    in the Pallas kernel. Currently single-chip only (tp_size == 1): the
+    paired columns (j, j + bn/2) live inside one output block, which an
+    NB-axis TP shard keeps intact, but the variant is gated until the
+    sharded path is A/B'd on chip."""
     layers = dict(params["layers"])
+    npair_ok = int4_npair and tp_size == 1
 
     def budget(w):
         # int4 chunks unpack to 2× rows of i32/f32 intermediates in VMEM —
@@ -194,23 +204,26 @@ def block_params(params: Params, tp_size: int = 1,
         # stays within scoped vmem
         return target_bytes if w.bits == 8 else target_bytes // 2
 
+    def blk(w, k_local, n_local):
+        if w.bits == 4 and npair_ok:
+            bn = choose_block_n(k_local, n_local, budget(w), quantum=256)
+            if bn:
+                return to_blocked_npair(w, bn)
+        bn = choose_block_n(k_local, n_local, budget(w))
+        return to_blocked(w, bn) if bn else w
+
     for name, w in layers.items():
         if not isinstance(w, QTensor) or w.block_n:
             continue
         Kp, N = w.q.shape[-2], w.q.shape[-1]
         n_local = N // tp_size if name in _COL_KEYS else N
         k_local = Kp // tp_size if name in _ROW_KEYS else Kp
-        bn = choose_block_n(k_local, n_local, budget(w))
-        if bn:
-            layers[name] = to_blocked(w, bn)
+        layers[name] = blk(w, k_local, n_local)
     out = dict(params)
     out["layers"] = layers
     lm = out.get("lm_head")
     if isinstance(lm, QTensor) and not lm.block_n:
-        bn = choose_block_n(lm.q.shape[-2], lm.q.shape[-1] // tp_size,
-                            budget(lm))
-        if bn:
-            out["lm_head"] = to_blocked(lm, bn)
+        out["lm_head"] = blk(lm, lm.q.shape[-2], lm.q.shape[-1] // tp_size)
     return out
 
 
@@ -257,7 +270,8 @@ def pad_params_for_tp(params: Params, cfg: ModelConfig,
 
 
 def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
-                   block: bool = True, donate: bool = True) -> Params:
+                   block: bool = True, donate: bool = True,
+                   int4_npair: bool = False) -> Params:
     """Post-quantization layout passes: fuse qkv/gate-up, then re-lay
     QTensors for streaming. Call after quantize_params / checkpoint load.
 
@@ -270,7 +284,7 @@ def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
         if fuse:
             p = fuse_params(p, tp_size)
         if block:
-            p = block_params(p, tp_size)
+            p = block_params(p, tp_size, int4_npair=int4_npair)
         return p
 
     if donate:

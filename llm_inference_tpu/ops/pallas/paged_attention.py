@@ -52,29 +52,41 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
     @pl.when((j * ps <= pos) & ((win <= 0) | ((j + 1) * ps > pos - win + 1)))
     def _():
         q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)   # rows (h, g)
+        kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # rows (h, t)
+        vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
         if quantized:
-            # slot-major [ps, hb] scale blocks (natural layout — see
-            # decode_attention.py): dequantize the page's codes in VMEM.
-            # TODO(perf, needs chip): decode_attention.py measured this
-            # per-head VPU dequant at ~2.4x the DMA time and replaced it
-            # with scale columns folded into the score/probability matrices
-            # via one MXU transpose — port that scheme here and A/B it.
-            ks = ks_ref[0, 0]                              # [ps, hb] f32
-            vs = vs_ref[0, 0]
-            kparts, vparts = [], []
-            for h in range(hb):
-                kparts.append((k_ref[0, 0, h].astype(jnp.float32)
-                               * ks[:, h:h + 1]).astype(jnp.bfloat16))
-                vparts.append((v_ref[0, 0, h].astype(jnp.float32)
-                               * vs[:, h:h + 1]).astype(jnp.bfloat16))
-            kb = jnp.concatenate(kparts, 0)                # [hb·ps, D]
-            vb = jnp.concatenate(vparts, 0)
-        else:
-            kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)  # (h, t)
-            vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+            # Per-(slot, head) scales arrive as the natural slot-major
+            # [ps, hb] block; the score/probability COLUMNS are indexed
+            # r = h·ps + t (head-major flat). Fold the scales into the
+            # f32 score/p tiles instead of dequantizing codes in VMEM —
+            # decode_attention.py measured the per-head VPU dequant at
+            # ~2.4x the streamed-KV DMA time. Its 128-aligned strip
+            # trick doesn't apply here (ps < 128), so build the flat
+            # [1, HS] scale row directly: one tiny MXU dot broadcasts
+            # each head's scale column across its strip, an iota mask
+            # picks the matching slot, a sublane reduce flattens to one
+            # lane row. Exact: int8 codes are exact in bf16; scales hit
+            # the f32 tiles.
+            rr = jax.lax.broadcasted_iota(jnp.int32, (hb, HS), 1)
+            selT = (rr // ps == jax.lax.broadcasted_iota(
+                jnp.int32, (hb, HS), 0)).astype(jnp.float32)
+            rt = jax.lax.broadcasted_iota(jnp.int32, (ps, HS), 1)
+            tsel = (rt % ps == jax.lax.broadcasted_iota(
+                jnp.int32, (ps, HS), 0)).astype(jnp.float32)
+
+            def flat_row(s):                           # [ps, hb] → [1, HS]
+                exp = jax.lax.dot_general(
+                    s, selT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return jnp.sum(exp * tsel, axis=0, keepdims=True)
+
+            krow = flat_row(ks_ref[0, 0])
+            vrow = flat_row(vs_ref[0, 0])
         scores = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if quantized:
+            scores = scores * krow
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
         row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
@@ -90,6 +102,9 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
         p = jnp.exp(scores - m_new)                        # [HG, HS]
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
+        if quantized:
+            # fold V scales into p's columns (= dequantizing V), after l
+            p = p * vrow
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 

@@ -58,7 +58,7 @@ _ROW_CHUNK = 2048
 
 def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             block_rows: int, gsize: int, per_channel: bool,
-            asym: bool):
+            asym: bool, npair: bool):
     if asym:
         z_ref, o_ref = rest            # zbias rides as one more operand
     else:
@@ -67,6 +67,57 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
     w = w_ref[0, 0]                    # [Kp, bn] int8 (packed rows for int4)
     Kp, bn = w.shape
     M = x.shape[0]
+
+    if npair:                          # int4, N-pair difference-of-dots
+        # Byte (k, j) packs output columns j (lo, stored +8, unsigned) and
+        # j + bn of this block at the SAME row k (quantization
+        # to_blocked_npair), so the hi-nibble dot falls out of two dots
+        # that SHARE the x operand: d_hi = (dot(x, bytes) − dot(x,
+        # bytes & 0xF))/16 — the floor/mul hi extraction leaves the VPU
+        # entirely (2 converts + 1 AND per byte vs 3 converts + floor +
+        # mul for the split-half path). f32 nibbles feed the MXU's f32
+        # path as in the split-half variant below.
+        acc_lo = jnp.zeros((M, bn), jnp.float32)
+        acc_hi = jnp.zeros((M, bn), jnp.float32)
+        # grouped: one chunk per scale group; per-channel: bound the f32
+        # nibble intermediates ([ch, bn] ×2) to ~0.5 MB each
+        ch = (min(Kp, _ROW_CHUNK, max(128, (1 << 19) // (bn * 4)))
+              if per_channel else gsize)
+        for c0 in range(0, Kp, ch):
+            wb = w[c0:c0 + ch]
+            bf = wb.astype(jnp.float32)
+            lo_u = (wb & 0xF).astype(jnp.float32)
+            xg = x[:, c0:c0 + ch].astype(jnp.float32)
+            d1 = jnp.dot(xg, bf, preferred_element_type=jnp.float32)
+            d2 = jnp.dot(xg, lo_u, preferred_element_type=jnp.float32)
+            xsum = jnp.sum(xg, -1, keepdims=True)
+            d_lo = d2 - 8.0 * xsum                  # undo the +8 offset
+            d_hi = (d1 - d2) * 0.0625
+            if per_channel:
+                acc_lo += d_lo
+                acc_hi += d_hi
+            else:
+                g = c0 // gsize                     # ch == gsize
+                s = s_ref[0, 0][g]                  # [2·bn] f32
+                acc_lo += d_lo * s[None, :bn]
+                acc_hi += d_hi * s[None, bn:]
+                if asym:
+                    z = z_ref[0, 0][g]
+                    acc_lo += xsum * z[None, :bn]
+                    acc_hi += xsum * z[None, bn:]
+        if per_channel:
+            s = s_ref[0, 0][0]
+            acc_lo = acc_lo * s[None, :bn]
+            acc_hi = acc_hi * s[None, bn:]
+            if asym:
+                xsum = jnp.sum(x.astype(jnp.float32), -1, keepdims=True)
+                z = z_ref[0, 0][0]
+                acc_lo += xsum * z[None, :bn]
+                acc_hi += xsum * z[None, bn:]
+        o_ref[:] = jnp.concatenate([acc_lo, acc_hi], axis=1
+                                   ).astype(o_ref.dtype)
+        return
+
     acc = jnp.zeros((M, bn), jnp.float32)
 
     # Group-wise scales are applied to the OUTPUT of per-group raw-code dots
@@ -148,9 +199,10 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
-                                             "per_channel", "interpret"))
+                                             "per_channel", "npair",
+                                             "interpret"))
 def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
-                          gsize, per_channel, interpret):
+                          gsize, per_channel, npair=False, interpret):
     """q4/s4 are STACKED over a leading layer axis ([L, NB, Kp, bn] /
     [L, NB, G, bn]) and `lyr` (shape [1], scalar-prefetched) picks the layer
     inside the kernel's index maps. This matters: when the layer scan slices
@@ -162,12 +214,13 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
     scale-sized operand when present."""
     M, K = x.shape
     L, NB, Kp, bn = q4.shape
+    out_bn = 2 * bn if npair else bn    # npair blocks pack two columns/byte
     G = s4.shape[2]
     asym = z4 is not None
     kernel = functools.partial(_kernel, bits=bits, block_rows=block_rows,
                                gsize=gsize, per_channel=per_channel,
-                               asym=asym)
-    sspec = pl.BlockSpec((1, 1, G, bn), lambda n, lyr: (lyr[0], n, 0, 0))
+                               asym=asym, npair=npair)
+    sspec = pl.BlockSpec((1, 1, G, out_bn), lambda n, lyr: (lyr[0], n, 0, 0))
     in_specs = [
         pl.BlockSpec((M, K), lambda n, lyr: (0, 0)),
         pl.BlockSpec((1, 1, Kp, bn), lambda n, lyr: (lyr[0], n, 0, 0)),
@@ -180,16 +233,16 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
             num_scalar_prefetch=1,
             grid=(NB,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((M, bn), lambda n, lyr: (0, n)),
+            out_specs=pl.BlockSpec((M, out_bn), lambda n, lyr: (0, n)),
         ),
-        out_shape=jax.ShapeDtypeStruct((M, NB * bn), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, NB * out_bn), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * M * K * NB * bn,
+            flops=2 * M * K * NB * out_bn,
             bytes_accessed=q4.size // L + s4.size * 4 // L + M * K * 2
-            + M * NB * bn * 2,
+            + M * NB * out_bn * 2,
             transcendentals=0),
         interpret=interpret,
     )(*operands)
@@ -201,7 +254,7 @@ def _index_layer(qt: QTensor, layer) -> QTensor:
         q=jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False),
         scale=jax.lax.dynamic_index_in_dim(qt.scale, layer, 0, keepdims=False),
         bits=qt.bits, group_size=qt.group_size, orig_dtype=qt.orig_dtype,
-        block_rows=qt.block_rows, block_n=qt.block_n,
+        block_rows=qt.block_rows, block_n=qt.block_n, pack_axis=qt.pack_axis,
         zbias=None if qt.zbias is None else jax.lax.dynamic_index_in_dim(
             qt.zbias, layer, 0, keepdims=False))
 
@@ -230,17 +283,21 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     lyr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
            else jnp.zeros((1,), jnp.int32))
     L, NB, Kp, bn = q4.shape
+    npair = qt.bits == 4 and qt.pack_axis == "n"
     num_groups = s4.shape[2]
     per_channel = num_groups == 1
     gsize = K // num_groups
-    block_rows = (qt.block_rows or Kp) if qt.bits == 4 else Kp
+    block_rows = (qt.block_rows or Kp) if qt.bits == 4 and not npair else Kp
     # static-slice preconditions (quantize() guarantees these for supported
     # configs; bail to the reference path otherwise)
     ok = True
     if not per_channel:
         # group chunks are unpacked/converted whole in VMEM
         ok = 8 <= gsize and gsize * bn * 4 <= (2 << 20)
-    if qt.bits == 4 and ok:
+    if npair:
+        # scale-row slice at offset bn must be lane-aligned
+        ok = ok and bn % 128 == 0 and (per_channel or K % gsize == 0)
+    elif qt.bits == 4 and ok:
         ok = Kp % block_rows == 0 and (per_channel or block_rows % gsize == 0)
     if not ok:
         qt2 = (_index_layer(qt, layer if layer is not None else 0)
@@ -256,6 +313,7 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
         z4 = qt.zbias if stacked else qt.zbias[None]
     out = _quant_matmul_blocked(x2, q4, s4, lyr, z4, bits=qt.bits,
                                 block_rows=block_rows, gsize=gsize,
-                                per_channel=per_channel,
+                                per_channel=per_channel, npair=npair,
                                 interpret=use_interpret())
-    return out[:M].reshape(*lead, NB * bn).astype(x.dtype)
+    return out[:M].reshape(*lead, NB * bn * (2 if npair else 1)
+                           ).astype(x.dtype)

@@ -51,9 +51,21 @@ class QTensor:
     # a per-group activation row-sum times zbias — one FMA per group per
     # output element, folded into the same pass as the scales.
     zbias: jnp.ndarray = None
+    # INT4 nibble axis: "k" (default, block-local split-half along rows —
+    # see class docstring) or "n" (N-PAIR: byte (k, j) of an output block of
+    # width block_n holds column j's code + 8 in the low nibble and column
+    # j + block_n/2's code, signed, in the high nibble, both at the SAME
+    # row k). "n" packing exists only in the blocked layout
+    # (to_blocked_npair) and enables the difference-of-dots unpack in the
+    # Pallas kernel: dot(x, raw_bytes) and dot(x, bytes & 0xF) recover the
+    # hi-nibble dot as (d1 − d2)/16 — no floor/mul hi extraction on the VPU
+    # (scripts/proto_int4_unpack.py kern_diffdot).
+    pack_axis: str = struct.field(pytree_node=False, default="k")
 
     @property
     def in_features(self) -> int:
+        if self.bits == 4 and self.pack_axis == "n":
+            return self.q.shape[-2]          # rows are unpacked K
         # packed-K is axis -2 in both layouts: [..., K', N] / [..., NB, K', bn]
         return self.q.shape[-2] * (2 if self.bits == 4 else 1)
 
@@ -157,19 +169,21 @@ def quantize(
 
 
 def choose_block_n(K_packed: int, N: int, target_bytes: int = 3 << 20,
-                   itemsize: int = 1) -> int:
-    """Pick a streaming column-block width: a multiple of 128 dividing N,
-    keeping one [K', bn] chunk at or under target_bytes (VMEM double-buffer
-    budget), as large as possible. 0 if N has no 128-multiple divisor."""
+                   itemsize: int = 1, quantum: int = 128) -> int:
+    """Pick a streaming column-block width: a multiple of `quantum` dividing
+    N, keeping one [K', bn] chunk at or under target_bytes (VMEM
+    double-buffer budget), as large as possible. 0 if N has no
+    quantum-multiple divisor. quantum=256 for the N-pair int4 layout (its
+    kernel slices scale rows at bn/2, which must be lane-aligned)."""
     best = 0
-    bn = 128
+    bn = quantum
     while bn <= N:
         if N % bn == 0:
             if K_packed * bn * itemsize <= target_bytes:
                 best = bn
             else:
                 break
-        bn += 128
+        bn += quantum
     return best
 
 
@@ -192,19 +206,76 @@ def to_blocked(qt: QTensor, block_n: int) -> QTensor:
                    zbias=None if qt.zbias is None else blk(qt.zbias))
 
 
+def _unblk(a):
+    *ld, nb, r, bn = a.shape
+    return a.swapaxes(-3, -2).reshape(*ld, r, nb * bn)
+
+
+def to_blocked_npair(qt: QTensor, block_n: int) -> QTensor:
+    """Re-lay a row-major split-half INT4 QTensor into the column-blocked
+    streaming layout with N-PAIR nibble packing (QTensor.pack_axis == "n"):
+    q [..., K/2, N] → [..., N/bn, K, bn/2] where byte (k, j) of block n
+    holds the codes of output columns n·bn+j (low nibble, stored +8,
+    unsigned) and n·bn+bn/2+j (high nibble, signed) at row k. Values
+    unchanged. Requires bn % 256 == 0 (the kernel's scale-row slice at
+    offset bn/2 must be lane-aligned)."""
+    assert qt.bits == 4 and qt.pack_axis == "k" and qt.block_n == 0, (
+        qt.bits, qt.pack_axis, qt.block_n)
+    assert block_n % 256 == 0, block_n
+    *lead, Kp, N = qt.q.shape
+    assert N % block_n == 0, (N, block_n)
+    nb, bnp = N // block_n, block_n // 2
+    # unpack split-half codes → [..., K, N] int8 in [-8, 7]
+    br = qt.block_rows or Kp
+    pb = qt.q.reshape(*lead, Kp // br, br, N)
+    lo = jnp.right_shift(jnp.left_shift(pb, 4), 4)
+    hi = jnp.right_shift(pb, 4)
+    codes = jnp.concatenate([lo, hi], axis=-2).reshape(*lead, 2 * Kp, N)
+    # pair columns (j, j + bn/2) within each bn block
+    cb = codes.reshape(*lead, 2 * Kp, nb, 2, bnp).astype(jnp.int32)
+    lo_u = cb[..., 0, :] + 8                         # [..., K, nb, bnp]
+    hi_s = cb[..., 1, :]
+    packed = (((hi_s & 0xF) << 4) | lo_u).astype(jnp.int8)
+    packed = jnp.moveaxis(packed, -2, -3)            # [..., nb, K, bnp]
+
+    def blk(a):
+        *ld, r, n = a.shape
+        return a.reshape(*ld, r, nb, block_n).swapaxes(-3, -2)
+
+    return QTensor(q=packed, scale=blk(qt.scale), bits=4,
+                   group_size=qt.group_size, orig_dtype=qt.orig_dtype,
+                   block_rows=0, block_n=block_n, pack_axis="n",
+                   zbias=None if qt.zbias is None else blk(qt.zbias))
+
+
+def _unpack_npair_blocked(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack blocked N-pair int4 [..., NB, K, bn/2] → codes
+    [..., NB, K, bn] int8 in [-8, 7] (block-local natural column order)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8         # undo the +8 offset
+    hi = jnp.right_shift(packed, 4)                  # arithmetic ⇒ signed
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def from_blocked(qt: QTensor) -> QTensor:
     """Inverse of to_blocked (row-major [..., K', N] layout)."""
     if not qt.block_n:
         return qt
-
-    def unblk(a):
-        *ld, nb, r, bn = a.shape
-        return a.swapaxes(-3, -2).reshape(*ld, r, nb * bn)
-
-    return QTensor(q=unblk(qt.q), scale=unblk(qt.scale), bits=qt.bits,
+    if qt.pack_axis == "n":
+        # unpack to codes, re-lay row-major, re-pack split-half (one block)
+        codes = _unpack_npair_blocked(qt.q)          # [..., NB, K, bn]
+        *lead, nbk, K, bn = codes.shape
+        cm = codes.swapaxes(-3, -2).reshape(*lead, K, nbk * bn)
+        half = K // 2
+        lo = cm[..., :half, :] & 0x0F
+        hi = (cm[..., half:, :] & 0x0F) << 4
+        return QTensor(q=(lo | hi).astype(jnp.int8), scale=_unblk(qt.scale),
+                       bits=4, group_size=qt.group_size,
+                       orig_dtype=qt.orig_dtype, block_rows=half, block_n=0,
+                       zbias=None if qt.zbias is None else _unblk(qt.zbias))
+    return QTensor(q=_unblk(qt.q), scale=_unblk(qt.scale), bits=qt.bits,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
                    block_rows=qt.block_rows, block_n=0,
-                   zbias=None if qt.zbias is None else unblk(qt.zbias))
+                   zbias=None if qt.zbias is None else _unblk(qt.zbias))
 
 
 def dequantize(qt: QTensor, dtype=None) -> jnp.ndarray:
@@ -271,7 +342,12 @@ def _unpack_int4_blocked(packed: jnp.ndarray, block_rows: int) -> jnp.ndarray:
 def _qmatmul_ref_blocked(x: jnp.ndarray, qt: QTensor, dtype) -> jnp.ndarray:
     """XLA path for the blocked layout — used for prefill (M large, MXU-bound)
     and as the golden model; avoids ever re-laying the weight at call time."""
-    q3 = qt.q if qt.bits == 8 else _unpack_int4_blocked(qt.q, qt.block_rows)
+    if qt.bits == 8:
+        q3 = qt.q
+    elif qt.pack_axis == "n":
+        q3 = _unpack_npair_blocked(qt.q)
+    else:
+        q3 = _unpack_int4_blocked(qt.q, qt.block_rows)
     NB, K, bn = q3.shape
     G = qt.scale.shape[-2]
     x2 = x.reshape(-1, K)

@@ -23,7 +23,8 @@ import ml_dtypes
 from llm_inference_tpu.config import ModelConfig
 from llm_inference_tpu.ops.quantization import QTensor
 
-_QT_FIELDS = ("bits", "group_size", "orig_dtype", "block_rows", "block_n")
+_QT_FIELDS = ("bits", "group_size", "orig_dtype", "block_rows", "block_n",
+              "pack_axis")
 
 
 def _describe(tree, prefix="") -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
@@ -84,7 +85,8 @@ def load_prepared(path: str) -> Tuple[ModelConfig, Any]:
                            scale=jnp.asarray(blob[pathkey + ".scale"]),
                            zbias=(jnp.asarray(blob[pathkey + ".zbias"])
                                   if desc.get("asym") else None),
-                           **{f: desc[f] for f in _QT_FIELDS})
+                           **{f: desc[f] for f in _QT_FIELDS
+                              if f in desc})
         arr = blob[pathkey]
         if desc["dtype"] == "bfloat16":
             arr = arr.view(ml_dtypes.bfloat16)

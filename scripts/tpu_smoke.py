@@ -52,6 +52,20 @@ def main():
                 ok &= check(f"quant_matmul bits={bits} gs={gs} M={M} "
                             f"asym={asym}", got, want)
 
+    # ---- int4 N-pair (difference-of-dots) layout, compiled parity ----
+    for gs, asym in [(0, False), (128, False), (128, True)]:
+        w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
+        if asym:
+            w = w + 0.01
+        qt = Q.to_blocked_npair(
+            Q.quantize(w, 4, gs, asymmetric=asym), 768)
+        for M in (1, 8, 128):
+            x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
+            got = QM.quant_matmul(x, qt)
+            want = Q.qmatmul_ref(x, qt)
+            ok &= check(f"quant_matmul npair gs={gs} M={M} asym={asym}",
+                        got, want)
+
     # ---- decode attention: MHA / GQA / int8 KV ----
     for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
         ks = jax.random.split(key, 3)

@@ -150,6 +150,31 @@ class TestPreparedParams:
         np.testing.assert_allclose(np.asarray(da), np.asarray(db),
                                    atol=5e-3, rtol=1e-3)
 
+    def test_prepared_npair_matches_plain(self, cfg, params):
+        """int4_npair re-layout (N-pair difference-of-dots kernel path) is
+        a pure re-layout too. On the tiny config wqkv/w_gateup get the
+        npair layout while wo/w_down (N=128, no 256-divisor) keep the
+        split-half layout — the mixed case must serve."""
+        p0 = llama.quantize_params(params, QuantConfig(weights="int4",
+                                                       group_size=32))
+        prep = llama.prepare_params(p0, donate=False, int4_npair=True)
+        assert prep["layers"]["wqkv"].pack_axis == "n"
+        assert prep["layers"]["w_gateup"].pack_axis == "n"
+        assert prep["layers"]["wo"].pack_axis == "k"
+        rng = np.random.default_rng(7)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5), (2, 1))
+        a, ca = llama.forward(cfg, p0, ids, pos, make_cache(cfg, 2))
+        b, cb = llama.forward(cfg, prep, ids, pos, make_cache(cfg, 2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
+        tok = jnp.argmax(a, -1).astype(jnp.int32)[:, None]
+        dpos = jnp.full((2, 1), 5, jnp.int32)
+        da, _ = llama.forward(cfg, p0, tok, dpos, ca)
+        db, _ = llama.forward(cfg, prep, tok, dpos, cb)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   atol=5e-3, rtol=1e-3)
+
     def test_tp_interleaved_fusion_slices(self, cfg, params):
         """A column shard of the fused weight must equal the fusion of the
         per-tensor shards (what shard_map hands each TP rank)."""

@@ -256,3 +256,75 @@ class TestAsymmetricQuant:
         rt = Q.from_blocked(Q.to_blocked(qt, 128))
         np.testing.assert_array_equal(np.asarray(rt.zbias),
                                       np.asarray(qt.zbias))
+
+
+class TestNPairPacking:
+    """N-pair int4 layout (QTensor.pack_axis == "n") — the
+    difference-of-dots unpack variant (quantization.to_blocked_npair)."""
+
+    @pytest.mark.parametrize("gs,asym", [(0, False), (128, False),
+                                         (128, True), (0, True)])
+    def test_dequant_roundtrip(self, gs, asym):
+        rng = np.random.default_rng(20)
+        w = (rng.standard_normal((512, 512)) * 0.1 + 0.02).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=4, group_size=gs,
+                        asymmetric=asym)
+        golden = np.asarray(Q.dequantize(qt, jnp.float32))
+        npq = Q.to_blocked_npair(qt, 256)
+        assert npq.pack_axis == "n"
+        assert npq.q.shape == (2, 512, 128)          # [NB, K, bn/2]
+        assert npq.in_features == 512 and npq.out_features == 512
+        np.testing.assert_array_equal(
+            np.asarray(Q.dequantize(npq, jnp.float32)), golden)
+
+    def test_from_blocked_roundtrip(self):
+        rng = np.random.default_rng(21)
+        w = (rng.standard_normal((256, 512)) + 0.5).astype(np.float32)
+        qt = Q.quantize(jnp.asarray(w), bits=4, group_size=64,
+                        asymmetric=True)
+        rt = Q.from_blocked(Q.to_blocked_npair(qt, 256))
+        assert rt.block_n == 0 and rt.pack_axis == "k"
+        np.testing.assert_array_equal(
+            np.asarray(Q.dequantize(rt, jnp.float32)),
+            np.asarray(Q.dequantize(qt, jnp.float32)))
+
+    @pytest.mark.parametrize("gs,asym", [(0, False), (128, False),
+                                         (128, True), (0, True)])
+    def test_pallas_kernel_matches_golden(self, gs, asym):
+        rng = np.random.default_rng(22)
+        M, K, N = 4, 512, 512
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        w = (rng.standard_normal((K, N)) * 0.1 + 0.03).astype(np.float32)
+        qt = Q.to_blocked_npair(
+            Q.quantize(jnp.asarray(w), bits=4, group_size=gs,
+                       asymmetric=asym), 256)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        assert out.shape == (M, N)
+        assert rel_err(out, golden) < 2e-2
+
+    def test_pallas_kernel_stacked_layers(self):
+        rng = np.random.default_rng(23)
+        L, M, K, N = 3, 4, 256, 512
+        ws = (rng.standard_normal((L, K, N)) * 0.2 + 0.4).astype(np.float32)
+        qt = jax.vmap(lambda m: Q.quantize(m, 4, 128, asymmetric=True))(
+            jnp.asarray(ws))
+        qt = Q.to_blocked_npair(qt, 256)
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        for layer in range(L):
+            one = Q.quantize(jnp.asarray(ws[layer]), 4, 128,
+                             asymmetric=True)
+            golden = np.asarray(x) @ np.asarray(Q.dequantize(one,
+                                                             jnp.float32))
+            out = QM.quant_matmul(jnp.asarray(x), qt, layer=layer)
+            assert rel_err(out, golden) < 2e-2, layer
+
+    def test_large_m_ref_path(self):
+        # prefill path: _qmatmul_ref_blocked must unpack npair correctly
+        rng = np.random.default_rng(24)
+        x = rng.standard_normal((200, 256)).astype(np.float32) * 0.1
+        w = rng.standard_normal((256, 512)).astype(np.float32) * 0.1
+        qt = Q.to_blocked_npair(Q.quantize(jnp.asarray(w), 4, 128), 256)
+        golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        assert rel_err(out, golden) < 2e-2
