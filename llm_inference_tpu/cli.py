@@ -65,6 +65,12 @@ def build_engine(args):
             params = quantize_fn(params, qcfg, ep_shards=args.tp)
         else:
             params = quantize_fn(params, qcfg, row_shards=args.tp)
+    if getattr(args, "int4_npair", False) and (
+            not is_llama or args.tp > 1 or args.quant != "int4"):
+        # refuse rather than silently lay out the plain split-half path —
+        # an A/B "with npair on" must never measure the wrong layout
+        raise SystemExit("--int4-npair requires --quant int4, tp=1, and a "
+                         "llama-family model")
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
         params = llama.prepare_params(

@@ -83,6 +83,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         # nibble intermediates ([ch, bn] ×2) to ~0.5 MB each
         ch = (min(Kp, _ROW_CHUNK, max(128, (1 << 19) // (bn * 4)))
               if per_channel else gsize)
+        xsum_all = jnp.zeros((M, 1), jnp.float32)
         for c0 in range(0, Kp, ch):
             wb = w[c0:c0 + ch]
             bf = wb.astype(jnp.float32)
@@ -96,6 +97,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             if per_channel:
                 acc_lo += d_lo
                 acc_hi += d_hi
+                xsum_all += xsum
             else:
                 g = c0 // gsize                     # ch == gsize
                 s = s_ref[0, 0][g]                  # [2·bn] f32
@@ -110,10 +112,9 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             acc_lo = acc_lo * s[None, :bn]
             acc_hi = acc_hi * s[None, bn:]
             if asym:
-                xsum = jnp.sum(x.astype(jnp.float32), -1, keepdims=True)
                 z = z_ref[0, 0][0]
-                acc_lo += xsum * z[None, :bn]
-                acc_hi += xsum * z[None, bn:]
+                acc_lo += xsum_all * z[None, :bn]
+                acc_hi += xsum_all * z[None, bn:]
         o_ref[:] = jnp.concatenate([acc_lo, acc_hi], axis=1
                                    ).astype(o_ref.dtype)
         return

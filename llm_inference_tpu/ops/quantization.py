@@ -84,7 +84,8 @@ ArrayOrQ = Union[jnp.ndarray, QTensor]
 
 
 def _pack_int4(q: jnp.ndarray, blocks: int = 1) -> jnp.ndarray:
-    """Pack int4 values in [-8, 7] (held in int8 [K, N]) → int8 [K//2, N].
+    """Pack int4 values in [-8, 7] (held in int8 [..., K, N]) → int8
+    [..., K//2, N].
 
     Block-local split-half layout (see QTensor docstring): within each of
     `blocks` equal row-blocks, packed row r holds original row r in the low
@@ -92,13 +93,13 @@ def _pack_int4(q: jnp.ndarray, blocks: int = 1) -> jnp.ndarray:
     arithmetic shifts + a concat along the sublane axis — no row interleave —
     which the Pallas dequant-matmul kernel exploits.
     """
-    K, N = q.shape
+    *ld, K, N = q.shape
     assert K % (2 * blocks) == 0, (K, blocks)
-    qb = q.reshape(blocks, K // blocks, N)
+    qb = q.reshape(*ld, blocks, K // blocks, N)
     half = K // blocks // 2
-    lo = qb[:, :half] & 0x0F
-    hi = (qb[:, half:] & 0x0F) << 4
-    return (lo | hi).astype(jnp.int8).reshape(K // 2, N)
+    lo = qb[..., :half, :] & 0x0F
+    hi = (qb[..., half:, :] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8).reshape(*ld, K // 2, N)
 
 
 def _unpack_int4(packed: jnp.ndarray, block_rows: int = 0) -> jnp.ndarray:
@@ -194,16 +195,17 @@ def to_blocked(qt: QTensor, block_n: int) -> QTensor:
     assert qt.block_n == 0, "already blocked"
     *lead, Kp, N = qt.q.shape
     assert N % block_n == 0, (N, block_n)
-    nb = N // block_n
+    return QTensor(q=_blk(qt.q, block_n), scale=_blk(qt.scale, block_n),
+                   bits=qt.bits, group_size=qt.group_size,
+                   orig_dtype=qt.orig_dtype, block_rows=qt.block_rows,
+                   block_n=block_n,
+                   zbias=None if qt.zbias is None else _blk(qt.zbias,
+                                                            block_n))
 
-    def blk(a):
-        *ld, r, n = a.shape
-        return a.reshape(*ld, r, nb, block_n).swapaxes(-3, -2)
 
-    return QTensor(q=blk(qt.q), scale=blk(qt.scale), bits=qt.bits,
-                   group_size=qt.group_size, orig_dtype=qt.orig_dtype,
-                   block_rows=qt.block_rows, block_n=block_n,
-                   zbias=None if qt.zbias is None else blk(qt.zbias))
+def _blk(a, block_n):
+    *ld, r, n = a.shape
+    return a.reshape(*ld, r, n // block_n, block_n).swapaxes(-3, -2)
 
 
 def _unblk(a):
@@ -237,15 +239,11 @@ def to_blocked_npair(qt: QTensor, block_n: int) -> QTensor:
     hi_s = cb[..., 1, :]
     packed = (((hi_s & 0xF) << 4) | lo_u).astype(jnp.int8)
     packed = jnp.moveaxis(packed, -2, -3)            # [..., nb, K, bnp]
-
-    def blk(a):
-        *ld, r, n = a.shape
-        return a.reshape(*ld, r, nb, block_n).swapaxes(-3, -2)
-
-    return QTensor(q=packed, scale=blk(qt.scale), bits=4,
+    return QTensor(q=packed, scale=_blk(qt.scale, block_n), bits=4,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
                    block_rows=0, block_n=block_n, pack_axis="n",
-                   zbias=None if qt.zbias is None else blk(qt.zbias))
+                   zbias=None if qt.zbias is None else _blk(qt.zbias,
+                                                            block_n))
 
 
 def _unpack_npair_blocked(packed: jnp.ndarray) -> jnp.ndarray:
@@ -262,15 +260,11 @@ def from_blocked(qt: QTensor) -> QTensor:
         return qt
     if qt.pack_axis == "n":
         # unpack to codes, re-lay row-major, re-pack split-half (one block)
-        codes = _unpack_npair_blocked(qt.q)          # [..., NB, K, bn]
-        *lead, nbk, K, bn = codes.shape
-        cm = codes.swapaxes(-3, -2).reshape(*lead, K, nbk * bn)
-        half = K // 2
-        lo = cm[..., :half, :] & 0x0F
-        hi = (cm[..., half:, :] & 0x0F) << 4
-        return QTensor(q=(lo | hi).astype(jnp.int8), scale=_unblk(qt.scale),
+        codes = _unblk(_unpack_npair_blocked(qt.q))  # [..., K, N]
+        return QTensor(q=_pack_int4(codes), scale=_unblk(qt.scale),
                        bits=4, group_size=qt.group_size,
-                       orig_dtype=qt.orig_dtype, block_rows=half, block_n=0,
+                       orig_dtype=qt.orig_dtype,
+                       block_rows=codes.shape[-2] // 2, block_n=0,
                        zbias=None if qt.zbias is None else _unblk(qt.zbias))
     return QTensor(q=_unblk(qt.q), scale=_unblk(qt.scale), bits=qt.bits,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
