@@ -191,6 +191,10 @@ def gemma3_4b(**kw) -> ModelConfig:
                        head_dim=256, rms_norm_eps=1e-6,
                        rope_theta=1000000.0, rope_local_theta=10000.0,
                        max_position_embeddings=131072,
+                       # linear position interpolation on the GLOBAL rope
+                       # only (the local table takes no scaling — HF
+                       # Gemma3TextConfig rope_scaling {linear, 8.0})
+                       rope_scaling={"type": "linear", "factor": 8.0},
                        sliding_window=1024, layer_types=lt,
                        qk_norm=True, query_pre_attn_scalar=256.0,
                        scale_embeddings=True, tie_word_embeddings=True,

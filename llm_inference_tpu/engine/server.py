@@ -252,23 +252,27 @@ def make_handler(backend: ServingBackend):
                     if isinstance(inp, str) or (
                             inp and isinstance(inp[0], int)):
                         inp = [inp]          # single string / one id list
+                    # encode once: embed() accepts id lists unchanged, and
+                    # usage needs the same token counts
+                    token_lists = backend.engine._encode_prompts(inp)
                     vecs = backend.engine.embed(
-                        inp, pooling=body.get("pooling", "last"))
+                        token_lists, pooling=body.get("pooling", "last"))
                 except (KeyError, TypeError, ValueError,
                         NotImplementedError) as e:
                     self._json(400, {"error": {
                         "message": f"bad request: {e}",
                         "type": "invalid_request_error"}})
                     return
+                ntok = sum(len(t) for t in token_lists)
                 self._json(200, {
                     "object": "list",
                     "model": backend.engine.cfg.name,
                     "data": [{"object": "embedding", "index": i,
                               "embedding": v}
                              for i, v in enumerate(vecs)],
-                    "usage": {"prompt_tokens": sum(
-                        len(backend.engine._encode_prompts([p])[0])
-                        for p in inp), "total_tokens": 0}})
+                    # OpenAI embeddings semantics: total == prompt tokens
+                    "usage": {"prompt_tokens": ntok,
+                              "total_tokens": ntok}})
                 return
             if self.path == "/cancel":
                 try:

@@ -140,8 +140,9 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         # gemma3: per-head (1+w) RMSNorm before RoPE (HF Gemma3Attention)
         q = gemma_rms_norm(q, lp["q_norm"], eps)
         k = gemma_rms_norm(k, lp["k_norm"], eps)
-    q = rope.apply_rope(q, positions, cos, sin)
-    k = rope.apply_rope(k, positions, cos, sin)
+    # cos/sin arrive pre-gathered at `positions` ([B, T, D]) — see forward
+    q = rope.apply_rope_gathered(q, cos, sin)
+    k = rope.apply_rope_gathered(k, cos, sin)
 
     from llm_inference_tpu.models.llama import write_kv_and_views
     from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
@@ -223,14 +224,22 @@ def forward(
     write_offsets = positions[:, 0]
     base_mask = attention.make_attention_mask(positions, S)
     P = min(cfg.max_position_embeddings, S)
-    cos, sin = rope.make_rope_table(P, cfg.head_dim, cfg.rope_theta,
-                                    cfg.rope_scaling)
+    cos_t, sin_t = rope.make_rope_table(P, cfg.head_dim, cfg.rope_theta,
+                                        cfg.rope_scaling)
+    # gather ONCE at the positions ([B, T, D]) — the per-layer dual-RoPE
+    # pick then selects these tiny gathered values inside the scan; a
+    # lax.select over the full [P, D] tables in the scan body would
+    # materialize an HBM copy of both tables every layer every step
+    cos = jnp.take(cos_t, positions, axis=0)
+    sin = jnp.take(sin_t, positions, axis=0)
     if cfg.rope_local_theta > 0:
         # gemma3 dual RoPE: sliding layers rotate with the LOCAL theta
         # (no scaling on the local tables, matching HF Gemma3RotaryEmbedding
         # local variant); the per-layer pick rides the scan as a selector
-        cos_l, sin_l = rope.make_rope_table(P, cfg.head_dim,
-                                            cfg.rope_local_theta)
+        cos_lt, sin_lt = rope.make_rope_table(P, cfg.head_dim,
+                                              cfg.rope_local_theta)
+        cos_l = jnp.take(cos_lt, positions, axis=0)
+        sin_l = jnp.take(sin_lt, positions, axis=0)
     else:
         cos_l, sin_l = cos, sin
 

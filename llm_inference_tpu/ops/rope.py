@@ -116,8 +116,23 @@ def apply_rope(
 
     Returns: rotated x, same shape/dtype.
     """
-    cos = jnp.take(cos_table, positions, axis=0)[:, :, None, :]  # [B,S,1,d]
-    sin = jnp.take(sin_table, positions, axis=0)[:, :, None, :]
+    cos = jnp.take(cos_table, positions, axis=0)  # [B, S, d]
+    sin = jnp.take(sin_table, positions, axis=0)
+    return apply_rope_gathered(x, cos, sin)
+
+
+def apply_rope_gathered(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> jnp.ndarray:
+    """apply_rope with the tables already gathered at the positions:
+    cos/sin are [batch, seq, head_dim]. Lets callers that pick between
+    multiple tables per layer (gemma3 dual RoPE) gather ONCE outside the
+    layer scan and select the tiny gathered values inside it — selecting
+    whole [max_pos, head_dim] tables in the scan body materializes an
+    HBM copy of both tables every layer every step."""
     x32 = x.astype(jnp.float32)
-    out = x32 * cos + _rotate_half(x32) * sin
+    out = (x32 * cos[:, :, None, :]
+           + _rotate_half(x32) * sin[:, :, None, :])
     return out.astype(x.dtype)

@@ -153,6 +153,10 @@ def _sp_layer(cfg, h, lp, qw, cache, layer_idx, positions_local,
     q = q.reshape(B, T_loc, -1, D)
     k = k.reshape(B, T_loc, -1, D)
     v = v.reshape(B, T_loc, -1, D)
+    if cfg.qk_norm:
+        # qwen3: per-head RMSNorm before RoPE (mirrors llama._layer)
+        q = norms.rms_norm(q, lp["q_norm"], eps)
+        k = norms.rms_norm(k, lp["k_norm"], eps)
     q = rope.apply_rope(q, positions_local, cos, sin)
     k = rope.apply_rope(k, positions_local, cos, sin)
 

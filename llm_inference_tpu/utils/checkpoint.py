@@ -49,6 +49,26 @@ def _as_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
 # HF config → ModelConfig
 # ---------------------------------------------------------------------------
 
+def _gemma3_layer_types(g):
+    """Gemma-3 per-layer attention kinds. Newer HF configs carry
+    `layer_types` explicitly; older ones (original Hub uploads /
+    transformers <4.54) only carry `sliding_window_pattern`: N, meaning
+    every Nth layer is full attention. Falling back matters: treating a
+    pattern-only config as all-sliding would silently cap every layer's
+    context at the sliding window with the local RoPE theta."""
+    lt = g("layer_types")
+    if lt:
+        return tuple(lt)
+    pat = g("sliding_window_pattern")
+    if pat:
+        L = g("num_hidden_layers")
+        return tuple("full_attention" if (i + 1) % int(pat) == 0
+                     else "sliding_attention" for i in range(L))
+    raise ValueError(
+        "gemma3 config carries neither layer_types nor "
+        "sliding_window_pattern — cannot derive the sliding/full layout")
+
+
 def model_config_from_hf(hf_cfg) -> ModelConfig:
     """Build a ModelConfig from a transformers config object or dict."""
     g = (lambda k, d=None: hf_cfg.get(k, d)) if isinstance(hf_cfg, dict) \
@@ -100,8 +120,7 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         sliding_window=(g("sliding_window") or 0)
         if g("use_sliding_window", True) else 0,
         sliding_pattern="alternating" if (gemma and not gemma3) else "all",
-        layer_types=(tuple(g("layer_types")) if gemma3 and g("layer_types")
-                     else None),
+        layer_types=_gemma3_layer_types(g) if gemma3 else None,
         rope_local_theta=(g("rope_local_base_freq") or 0.0) if gemma3
         else 0.0,
         # HF Qwen2 hardcodes q/k/v biases (no attention_bias config key),

@@ -550,3 +550,31 @@ class TestGemma3:
                            GenerationConfig(greedy=True, max_new_tokens=8,
                                             eos_token_ids=()))[0].token_ids
         assert got == want, (got, want)
+
+
+class TestGemma3ConfigFallback:
+    def test_layer_types_from_sliding_window_pattern(self):
+        """Older gemma3 HF configs carry only sliding_window_pattern: N —
+        derive the 5:1 layout instead of silently treating every layer as
+        sliding/local-RoPE."""
+        from llm_inference_tpu.utils import checkpoint
+        cfg = checkpoint.model_config_from_hf({
+            "model_type": "gemma3_text", "vocab_size": 128,
+            "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 12, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 16,
+            "rope_theta": 1e6, "rope_local_base_freq": 1e4,
+            "sliding_window": 512, "sliding_window_pattern": 6})
+        assert cfg.layer_types == tuple(
+            "full_attention" if (i + 1) % 6 == 0 else "sliding_attention"
+            for i in range(12))
+
+    def test_neither_key_raises(self):
+        from llm_inference_tpu.utils import checkpoint
+        with pytest.raises(ValueError, match="sliding_window_pattern"):
+            checkpoint.model_config_from_hf({
+                "model_type": "gemma3_text", "vocab_size": 128,
+                "hidden_size": 64, "intermediate_size": 128,
+                "num_hidden_layers": 12, "num_attention_heads": 4,
+                "num_key_value_heads": 2, "head_dim": 16,
+                "sliding_window": 512})

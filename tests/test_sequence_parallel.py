@@ -132,3 +132,21 @@ class TestRingAttention:
         np.testing.assert_allclose(np.asarray(scache.v),
                                    np.asarray(gcache.v),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestQKNorm:
+    def test_qk_norm_matches_single_device(self):
+        """qwen3-style per-head QK-norm must flow through _sp_layer (it
+        once silently skipped it — SP output diverged from dense)."""
+        cfg = tiny_llama(num_kv_heads=4, qk_norm=True)
+        params = llama.init_params(cfg, jax.random.PRNGKey(1))
+        # break the unit-gain symmetry so a skipped norm can't hide
+        params["layers"]["q_norm"] = params["layers"]["q_norm"] * 1.5
+        params["layers"]["k_norm"] = params["layers"]["k_norm"] * 0.7
+        rng = np.random.default_rng(5)
+        B, T = 1, 16
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        g, _ = golden(cfg, params, ids, pos, max_seq=32)
+        s, _ = run_sp(cfg, params, ids, pos, sp=4, tp=1, max_seq=32)
+        np.testing.assert_allclose(s, g, atol=2e-4, rtol=2e-4)
