@@ -111,7 +111,8 @@ def build_engine(args):
         mesh = make_mesh(C.ShardingConfig(data=args.dp, tensor=args.tp))
     eng_cfg = C.EngineConfig(max_seq_len=args.max_seq_len,
                              decode_chunk=args.decode_chunk)
-    cache_dtype = "int8" if args.kv_cache == "int8" else jnp.bfloat16
+    cache_dtype = (args.kv_cache if args.kv_cache in ("int8", "int4")
+                   else jnp.bfloat16)
     return InferenceEngine(cfg, params, engine_cfg=eng_cfg,
                            tokenizer=tokenizer, mesh=mesh,
                            cache_dtype=cache_dtype,
@@ -134,7 +135,8 @@ def main(argv=None):
                          "single-chip llama-family only)")
     ap.add_argument("--asym", action="store_true",
                     help="asymmetric (min/max, zero-point) weight quantization")
-    ap.add_argument("--kv-cache", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--kv-cache", default="bf16",
+                    choices=["bf16", "int8", "int4"])
     ap.add_argument("--lora", action="append", default=None,
                     metavar="NAME=PEFT_DIR",
                     help="load a LoRA adapter for multi-LoRA serving "

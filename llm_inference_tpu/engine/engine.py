@@ -61,7 +61,7 @@ class InferenceEngine:
         self.cache_dtype = cache_dtype
         self.metrics = metrics.Metrics()
 
-        kv_quantized = cache_dtype in (jnp.int8, "int8")
+        kv_quantized = cache_dtype in (jnp.int8, "int8", "int4")
         self._kv_quantized = kv_quantized
         self._sharded = mesh is not None and mesh.devices.size > 1
         from llm_inference_tpu.models import registry as _registry

@@ -58,11 +58,17 @@ def attend(
 
     With an INT8 KV cache, k/v hold int8 codes and the per-(head, slot)
     scales fold exactly into the score / probability columns (same math as
-    the Pallas decode kernel).
+    the Pallas decode kernel). An INT4 cache additionally packs two dims
+    per byte (split-half along head_dim, quantization.quantize_kv4) —
+    detected by the halved last axis and unpacked here.
 
     Returns [B, T, Hq, D] in q.dtype.
     """
     B, T, Hq, D = q.shape
+    if jnp.issubdtype(k.dtype, jnp.integer) and k.shape[-1] * 2 == D:
+        from llm_inference_tpu.ops.quantization import unpack_kv4
+        k = unpack_kv4(k)
+        v = unpack_kv4(v)
     Hkv = k.shape[1]
     G = Hq // Hkv
     if scale is None:

@@ -49,6 +49,10 @@ class KVCache:
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray] = None
     v_scale: Optional[jnp.ndarray] = None
+    # code width: 16 = bf16/f32 (k_scale None), 8 = int8, 4 = packed int4
+    # (codes hold TWO dims per byte, split-half along head_dim —
+    # quantization.quantize_kv4; k/v are [L, B, Hkv, S, D/2] int8)
+    bits: int = struct.field(pytree_node=False, default=16)
 
     @property
     def max_seq_len(self) -> int:
@@ -57,6 +61,10 @@ class KVCache:
     @property
     def batch_size(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def head_dim(self) -> int:
+        return self.k.shape[4] * (2 if self.bits == 4 else 1)
 
     @property
     def quantized(self) -> bool:
@@ -72,12 +80,18 @@ def init_cache(
     dtype=jnp.bfloat16,
 ) -> KVCache:
     shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
+    sshape = (num_layers, batch, max_seq, num_kv_heads)
     if dtype == jnp.int8 or dtype == "int8":
-        sshape = (num_layers, batch, max_seq, num_kv_heads)
         return KVCache(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
                        k_scale=jnp.zeros(sshape, jnp.float32),
-                       v_scale=jnp.zeros(sshape, jnp.float32))
+                       v_scale=jnp.zeros(sshape, jnp.float32), bits=8)
+    if dtype == "int4":
+        pshape = shape[:-1] + (head_dim // 2,)
+        return KVCache(k=jnp.zeros(pshape, jnp.int8),
+                       v=jnp.zeros(pshape, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32), bits=4)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -112,21 +126,26 @@ def update_cache_layer(
     re-materializes the entire stacked ys output every step — measured ~2 ms
     per decode step for a 7B cache on v5e.)
 
-    INT8 caches quantize at write time: per-(head, token) symmetric scales
-    over the head_dim axis (ops.quantization.quantize_kv semantics).
+    INT8/INT4 caches quantize at write time: per-(head, token) symmetric
+    scales over the head_dim axis (ops.quantization.quantize_kv /
+    quantize_kv4 semantics); int4 packs two dims per byte so the write
+    slices are [B, T, H, D/2].
     """
     if cache.quantized:
-        from llm_inference_tpu.ops.quantization import quantize_kv
-        kq, ks = quantize_kv(k_new)          # int8 [B,T,H,D], f32 [B,T,H,1]
-        vq, vs = quantize_kv(v_new)
+        from llm_inference_tpu.ops.quantization import (quantize_kv,
+                                                        quantize_kv4)
+        qfn = quantize_kv4 if cache.bits == 4 else quantize_kv
+        kq, ks = qfn(k_new)             # int8 codes, f32 [B,T,H,1]
+        vq, vs = qfn(v_new)
         k_all, v_all = _write_pages(cache.k, cache.v, layer,
                                     kq, vq, offsets)
         ks_all = _write_scales(cache.k_scale, layer, ks[..., 0], offsets)
         vs_all = _write_scales(cache.v_scale, layer, vs[..., 0], offsets)
-        return KVCache(k=k_all, v=v_all, k_scale=ks_all, v_scale=vs_all)
+        return cache.replace(k=k_all, v=v_all, k_scale=ks_all,
+                             v_scale=vs_all)
     k_all, v_all = _write_pages(cache.k, cache.v, layer, k_new, v_new,
                                 offsets)
-    return KVCache(k=k_all, v=v_all)
+    return cache.replace(k=k_all, v=v_all)
 
 
 def _write_pages(k_all, v_all, layer, k_new, v_new, offsets):

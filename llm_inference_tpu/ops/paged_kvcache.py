@@ -53,10 +53,18 @@ class PagedKVCache:
     page_table: jnp.ndarray
     k_scale: jnp.ndarray | None = None
     v_scale: jnp.ndarray | None = None
+    # code width: 16 = bf16/f32, 8 = int8, 4 = packed int4 (two dims per
+    # byte, split-half offset-lo — quantization.quantize_kv4; pages are
+    # [L, P, Hkv, ps, D/2] int8)
+    bits: int = struct.field(pytree_node=False, default=16)
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def head_dim(self) -> int:
+        return self.k_pages.shape[4] * (2 if self.bits == 4 else 1)
 
     @property
     def page_size(self) -> int:
@@ -75,14 +83,21 @@ def init_paged_cache(num_layers: int, num_pages: int, num_kv_heads: int,
                      page_size: int, head_dim: int, batch: int,
                      max_blocks: int, dtype=jnp.bfloat16) -> PagedKVCache:
     shape = (num_layers, num_pages, num_kv_heads, page_size, head_dim)
+    sshape = (num_layers, num_pages, page_size, num_kv_heads)
     pt = jnp.zeros((batch, max_blocks), jnp.int32)
     if dtype == jnp.int8 or dtype == "int8":
-        sshape = (num_layers, num_pages, page_size, num_kv_heads)
         return PagedKVCache(k_pages=jnp.zeros(shape, jnp.int8),
                             v_pages=jnp.zeros(shape, jnp.int8),
                             page_table=pt,
                             k_scale=jnp.zeros(sshape, jnp.float32),
-                            v_scale=jnp.zeros(sshape, jnp.float32))
+                            v_scale=jnp.zeros(sshape, jnp.float32), bits=8)
+    if dtype == "int4":
+        pshape = shape[:-1] + (head_dim // 2,)
+        return PagedKVCache(k_pages=jnp.zeros(pshape, jnp.int8),
+                            v_pages=jnp.zeros(pshape, jnp.int8),
+                            page_table=pt,
+                            k_scale=jnp.zeros(sshape, jnp.float32),
+                            v_scale=jnp.zeros(sshape, jnp.float32), bits=4)
     return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
                         v_pages=jnp.zeros(shape, dtype), page_table=pt)
 
@@ -143,9 +158,11 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
     v_in = jnp.nan_to_num(v_new[:, 0])
     ks_rows = vs_rows = None
     if cache.quantized:
-        from llm_inference_tpu.ops.quantization import quantize_kv
-        k_in, ks = quantize_kv(k_in)            # int8, scale [B, Hkv, 1]
-        v_in, vs = quantize_kv(v_in)
+        from llm_inference_tpu.ops.quantization import (quantize_kv,
+                                                        quantize_kv4)
+        qfn = quantize_kv4 if cache.bits == 4 else quantize_kv
+        k_in, ks = qfn(k_in)                    # codes, scale [B, Hkv, 1]
+        v_in, vs = qfn(v_in)
         ks_rows, vs_rows = ks[..., 0], vs[..., 0]
     k_rows = k_in.astype(cache.k_pages.dtype)
     v_rows = v_in.astype(cache.v_pages.dtype)
@@ -167,9 +184,8 @@ def write_token(cache: PagedKVCache, layer: jnp.ndarray,
                 k_sc, ks_rows[b][None, None, None, :], sidx)
             v_sc = jax.lax.dynamic_update_slice(
                 v_sc, vs_rows[b][None, None, None, :], sidx)
-    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
-                        page_table=cache.page_table,
-                        k_scale=k_sc, v_scale=v_sc)
+    return cache.replace(k_pages=k_pages, v_pages=v_pages,
+                         k_scale=k_sc, v_scale=v_sc)
 
 
 def write_prompt(cache: PagedKVCache, layer: jnp.ndarray, seq: int,
@@ -200,9 +216,12 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
     ps = cache.page_size
     k_sc, v_sc = cache.k_scale, cache.v_scale
     if cache.quantized:
-        from llm_inference_tpu.ops.quantization import quantize_kv
-        k_new, ks = quantize_kv(k_new)          # [B, T, H, D], [B, T, H, 1]
-        v_new, vs = quantize_kv(v_new)
+        from llm_inference_tpu.ops.quantization import (quantize_kv,
+                                                        quantize_kv4)
+        qfn = quantize_kv4 if cache.bits == 4 else quantize_kv
+        k_new, ks = qfn(k_new)         # codes [B, T, H, D'], [B, T, H, 1]
+        v_new, vs = qfn(v_new)
+        D = k_new.shape[-1]            # packed width for int4
         sb = ks[..., 0].reshape(B, num_blocks, ps, H)     # slot-major pages
         vb_s = vs[..., 0].reshape(B, num_blocks, ps, H)
     kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
@@ -221,9 +240,8 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
     if cache.quantized:
         k_sc = k_sc.at[idx_l, pages].set(sb)
         v_sc = v_sc.at[idx_l, pages].set(vb_s)
-    return PagedKVCache(k_pages=k_pages, v_pages=v_pages,
-                        page_table=cache.page_table,
-                        k_scale=k_sc, v_scale=v_sc)
+    return cache.replace(k_pages=k_pages, v_pages=v_pages,
+                         k_scale=k_sc, v_scale=v_sc)
 
 
 def gather_dense(cache: PagedKVCache, layer: int,

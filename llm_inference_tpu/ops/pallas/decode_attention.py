@@ -196,6 +196,160 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
                                                    ).astype(o_ref.dtype)
 
 
+def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
+             vs_ref, o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *, hb: int,
+             sb: int, ns: int, scale: float, softcap: float):
+    """INT4 KV variant (quantization.quantize_kv4 offset-lo packing: signed
+    byte = 16·hi + lo_u, lo stored +8). Every nibble extraction is a linear
+    fold — no floor/mul on the VPU:
+      scores = (q0·lo_uᵀ − 8·rowsum(q0) + q1·hiᵀ)·scale, hi = byte >> 4
+      out    = [p·lo_u − 8·rowsum(p) ∥ (p·bytes − p·lo_u)/16]
+    q and the output ride PRE-SPLIT [.., G, 2, D/2] blocks (split outside
+    via a free reshape) so the kernel never slices lanes at D/2."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    pos = pos_ref[b]
+    win = win_ref[0]
+    _, _, G, _, D2 = q_ref.shape
+    HG = hb * G
+    HS = hb * sb
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+
+    @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
+    def _():
+        q0 = q_ref[0, :, :, 0].reshape(HG, D2).astype(jnp.float32)
+        q1 = q_ref[0, :, :, 1].reshape(HG, D2).astype(jnp.float32)
+        kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
+        k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)  # exact: lo_u≥0
+        k_lo = (kp & 0xF).astype(jnp.float32)
+        # NT dots contracting D/2; f32 nibbles on the MXU's f32 path
+        scores = (jax.lax.dot_general(
+            q0, k_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q1, k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+        # per-(slot, head) scale fold — identical to the int8 kernel
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1)
+               ).astype(jnp.float32)
+        ks_t = jax.lax.dot_general(
+            eye, ks_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vs_t = jax.lax.dot_general(
+            eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def scale_strips(x, s_t):
+            return jnp.concatenate(
+                [x[:, h * sb:(h + 1) * sb] * s_t[h:h + 1, :]
+                 for h in range(hb)], axis=1)
+
+        scores = scale_strips(scores, ks_t)
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+        slot = j * sb + col % sb
+        ok = ((col // sb) == (row // G)) & (slot <= pos)
+        ok &= (win <= 0) | (slot > pos - win)
+        scores = jnp.where(ok, scores, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)                       # [HG, HS] f32
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        p = scale_strips(p, vs_t)                         # fold V scales
+        vp = v_ref[0, 0].reshape(HS, D2)
+        d1 = jnp.dot(p, vp.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)  # p·bytes
+        d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)  # p·lo_u
+        psum = jnp.sum(p, axis=1, keepdims=True)          # scaled-p rowsum
+        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
+        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+
+    @pl.when(j == ns - 1)
+    def _():
+        o_ref[0, :, :, 0] = (acc0_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o_ref.dtype)
+        o_ref[0, :, :, 1] = (acc1_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
+def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
+                  scale: float, softcap: float, interpret: bool):
+    """INT4-KV twin of _decode_attn: q arrives [B, Hkv, G, 2, D/2]
+    (pre-split halves), pools are packed [L, B, Hkv, S, D/2]."""
+    B, Hkv, G, _, D2 = q.shape
+    S = k_all.shape[3]
+    hb = Hkv                       # scale-block full-dim rule (see _kernel)
+    sb = max(128, min(S, _KV_BYTES_PER_STEP // (hb * D2),
+                      max(128, S // 2)))
+    sb -= sb % 128
+    while S % sb:
+        sb -= 128
+    ns = S // sb
+    grid = (B, 1, ns)
+    kernel = functools.partial(_kernel4, hb=hb, sb=sb, ns=ns, scale=scale,
+                               softcap=softcap)
+
+    def live(b, j, pos, win):
+        lo = jnp.where(win[0] > 0,
+                       jnp.maximum(pos[b] - win[0] + 1, 0) // sb, 0)
+        return jnp.minimum(jnp.maximum(j, lo), pos[b] // sb)
+
+    def kv_map(b, g, j, pos, lyr, win):
+        return (lyr[0], b, g, live(b, j, pos, win), 0)
+
+    def s_map(b, g, j, pos, lyr, win):
+        return (lyr[0], b, live(b, j, pos, win), g)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, G, 2, D2),
+                     lambda b, g, j, pos, lyr, win: (b, g, 0, 0, 0)),
+        pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
+        pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
+        pl.BlockSpec((1, 1, sb, hb), s_map),
+        pl.BlockSpec((1, 1, sb, hb), s_map),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hb, G, 2, D2),
+                                   lambda b, g, j, pos, lyr, win:
+                                   (b, g, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D2 * 2,
+            bytes_accessed=(k_all.size + v_all.size) // k_all.shape[0],
+            transcendentals=B * Hkv * G * S),
+        interpret=interpret,
+    )(pos, layer, win, q, k_all, v_all, ks_all, vs_all)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
 def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
                  scale: float, softcap: float, interpret: bool):
@@ -303,7 +457,6 @@ def decode_attention(
     G = Hq // Hkv
     if scale is None:
         scale = 1.0 / (D ** 0.5)
-    qg = q.reshape(B, Hkv, G, D)
     # positions + layer + window ride scalar prefetch (SMEM); the kernel
     # indexes pos with program_id(0), and the index maps pick the cache
     # layer and clamp slot blocks to each sequence's live range.
@@ -311,6 +464,15 @@ def decode_attention(
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
+    if k_all.shape[4] * 2 == D:
+        # packed INT4 cache: split q/out halves with a free reshape so the
+        # kernel's lane dims stay D/2-wide end to end
+        qg = q.reshape(B, Hkv, G, 2, D // 2)
+        out = _decode_attn4(qg, k_all, v_all, k_scale, v_scale, pos, lyr,
+                            win, scale=scale, softcap=logit_softcap,
+                            interpret=use_interpret())
+        return out.reshape(B, 1, Hq, D).astype(q.dtype)
+    qg = q.reshape(B, Hkv, G, D)
     out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr, win,
                        scale=scale, softcap=logit_softcap,
                        interpret=use_interpret())

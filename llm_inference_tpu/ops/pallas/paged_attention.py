@@ -115,6 +115,150 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
                                                    ).astype(o_ref.dtype)
 
 
+def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
+             ks_ref, vs_ref, o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *,
+             hb: int, nb: int, scale: float, softcap: float):
+    """INT4-page variant (quantize_kv4 offset-lo packing): K unpacks with
+    one arithmetic shift + AND and a rowsum(q) offset fold; the V hi-nibble
+    dot is a difference of dots — see decode_attention._kernel4. Scales
+    fold through the MXU-built flat scale row as in the int8 kernel."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    pos = pos_ref[b]
+    win = win_ref[0]
+    _, _, G, _, D2 = q_ref.shape
+    ps = k_ref.shape[3]
+    HG = hb * G
+    HS = hb * ps
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+
+    @pl.when((j * ps <= pos) & ((win <= 0) | ((j + 1) * ps > pos - win + 1)))
+    def _():
+        q0 = q_ref[0, :, :, 0].reshape(HG, D2).astype(jnp.float32)
+        q1 = q_ref[0, :, :, 1].reshape(HG, D2).astype(jnp.float32)
+        kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
+        k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)
+        k_lo = (kp & 0xF).astype(jnp.float32)
+        scores = (jax.lax.dot_general(
+            q0, k_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q1, k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+        # flat [1, HS] per-slot scale rows (see the int8 kernel above)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (hb, HS), 1)
+        selT = (rr // ps == jax.lax.broadcasted_iota(
+            jnp.int32, (hb, HS), 0)).astype(jnp.float32)
+        rt = jax.lax.broadcasted_iota(jnp.int32, (ps, HS), 1)
+        tsel = (rt % ps == jax.lax.broadcasted_iota(
+            jnp.int32, (ps, HS), 0)).astype(jnp.float32)
+
+        def flat_row(s):
+            exp = jax.lax.dot_general(
+                s, selT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.sum(exp * tsel, axis=0, keepdims=True)
+
+        scores = scores * flat_row(ks_ref[0, 0])
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
+        token = j * ps + col % ps
+        ok = ((col // ps) == (row // G)) & (token <= pos)
+        ok &= (win <= 0) | (token > pos - win)
+        scores = jnp.where(ok, scores, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        p = p * flat_row(vs_ref[0, 0])                 # fold V scales
+        vp = v_ref[0, 0].reshape(HS, D2)
+        d1 = jnp.dot(p, vp.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        psum = jnp.sum(p, axis=1, keepdims=True)
+        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
+        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+
+    @pl.when(j == nb - 1)
+    def _():
+        o_ref[0, :, :, 0] = (acc0_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o_ref.dtype)
+        o_ref[0, :, :, 1] = (acc1_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
+def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
+                 win, *, scale, softcap, interpret):
+    """INT4-page twin of _paged_attn: q arrives [B, Hkv, G, 2, D/2]
+    (pre-split halves), pools are packed [L, P, Hkv, ps, D/2]."""
+    B, Hkv, G, _, D2 = q.shape
+    L, P, _, ps, _ = k_pages.shape
+    NB = pt.shape[0] // B
+    hb = Hkv                        # scale-block full-dim rule
+    grid = (B, 1, NB)
+    kernel = functools.partial(_kernel4, hb=hb, nb=NB, scale=scale,
+                               softcap=softcap)
+
+    def live(b, j, pos, win):
+        lo = jnp.where(win[0] > 0,
+                       jnp.maximum(pos[b] - win[0] + 1, 0) // ps, 0)
+        return jnp.minimum(jnp.maximum(j, lo), pos[b] // ps)
+
+    def kv_map(b, g, j, pos, lyr, pt, win):
+        return (lyr[0], pt[b * NB + live(b, j, pos, win)], g, 0, 0)
+
+    def s_map(b, g, j, pos, lyr, pt, win):
+        return (lyr[0], pt[b * NB + live(b, j, pos, win)], 0, g)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, G, 2, D2),
+                     lambda b, g, j, pos, lyr, pt, win: (b, g, 0, 0, 0)),
+        pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
+        pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
+        pl.BlockSpec((1, 1, ps, hb), s_map),
+        pl.BlockSpec((1, 1, ps, hb), s_map),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, hb, G, 2, D2),
+                                   lambda b, g, j, pos, lyr, pt, win:
+                                   (b, g, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+                pltpu.VMEM((hb * G, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * NB * ps * D2 * 2,
+            bytes_accessed=2 * B * Hkv * NB * ps * D2,
+            transcendentals=B * Hkv * G * NB * ps),
+        interpret=interpret,
+    )(pos, layer, pt, win, q, k_pages, v_pages, ks_pages, vs_pages)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
 def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
                 win, *, scale, softcap, interpret):
@@ -228,12 +372,19 @@ def paged_decode_attention(
     G = Hq // Hkv
     if scale is None:
         scale = 1.0 / (D ** 0.5)
-    qg = q.reshape(B, Hkv, G, D)
     pos = positions.reshape(B).astype(jnp.int32)
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     pt = page_table.reshape(-1).astype(jnp.int32)
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
+    if k_pages.shape[4] * 2 == D:
+        # packed INT4 pages: split q/out halves with a free reshape
+        qg = q.reshape(B, Hkv, G, 2, D // 2)
+        out = _paged_attn4(qg, k_pages, v_pages, k_scale, v_scale, pt,
+                           pos, lyr, win, scale=scale,
+                           softcap=logit_softcap, interpret=use_interpret())
+        return out.reshape(B, 1, Hq, D).astype(q.dtype)
+    qg = q.reshape(B, Hkv, G, D)
     out = _paged_attn(qg, k_pages, v_pages, k_scale, v_scale, pt, pos, lyr,
                       win, scale=scale, softcap=logit_softcap,
                       interpret=use_interpret())

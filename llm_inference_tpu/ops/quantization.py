@@ -380,3 +380,40 @@ def quantize_kv(x: jnp.ndarray):
 
 def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def quantize_kv4(x: jnp.ndarray):
+    """INT4 KV quantization: [..., D] → (packed int8 [..., D/2],
+    scale float32 [..., 1]).
+
+    Split-half nibble packing along head_dim with OFFSET-LO encoding:
+    packed byte d holds dim d + 8 (unsigned, low nibble) and dim d + D/2
+    (signed, high nibble), i.e. the signed byte value is 16·hi + lo_u.
+    This makes every unpack in the attention kernels a LINEAR fold:
+    hi = byte >> 4 exactly (arithmetic shift, since lo_u ∈ [0,15]);
+    the lo dot's −8 offset folds into one rowsum-FMA; and the V-side
+    hi dot falls out of a difference of dots, (dot(p, bytes) −
+    dot(p, lo_u))/16 — no floor/mul nibble extraction on the VPU.
+    Scales are per-(token, head) like the int8 path (absmax/7)."""
+    D = x.shape[-1]
+    assert D % 2 == 0, D
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7
+                 ).astype(jnp.int32)
+    lo_u = q[..., :D // 2] + 8                        # [0, 15]
+    hi = q[..., D // 2:]
+    return (((hi & 0xF) << 4) | lo_u).astype(jnp.int8), scale
+
+
+def unpack_kv4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack int4 KV codes [..., D/2] → int8 values [..., D] (split-half
+    order, offset-lo encoding — see quantize_kv4)."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = jnp.right_shift(packed, 4)                   # arithmetic ⇒ exact
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def dequantize_kv4(packed: jnp.ndarray, scale: jnp.ndarray,
+                   dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (unpack_kv4(packed).astype(jnp.float32) * scale).astype(dtype)

@@ -167,6 +167,51 @@ def main():
     ok &= check("paged_decode_attention int8 Hkv=40 (hb pin)", got, want,
                 tol=6e-2)
 
+    # ---- INT4 KV cache (offset-lo packing, diffdot V): dense + paged ----
+    # exercises i32 shift/AND unpack, the pre-split [.., G, 2, D/2] q/out
+    # blocks, and the rowsum offset folds under Mosaic
+    from llm_inference_tpu.ops import kvcache as kvc
+    from llm_inference_tpu.ops import quantization as Qz
+    B4, H4, S4 = 2, 8, 512
+    k_tok = jax.random.normal(ks[1], (B4, S4 - 1, H4, 128), jnp.float32)
+    v_tok = jax.random.normal(ks[2], (B4, S4 - 1, H4, 128), jnp.float32)
+    c4 = kvc.init_cache(2, B4, H4, S4, 128, "int4")
+    c4 = kvc.update_cache_layer(c4, jnp.int32(1), k_tok, v_tok,
+                                jnp.zeros((B4,), jnp.int32))
+    q4d = jax.random.normal(ks[0], (B4, 1, 32, 128), jnp.bfloat16)
+    pos4 = jnp.array([S4 // 2, S4 - 2], jnp.int32)
+    got = DA.decode_attention(q4d, c4.k, c4.v, 1, pos4,
+                              k_scale=c4.k_scale, v_scale=c4.v_scale)
+    kdq4 = Qz.dequantize_kv4(
+        c4.k[1], jnp.swapaxes(c4.k_scale[1], 1, 2)[..., None])
+    vdq4 = Qz.dequantize_kv4(
+        c4.v[1], jnp.swapaxes(c4.v_scale[1], 1, 2)[..., None])
+    want = attention.decode_attend(q4d, kdq4, vdq4, pos4[:, None])
+    ok &= check("decode_attention int4 KV", got, want, tol=6e-2)
+
+    cp4 = pk.init_paged_cache(1, B4 * 4 + 1, H4, ps, 128, B4, 4, "int4")
+    cp4 = cp4.replace(page_table=(jnp.arange(B4 * 4, dtype=jnp.int32)
+                                  .reshape(B4, 4) + 1))
+    Sp4 = 4 * ps
+    kp4 = jax.random.normal(ks[1], (B4, Sp4, H4, 128), jnp.float32)
+    vp4 = jax.random.normal(ks[2], (B4, Sp4, H4, 128), jnp.float32)
+    cp4 = pk.write_prompt_batch(cp4, jnp.int32(0), kp4, vp4, 4)
+    posp4 = jnp.array([Sp4 - 2, ps + 3], jnp.int32)
+    got = PA.paged_decode_attention(q4d, cp4.k_pages, cp4.v_pages,
+                                    cp4.page_table, 0, posp4,
+                                    k_scale=cp4.k_scale,
+                                    v_scale=cp4.v_scale)
+    kg = cp4.k_pages[0][cp4.page_table].transpose(0, 2, 1, 3, 4) \
+        .reshape(B4, H4, Sp4, 64)
+    vg = cp4.v_pages[0][cp4.page_table].transpose(0, 2, 1, 3, 4) \
+        .reshape(B4, H4, Sp4, 64)
+    ksg = cp4.k_scale[0][cp4.page_table].reshape(B4, Sp4, H4)
+    vsg = cp4.v_scale[0][cp4.page_table].reshape(B4, Sp4, H4)
+    kdq4 = Qz.dequantize_kv4(kg, jnp.swapaxes(ksg, 1, 2)[..., None])
+    vdq4 = Qz.dequantize_kv4(vg, jnp.swapaxes(vsg, 1, 2)[..., None])
+    want = attention.decode_attend(q4d, kdq4, vdq4, posp4[:, None])
+    ok &= check("paged_decode_attention int4 KV", got, want, tol=6e-2)
+
     # dense decode kernel with a static window (mistral decode path)
     kd = jax.random.normal(ks[1], (2, 2, 8, 512, 128), jnp.bfloat16)
     vd = jax.random.normal(ks[2], (2, 2, 8, 512, 128), jnp.bfloat16)

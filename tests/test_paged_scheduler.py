@@ -72,14 +72,15 @@ class TestPagedScheduler:
         paged.run([[3, 4, 5]], max_new_tokens=4)
         assert paged.alloc.free_pages == free0
 
-    def test_paged_with_int8_kv(self):
-        """PagedScheduler over an INT8 page pool completes and produces
-        sane (near-bf16) outputs."""
+    @pytest.mark.parametrize("kvdtype", ["int8", "int4"])
+    def test_paged_with_quantized_kv(self, kvdtype):
+        """PagedScheduler over an INT8/INT4 page pool completes and
+        produces sane (near-bf16) outputs."""
         cfg = tiny_llama(num_kv_heads=2, head_dim=64, num_heads=4,
                          hidden_size=256, dtype="bfloat16")
         params = llama.init_params(cfg, jax.random.PRNGKey(0))
         eng = InferenceEngine(
-            cfg, params, cache_dtype="int8",
+            cfg, params, cache_dtype=kvdtype,
             engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
                                     max_batch_size=2, prefill_buckets=(8, 16),
                                     page_size=8))
