@@ -63,6 +63,8 @@ class InferenceEngine:
 
         kv_quantized = cache_dtype in (jnp.int8, "int8", "int4")
         self._kv_quantized = kv_quantized
+        self._kv_bits = (8 if cache_dtype in (jnp.int8, "int8")
+                         else 4 if cache_dtype == "int4" else 16)
         self._sharded = mesh is not None and mesh.devices.size > 1
         from llm_inference_tpu.models import registry as _registry
         self._model = _registry.get_model(cfg.name)
@@ -74,7 +76,7 @@ class InferenceEngine:
             self.params = _sh.shard_params_for(cfg, params, mesh)
             self._fwd = _sh.sharded_forward(cfg, mesh, self.params,
                                             logits_mode="last", jit=False,
-                                            cache_quantized=kv_quantized)
+                                            cache_bits=self._kv_bits)
             # MoE: KV replicates across the expert (tensor) axis
             kv_tensor = None if _sh.is_moe(cfg) else "tensor"
             self._shard_cache = lambda c: _sh.shard_cache(
@@ -127,7 +129,7 @@ class InferenceEngine:
                 from llm_inference_tpu.parallel import sharding as _sh
                 fn = _sh.sharded_forward(
                     self.cfg, self.mesh, self.params, logits_mode="last",
-                    jit=False, cache_quantized=self._kv_quantized,
+                    jit=False, cache_bits=self._kv_bits,
                     cache_kind="paged", paged_history=history)
             else:
                 cfg = self.cfg
@@ -538,7 +540,7 @@ class InferenceEngine:
                 from llm_inference_tpu.parallel import sharding as _sh
                 raw = _sh.sharded_forward(
                     self.cfg, self.mesh, self.params, logits_mode="all",
-                    jit=False, cache_quantized=self._kv_quantized)
+                    jit=False, cache_bits=self._kv_bits)
 
                 def _fn(params, ids, positions, targets, cache):
                     logits, cache = raw(

@@ -351,7 +351,10 @@ class ContinuousBatchingScheduler:
             zeros = (jnp.int32(0),) * (dst.ndim - 2)
             return jax.lax.dynamic_update_slice(
                 dst, src, (jnp.int32(0), slot) + zeros)
-        new = kvcache.KVCache(
+        # replace() keeps the static bits field — rebuilding with the
+        # KVCache(...) default silently reset int4 caches to bits=16 and
+        # the next decode quantized with the int8 path into a packed pool
+        new = batch_cache.replace(
             k=put(batch_cache.k, one_cache.k),
             v=put(batch_cache.v, one_cache.v),
             k_scale=put(batch_cache.k_scale, one_cache.k_scale),

@@ -269,7 +269,9 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
         p = scale_strips(p, vs_t)                         # fold V scales
-        vp = v_ref[0, 0].reshape(HS, D2)
+        # i32 before the AND — Mosaic v5e has no i8 ALU (same reason the
+        # K path converts before its shift)
+        vp = v_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         d1 = jnp.dot(p, vp.astype(jnp.float32),
                      preferred_element_type=jnp.float32)  # p·bytes
         d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
@@ -293,12 +295,9 @@ def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
     (pre-split halves), pools are packed [L, B, Hkv, S, D/2]."""
     B, Hkv, G, _, D2 = q.shape
     S = k_all.shape[3]
-    hb = Hkv                       # scale-block full-dim rule (see _kernel)
-    sb = max(128, min(S, _KV_BYTES_PER_STEP // (hb * D2),
-                      max(128, S // 2)))
-    sb -= sb % 128
-    while S % sb:
-        sb -= 128
+    # itemsize 1 pins hb = Hkv (scale-block full-dim rule) and sizes sb
+    # on the packed D/2 bytes — same policy as the int8 path
+    hb, sb = _pick_blocks(Hkv, S, D2, 1)
     ns = S // sb
     grid = (B, 1, ns)
     kernel = functools.partial(_kernel4, hb=hb, sb=sb, ns=ns, scale=scale,

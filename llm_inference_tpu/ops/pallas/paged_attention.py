@@ -183,7 +183,8 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
         p = p * flat_row(vs_ref[0, 0])                 # fold V scales
-        vp = v_ref[0, 0].reshape(HS, D2)
+        # i32 before the AND — Mosaic v5e has no i8 ALU
+        vp = v_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         d1 = jnp.dot(p, vp.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
         d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),

@@ -75,7 +75,7 @@ def pipelined_forward(cfg: ModelConfig, mesh: Mesh, params,
                       data_axis: str = "data", pipe_axis: str = "pipe",
                       tensor_axis: str = "tensor",
                       donate_cache: bool = True, jit: bool = True,
-                      cache_quantized: bool = False):
+                      cache_bits: int = 16):
     """Build the pipelined forward:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
@@ -95,7 +95,7 @@ def pipelined_forward(cfg: ModelConfig, mesh: Mesh, params,
     pspecs = sharding.param_pspecs(params, mesh, tensor_axis,
                                    pipe_axis=pipe_axis)
     cspec = sharding.cache_pspec(data_axis, tensor_axis,
-                                 quantized=cache_quantized,
+                                 bits=cache_bits,
                                  pipe_axis=pipe_axis)
     dspec = P(data_axis)
 
@@ -216,7 +216,7 @@ def pipelined_prefill_seq(cfg: ModelConfig, mesh: Mesh, params,
                           data_axis: str = "data", pipe_axis: str = "pipe",
                           tensor_axis: str = "tensor",
                           donate_cache: bool = True, jit: bool = True,
-                          cache_quantized: bool = False):
+                          cache_bits: int = 16):
     """Pipeline-parallel prefill microbatched over the TIME axis:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
 
@@ -243,7 +243,7 @@ def pipelined_prefill_seq(cfg: ModelConfig, mesh: Mesh, params,
     pspecs = sharding.param_pspecs(params, mesh, tensor_axis,
                                    pipe_axis=pipe_axis)
     cspec = sharding.cache_pspec(data_axis, tensor_axis,
-                                 quantized=cache_quantized,
+                                 bits=cache_bits,
                                  pipe_axis=pipe_axis)
 
     def fn(params, ids, positions, cache, last_idx):

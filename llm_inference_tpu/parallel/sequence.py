@@ -217,7 +217,7 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
                               *, seq_axis: str = "data",
                               tensor_axis: str = "tensor",
                               donate_cache: bool = True, jit: bool = True,
-                              cache_quantized: bool = False,
+                              cache_bits: int = 16,
                               ring: bool = False):
     """Build the sequence-parallel prefill:
         f(params, ids, positions, cache, last_idx) -> (logits, cache)
@@ -238,8 +238,7 @@ def sequence_parallel_prefill(cfg: ModelConfig, mesh: Mesh, params,
     tp_axis = tensor_axis if tp_size > 1 else None
 
     pspecs = sharding.param_pspecs(params, mesh, tensor_axis)
-    cspec = sharding.cache_pspec(None, tensor_axis,
-                                 quantized=cache_quantized)
+    cspec = sharding.cache_pspec(None, tensor_axis, bits=cache_bits)
 
     def fn(params, ids, positions, cache, last_idx):
         B, T_loc = ids.shape          # local chunk

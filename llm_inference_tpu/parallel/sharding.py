@@ -149,35 +149,42 @@ def moe_param_pspecs(params, expert_axis: str = "expert"):
     return espec
 
 
-def paged_cache_pspec(tensor_axis: str = "tensor", quantized: bool = False):
+def paged_cache_pspec(tensor_axis: str = "tensor", bits: int = 16):
     """Paged pool [L, P, Hkv, ps, D]: kv heads over tensor, the page pool
     itself replicated across data (the pool is request-global — per-page
     batch sharding would couple the host allocator to the mesh); the page
     table [B, nb] is host-managed and replicated."""
     from llm_inference_tpu.ops import paged_kvcache as _pk
     spec = P(None, None, tensor_axis, None, None)
-    # slot-major scale pools [L, P, ps, Hkv]: heads on the LAST axis
-    sspec = P(None, None, None, tensor_axis) if quantized else None
+    # slot-major scale pools [L, P, ps, Hkv]: heads on the LAST axis.
+    # `bits` must MATCH the cache being sharded: it is a static (aux-data)
+    # field of the flax struct, so a spec tree built with the default
+    # bits=16 is structurally incompatible with a quantized cache and
+    # device_put rejects it.
+    sspec = P(None, None, None, tensor_axis) if bits != 16 else None
     return _pk.PagedKVCache(k_pages=spec, v_pages=spec,
                             page_table=P(None, None),
-                            k_scale=sspec, v_scale=sspec)
+                            k_scale=sspec, v_scale=sspec, bits=bits)
 
 
 def shard_paged_cache(cache, mesh: Mesh, tensor_axis: str = "tensor"):
-    spec = paged_cache_pspec(tensor_axis, quantized=cache.quantized)
+    spec = paged_cache_pspec(tensor_axis, bits=cache.bits)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
     return jax.device_put(cache, shardings)
 
 
 def cache_pspec(data_axis: str = "data", tensor_axis: str = "tensor",
-                quantized: bool = False, pipe_axis: Optional[str] = None):
+                bits: int = 16, pipe_axis: Optional[str] = None):
     """[L, B, Hkv, ...] → layers over pipe (when set), batch over data, kv
     heads over tensor; the int8 cache's slot-major scales [L, B, S, Hkv]
     shard kv-heads on their LAST axis."""
     spec = P(pipe_axis, data_axis, tensor_axis, None, None)
-    sspec = P(pipe_axis, data_axis, None, tensor_axis) if quantized else None
-    return kvcache.KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
+    sspec = (P(pipe_axis, data_axis, None, tensor_axis) if bits != 16
+             else None)
+    # bits must match the cache's static field (see paged_cache_pspec)
+    return kvcache.KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec,
+                           bits=bits)
 
 
 def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor",
@@ -192,7 +199,7 @@ def shard_params(params, mesh: Mesh, tensor_axis: str = "tensor",
 def shard_cache(cache: kvcache.KVCache, mesh: Mesh,
                 data_axis: str = "data", tensor_axis: str = "tensor",
                 pipe_axis: Optional[str] = None):
-    spec = cache_pspec(data_axis, tensor_axis, quantized=cache.quantized,
+    spec = cache_pspec(data_axis, tensor_axis, bits=cache.bits,
                        pipe_axis=pipe_axis)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
                              is_leaf=lambda x: isinstance(x, P))
@@ -240,7 +247,7 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
                     *, logits_mode: str = "last",
                     data_axis: str = "data", tensor_axis: str = "tensor",
                     donate_cache: bool = True, jit: bool = True,
-                    cache_quantized: bool = False,
+                    cache_bits: int = 16,
                     cache_kind: str = "dense",
                     paged_history: bool = False):
     """Build a shard_map'd forward:
@@ -271,10 +278,9 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
             raise ValueError(
                 "paged cache over a mesh requires data axis == 1 (the page "
                 "pool is request-global); use tensor parallelism")
-        cspec = paged_cache_pspec(kv_tensor_axis, quantized=cache_quantized)
+        cspec = paged_cache_pspec(kv_tensor_axis, bits=cache_bits)
     else:
-        cspec = cache_pspec(data_axis, kv_tensor_axis,
-                            quantized=cache_quantized)
+        cspec = cache_pspec(data_axis, kv_tensor_axis, bits=cache_bits)
     dspec = P(data_axis)
     tp_axis = tensor_axis if tp_size > 1 else None
 

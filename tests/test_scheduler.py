@@ -422,3 +422,22 @@ class TestTopLogprobs:
             eng, GenerationConfig(greedy=True, max_new_tokens=4), slots=2)
         with pytest.raises(ValueError, match="top_logprobs"):
             sched.submit([5, 6], top_logprobs=TOP_LOGPROBS_CAP + 1)
+
+
+class TestQuantizedKVDenseScheduler:
+    @pytest.mark.parametrize("kvdtype", ["int8", "int4"])
+    def test_dense_scheduler_quantized_kv(self, kvdtype):
+        """ContinuousBatchingScheduler over a quantized dense cache: the
+        insert path must keep the cache's static bits (regression: int4
+        caches were rebuilt with bits=16 and the next decode quantized
+        int8-style into a packed pool → shape error)."""
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params, cache_dtype=kvdtype,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+        sched = ContinuousBatchingScheduler(eng, GEN)
+        reqs = sched.run([[5, 6, 7], [9, 10]], max_new_tokens=5)
+        assert all(len(r.output_ids) == 5 for r in reqs)

@@ -234,3 +234,42 @@ class TestGroupScaleShardGuard:
         bad["layers"] = layers
         with pytest.raises(ValueError, match="quant groups"):
             param_pspecs(bad, mesh)
+
+
+class TestQuantizedCacheSharded:
+    """shard_cache / sharded_forward over QUANTIZED caches: the spec
+    pytrees must carry the cache's static `bits` field (a default-bits
+    spec tree is structurally incompatible and device_put rejects it —
+    regression: the int8+TP path broke when bits was introduced)."""
+
+    @pytest.mark.parametrize("kvdtype", ["int8", "int4"])
+    def test_prefill_decode_quantized_cache(self, cfg, params, kvdtype):
+        from llm_inference_tpu.parallel.sharding import sharded_forward \
+            as _sf
+        mesh = make_mesh(ShardingConfig(data=2, tensor=4))
+        sparams = shard_params(params, mesh)
+        rng = np.random.default_rng(7)
+        B, T = 2, 4
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+        bits = {"int8": 8, "int4": 4}[kvdtype]
+        cache = shard_cache(
+            kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                               cfg.head_dim, kvdtype), mesh)
+        fwd = _sf(cfg, mesh, sparams, cache_bits=bits)
+        last = jnp.full((B,), T - 1, jnp.int32)
+        logits, cache = fwd(sparams, ids, pos, cache, last)
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        logits1, cache = fwd(sparams, nxt, jnp.full((B, 1), T, jnp.int32),
+                             cache, jnp.zeros((B,), jnp.int32))
+
+        # golden (single device; forward returns last-token logits [B, V])
+        c0 = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads, 32,
+                                cfg.head_dim, kvdtype)
+        g0, c0 = llama.forward(cfg, params, ids, pos, c0)
+        gn = jnp.argmax(g0, -1).astype(jnp.int32)[:, None]
+        g1, _ = llama.forward(cfg, params, gn,
+                              jnp.full((B, 1), T, jnp.int32), c0)
+        np.testing.assert_array_equal(np.asarray(nxt), np.asarray(gn))
+        np.testing.assert_allclose(np.asarray(logits1), np.asarray(g1),
+                                   atol=5e-3, rtol=5e-3)
