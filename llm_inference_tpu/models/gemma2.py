@@ -146,6 +146,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
 
     from llm_inference_tpu.models.llama import write_kv_and_views
     from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
+    from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
     from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
     paged = isinstance(cache, paged_kvcache.PagedKVCache)
     if (T == 1 and paged
@@ -170,6 +171,18 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
             q, cache.k, cache.v, layer_idx, positions[:, -1], scale=scale,
             logit_softcap=cfg.attn_logit_softcap,
             k_scale=cache.k_scale, v_scale=cache.v_scale, window=window)
+    elif (T > 1 and not paged
+            and pallas_flash.supports(q.shape, cache.max_seq_len,
+                                      cache.quantized)):
+        # long prefill: memory-flat flash kernel; the per-layer TRACED
+        # window rides scalar prefetch (this previously forced gemma's
+        # prefill onto the score-materializing XLA path)
+        cache = kvcache.update_cache_layer(cache, layer_idx, k, v,
+                                           write_offsets)
+        attn = pallas_flash.flash_attention(
+            q, cache.k, cache.v, layer_idx, positions, scale=scale,
+            logit_softcap=cfg.attn_logit_softcap, sliding_window=window,
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
     else:
         cache, kd, vd, ksd, vsd, S = write_kv_and_views(
             cache, layer_idx, k, v, positions, write_offsets, B, T)

@@ -544,7 +544,8 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
         attn = pallas_flash.flash_attention(
             q, cache.k, cache.v, layer_idx, positions,
             logit_softcap=cfg.attn_logit_softcap,
-            sliding_window=cfg.sliding_window)
+            sliding_window=cfg.sliding_window,
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
     else:
         def at_layer(x):
             return (None if x is None else

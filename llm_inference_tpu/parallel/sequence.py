@@ -188,7 +188,8 @@ def _sp_layer(cfg, h, lp, qw, cache, layer_idx, positions_local,
         attn = pallas_flash.flash_attention(
             q, cache.k, cache.v, layer_idx, positions_local,
             logit_softcap=cfg.attn_logit_softcap,
-            sliding_window=cfg.sliding_window)
+            sliding_window=cfg.sliding_window,
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
     else:
         def at_layer(x):
             return (None if x is None else

@@ -99,6 +99,29 @@ def main():
                             attention.make_attention_mask(pos, 2048))
     ok &= check("flash_attention T=1024 S=2048 GQA", got, want)
 
+    # flash with history offset + traced window (skip clamps + prefetched
+    # window under Mosaic) and quantized caches (scale-row MXU extraction)
+    posw = (512 + jnp.arange(1024, dtype=jnp.int32))[None]
+    maskw = attention.make_attention_mask(posw, 2048, sliding_window=300)
+    want = attention.attend(q, k[1], v[1], maskw)
+    got = jax.jit(lambda w: FA.flash_attention(
+        q, k, v, 1, posw, sliding_window=w))(jnp.int32(300))
+    ok &= check("flash_attention traced window=300", got, want)
+    from llm_inference_tpu.ops import kvcache as _kvc
+    for kvd in ("int8", "int4"):
+        cfq = _kvc.init_cache(2, 1, 8, 2048, 128, kvd)
+        cfq = _kvc.update_cache_layer(
+            cfq, jnp.int32(1), k[1].transpose(0, 2, 1, 3).astype(jnp.float32),
+            v[1].transpose(0, 2, 1, 3).astype(jnp.float32),
+            jnp.zeros((1,), jnp.int32))
+        want = attention.attend(
+            q, cfq.k[1], cfq.v[1],
+            attention.make_attention_mask(pos, 2048),
+            k_scale=cfq.k_scale[1], v_scale=cfq.v_scale[1])
+        got = FA.flash_attention(q, cfq.k, cfq.v, 1, pos,
+                                 k_scale=cfq.k_scale, v_scale=cfq.v_scale)
+        ok &= check(f"flash_attention {kvd} KV", got, want, tol=6e-2)
+
     # ---- paged decode attention ----
     from llm_inference_tpu.ops import paged_kvcache as pk
     B, H, ps, NB = 2, 32, 128, 4

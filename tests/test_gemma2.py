@@ -578,3 +578,34 @@ class TestGemma3ConfigFallback:
                 "num_hidden_layers": 12, "num_attention_heads": 4,
                 "num_key_value_heads": 2, "head_dim": 16,
                 "sliding_window": 512})
+
+
+class TestGemma2FlashPrefill:
+    """The traced-window flash kernel must reproduce the jnp prefill path
+    (alternating windows + int8 cache) — forced past the size gate."""
+
+    @pytest.mark.parametrize("cache_dtype", ["float32", "int8"])
+    def test_flash_prefill_matches_jnp(self, monkeypatch, cache_dtype):
+        from llm_inference_tpu.ops.pallas import (flash_attention
+                                                  as pallas_flash)
+        cfg = tiny_gemma2(hidden_size=128, intermediate_size=256,
+                          num_heads=4, num_kv_heads=2, head_dim=64,
+                          sliding_window=16)
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(3))
+        rng = np.random.default_rng(8)
+        B, T, S = 2, 64, 128
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        def run():
+            cache = kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads,
+                                       S, cfg.head_dim, cache_dtype)
+            logits, _ = gemma2.forward(cfg, params, ids, pos, cache,
+                                       logits_mode="all")
+            return np.asarray(logits)
+
+        want = run()                                   # jnp path (gated off)
+        monkeypatch.setattr(pallas_flash, "supports", lambda *a: True)
+        got = run()
+        np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+        assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() > 0.99
