@@ -60,6 +60,7 @@ from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
 from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
 from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
+from llm_inference_tpu.ops.pallas import paged_flash as pallas_paged_flash
 from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
                                                 quantize, to_blocked,
                                                 to_blocked_npair)
@@ -515,13 +516,25 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
             cache = paged_kvcache.write_prompt_batch(
                 cache, layer_idx, k, v, T // cache.page_size,
                 start_blocks=write_offsets // cache.page_size)
-            kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
-            dmask = attention.make_attention_mask(
-                positions, cache.max_blocks * cache.page_size,
-                cfg.sliding_window)
-            attn = attention.attend(q, kd, vd, dmask,
-                                    logit_softcap=cfg.attn_logit_softcap,
-                                    k_scale=ksd, v_scale=vsd)
+            if pallas_paged_flash.supports(q.shape, cache.page_size):
+                # read pages once, straight from the pool — the gather
+                # fallback materializes every sequence's pages densely
+                # EVERY LAYER (3x the attention-side HBM traffic)
+                attn = pallas_paged_flash.paged_flash_attention(
+                    q, cache.k_pages, cache.v_pages, cache.page_table,
+                    layer_idx, positions,
+                    logit_softcap=cfg.attn_logit_softcap,
+                    sliding_window=cfg.sliding_window,
+                    k_scale=cache.k_scale, v_scale=cache.v_scale)
+            else:
+                kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+                dmask = attention.make_attention_mask(
+                    positions, cache.max_blocks * cache.page_size,
+                    cfg.sliding_window)
+                attn = attention.attend(
+                    q, kd, vd, dmask,
+                    logit_softcap=cfg.attn_logit_softcap,
+                    k_scale=ksd, v_scale=vsd)
         else:
             # prefill: sequences start at position 0 (scheduler invariant),
             # so attention is causal over the fresh tokens only

@@ -1,0 +1,283 @@
+"""Blockwise (flash) prefill attention over a PAGED KV pool — Pallas TPU.
+
+The paged twin of flash_attention.py, for prefills whose keys live in the
+page pool rather than a dense cache: prefix-cache suffix prefill (fresh
+tokens attending over SHARED history pages, engine/prefix_cache.py) and
+chunked paged admissions (later chunks attending over the earlier chunks'
+pages). The jnp fallback for these paths gathers every sequence's pages
+into a dense [B, Hkv, NB·ps, D] array EVERY LAYER (llama._gather_paged) —
+tripling the attention-side HBM traffic (read pages + write dense + read
+dense) and materializing the full rectangle of scores. This kernel reads
+each page exactly once, straight out of the pool via the page-table
+indirection in its BlockSpec index maps (same pattern as
+paged_attention.py), with the online-softmax recurrence over pages.
+
+Grid (B, Hq, T/bt, NB), pages innermost; causal/window block skipping,
+the traced sliding window, the quantized-cache scale folding, and the
+int4 linear-fold unpack are shared with flash_attention.py (imported
+helpers) — block index clamps read the per-t-block frontier off the
+prefetched positions (rows non-decreasing, as in every prefill path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_tpu.ops.pallas import use_interpret
+from llm_inference_tpu.ops.pallas.flash_attention import (_head_scale_row,
+                                                          _live, _mask,
+                                                          _online_update)
+
+
+def _kernel(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, q_ref, k_ref,
+            v_ref, ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+            scale: float, softcap: float, ps: int, G: int,
+            quantized: bool):
+    h = pl.program_id(1)
+    s = pl.program_id(3)
+    ns = pl.num_programs(3)
+    qpos = qpos_ref[0]                                      # [bt] int32
+    win = win_ref[0]
+    bt = q_ref.shape[2]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(_live(qpos, win, s, ps, bt))
+    def _():
+        q = q_ref[0, 0].astype(jnp.bfloat16)                # [bt, D]
+        k = k_ref[0, 0, 0].astype(jnp.bfloat16)             # [ps, D]
+        v = v_ref[0, 0, 0].astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if quantized:
+            scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        scores = _mask(scores, qpos, win, s, ps)
+        p, alpha = _online_update(scores, m_ref, l_ref)
+        if quantized:
+            p = p * _head_scale_row(vs_ref[0, 0], h // G)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
+
+    @pl.when(s == ns - 1)
+    def _():
+        l = l_ref[:]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+def _kernel4(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, q_ref, k_ref,
+             v_ref, ks_ref, vs_ref, o_ref, acc0_ref, acc1_ref, m_ref,
+             l_ref, *, scale: float, softcap: float, ps: int, G: int):
+    """INT4-page variant — the linear-fold unpack of flash _kernel4."""
+    h = pl.program_id(1)
+    s = pl.program_id(3)
+    ns = pl.num_programs(3)
+    qpos = qpos_ref[0]
+    win = win_ref[0]
+    bt = q_ref.shape[2]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+
+    @pl.when(_live(qpos, win, s, ps, bt))
+    def _():
+        q0 = q_ref[0, 0, :, 0].astype(jnp.float32)          # [bt, D2]
+        q1 = q_ref[0, 0, :, 1].astype(jnp.float32)
+        kp = k_ref[0, 0, 0].astype(jnp.int32)               # [ps, D2]
+        k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)
+        k_lo = (kp & 0xF).astype(jnp.float32)
+        scores = (jax.lax.dot_general(
+            q0, k_lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q1, k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+        scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
+        if softcap > 0.0:
+            scores = jnp.tanh(scores / softcap) * softcap
+        scores = _mask(scores, qpos, win, s, ps)
+        p, alpha = _online_update(scores, m_ref, l_ref)
+        p = p * _head_scale_row(vs_ref[0, 0], h // G)
+        vp = v_ref[0, 0, 0].astype(jnp.int32)   # i32: no i8 ALU on v5e
+        d1 = jnp.dot(p, vp.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        psum = jnp.sum(p, axis=1, keepdims=True)
+        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
+        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+
+    @pl.when(s == ns - 1)
+    def _():
+        l = l_ref[:]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, :, 0] = (acc0_ref[:] / safe).astype(o_ref.dtype)
+        o_ref[0, 0, :, 1] = (acc1_ref[:] / safe).astype(o_ref.dtype)
+
+
+NEG_INF = -1e30
+_DEF_BT = 256
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "bt",
+                                             "kvbits", "interpret"))
+def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
+                 win, *, scale, softcap, bt, kvbits, interpret):
+    B, Hq, Tp = q.shape[:3]
+    L, P, Hkv, ps, Dk = k_pages.shape
+    G = Hq // Hkv
+    NB = pt.shape[0] // B
+    grid = (B, Hq, Tp // bt, NB)
+    quantized = ks_pages is not None
+
+    def live(b, h, t, s, qposf, win):
+        # clamp page index into the t-block's live range (see
+        # flash_attention._flash.live) — elided DMAs for masked pages
+        hi = jnp.maximum(qposf[b * Tp + (t + 1) * bt - 1], 0) // ps
+        lo = jnp.where(win[0] > 0,
+                       jnp.maximum(qposf[b * Tp + t * bt] - win[0] + 1,
+                                   0) // ps,
+                       0)
+        return jnp.minimum(jnp.maximum(s, lo), hi)
+
+    def kv_map(b, h, t, s, lyr, qposf, pt, win):
+        return (lyr[0], pt[b * NB + live(b, h, t, s, qposf, win)],
+                h // G, 0, 0)
+
+    if kvbits == 4:
+        D2 = q.shape[4]
+        qspec = pl.BlockSpec((1, 1, bt, 2, D2),
+                             lambda b, h, t, s, lyr, qposf, pt, win:
+                             (b, h, t, 0, 0))
+        kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
+                                   ps=ps, G=G)
+        scratch = [pltpu.VMEM((bt, D2), jnp.float32),
+                   pltpu.VMEM((bt, D2), jnp.float32),
+                   pltpu.VMEM((bt, 1), jnp.float32),
+                   pltpu.VMEM((bt, 1), jnp.float32)]
+    else:
+        qspec = pl.BlockSpec((1, 1, bt, Dk),
+                             lambda b, h, t, s, lyr, qposf, pt, win:
+                             (b, h, t, 0))
+        kernel = functools.partial(_kernel, scale=scale, softcap=softcap,
+                                   ps=ps, G=G, quantized=quantized)
+        scratch = [pltpu.VMEM((bt, Dk), jnp.float32),
+                   pltpu.VMEM((bt, 1), jnp.float32),
+                   pltpu.VMEM((bt, 1), jnp.float32)]
+    in_specs = [
+        pl.BlockSpec((1, bt),
+                     lambda b, h, t, s, lyr, qposf, pt, win: (b, t)),
+        qspec,
+        pl.BlockSpec((1, 1, 1, ps, Dk), kv_map),
+        pl.BlockSpec((1, 1, 1, ps, Dk), kv_map),
+    ]
+    if quantized:
+        def s_map(b, h, t, s, lyr, qposf, pt, win):
+            return (lyr[0], pt[b * NB + live(b, h, t, s, qposf, win)],
+                    0, 0)
+
+        in_specs += [pl.BlockSpec((1, 1, ps, Hkv), s_map),
+                     pl.BlockSpec((1, 1, ps, Hkv), s_map)]
+        operands = (qpos, q, k_pages, v_pages, ks_pages, vs_pages)
+    else:
+        dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
+        zmap = (lambda b, h, t, s, lyr, qposf, pt, win:
+                (0, 0, 0, 0))
+        in_specs += [pl.BlockSpec((1, 1, 1, 128), zmap),
+                     pl.BlockSpec((1, 1, 1, 128), zmap)]
+        operands = (qpos, q, k_pages, v_pages, dummy, dummy)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=qspec,
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * Tp * NB * ps * (Dk * (2 if kvbits == 4
+                                                     else 1)),
+            bytes_accessed=2 * B * Hkv * NB * ps * Dk
+            * k_pages.dtype.itemsize * (Tp // bt),
+            transcendentals=B * Hq * Tp * NB * ps),
+        interpret=interpret,
+    )(lyr, qpos.reshape(-1), pt, win, *operands)
+
+
+def paged_flash_attention(
+    q: jnp.ndarray,            # [B, T, Hq, D] — fresh suffix tokens
+    k_pages: jnp.ndarray,      # [L, P, Hkv, ps, D(/2)] pool (pages written)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,   # [B, max_blocks] int32
+    layer: jnp.ndarray,        # scalar int32
+    positions: jnp.ndarray,    # [B, T] absolute query positions
+    scale: float | None = None,
+    logit_softcap: float = 0.0,
+    sliding_window=0,          # int or traced scalar; 0 = global
+    k_scale: jnp.ndarray | None = None,   # [L, P, ps, Hkv]
+    v_scale: jnp.ndarray | None = None,
+    block_t: int = _DEF_BT,
+) -> jnp.ndarray:
+    """Blockwise masked attention over the page pool; [B, T, Hq, D].
+
+    Rows of `positions` must be non-decreasing (contiguous prefill
+    ranges); all pages covering positions ≤ each row's max must be
+    allocated in the page table (masked tail entries may alias any
+    valid page, as in paged_attention)."""
+    B, T, Hq, D = q.shape
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    bt = min(block_t, T)
+    pad_t = (-T) % bt
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, pad_t)), mode="edge")
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    win = jnp.asarray(sliding_window, jnp.int32).reshape(1)
+    pt = page_table.reshape(-1).astype(jnp.int32)
+    kvbits = 4 if k_pages.shape[4] * 2 == D else (
+        8 if k_scale is not None else 16)
+    qt = q.transpose(0, 2, 1, 3)
+    if kvbits == 4:
+        qt = qt.reshape(B, Hq, qt.shape[2], 2, D // 2)
+    out = _paged_flash(qt, k_pages, v_pages, k_scale, v_scale,
+                       positions.astype(jnp.int32), pt, lyr, win,
+                       scale=scale, softcap=logit_softcap, bt=bt,
+                       kvbits=kvbits, interpret=use_interpret())
+    if kvbits == 4:
+        out = out.reshape(B, Hq, out.shape[2], D)
+    out = out.transpose(0, 2, 1, 3)
+    if pad_t:
+        out = out[:, :T]
+    return out.astype(q.dtype)
+
+
+def supports(q_shape, page_size: int) -> bool:
+    B, T, Hq, D = q_shape
+    # one page per grid step: ps is the score tile's lane width — gate to
+    # full lanes (the serving default ps=128); smaller pages fall back to
+    # the gather path
+    return (T > 1 and T >= 8 and D in (64, 128, 256)
+            and page_size % 128 == 0)

@@ -235,6 +235,28 @@ def main():
     want = attention.decode_attend(q4d, kdq4, vdq4, posp4[:, None])
     ok &= check("paged_decode_attention int4 KV", got, want, tol=6e-2)
 
+    # ---- paged flash prefill (suffix over history pages) ----
+    from llm_inference_tpu.ops.pallas import paged_flash as PFL
+    from llm_inference_tpu.models.llama import _gather_paged
+    for kvd in (jnp.bfloat16, "int8", "int4"):
+        cpf = pk.init_paged_cache(2, 2 * 4 + 1, 8, 128, 128, 2, 4, kvd)
+        cpf = cpf.replace(page_table=(jnp.arange(8, dtype=jnp.int32)
+                                      .reshape(2, 4) + 1))
+        kf = jax.random.normal(ks[1], (2, 512, 8, 128), jnp.float32)
+        vf = jax.random.normal(ks[2], (2, 512, 8, 128), jnp.float32)
+        cpf = pk.write_prompt_batch(cpf, jnp.int32(1), kf, vf, 4)
+        qf = jax.random.normal(ks[0], (2, 64, 16, 128), jnp.bfloat16)
+        posf = jnp.tile(256 + jnp.arange(64, dtype=jnp.int32), (2, 1))
+        got = PFL.paged_flash_attention(
+            qf, cpf.k_pages, cpf.v_pages, cpf.page_table, 1, posf,
+            k_scale=cpf.k_scale, v_scale=cpf.v_scale)
+        kd_, vd_, ksd_, vsd_ = _gather_paged(cpf, 1, 2)
+        maskf = attention.make_attention_mask(posf, 512)
+        want = attention.attend(qf, kd_, vd_, maskf,
+                                k_scale=ksd_, v_scale=vsd_)
+        ok &= check(f"paged_flash {kvd} suffix prefill", got, want,
+                    tol=6e-2)
+
     # dense decode kernel with a static window (mistral decode path)
     kd = jax.random.normal(ks[1], (2, 2, 8, 512, 128), jnp.bfloat16)
     vd = jax.random.normal(ks[2], (2, 2, 8, 512, 128), jnp.bfloat16)
