@@ -98,9 +98,13 @@ def _online_update(scores, m_ref, l_ref):
     return p, alpha
 
 
-def _kernel(lyr_ref, qposf_ref, win_ref, qpos_ref, q_ref, k_ref, v_ref,
-            ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: float,
-            softcap: float, bs: int, G: int, quantized: bool):
+def _flash_body(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                o_ref, acc_ref, m_ref, l_ref, *, scale: float,
+                softcap: float, bs: int, G: int, quantized: bool):
+    """Shared kernel body (dense flash AND paged_flash — the paged twin
+    differs only in its host-side index maps/prefetch arity; bs is the
+    slot-block width there = page size). Grid layout in both:
+    (B, Hq, T/bt, S-blocks) with the slot axis innermost."""
     h = pl.program_id(1)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
@@ -142,11 +146,11 @@ def _kernel(lyr_ref, qposf_ref, win_ref, qpos_ref, q_ref, k_ref, v_ref,
         o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-def _kernel4(lyr_ref, qposf_ref, win_ref, qpos_ref, q_ref, k_ref, v_ref,
-             ks_ref, vs_ref, o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *,
-             scale: float, softcap: float, bs: int, G: int):
+def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                 o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *, scale: float,
+                 softcap: float, bs: int, G: int):
     """INT4-KV variant (quantize_kv4 offset-lo packing) — same linear-fold
-    unpack as decode_attention._kernel4."""
+    unpack as decode_attention._kernel4. Shared with paged_flash."""
     h = pl.program_id(1)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
@@ -197,6 +201,16 @@ def _kernel4(lyr_ref, qposf_ref, win_ref, qpos_ref, q_ref, k_ref, v_ref,
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0, :, 0] = (acc0_ref[:] / safe).astype(o_ref.dtype)
         o_ref[0, 0, :, 1] = (acc1_ref[:] / safe).astype(o_ref.dtype)
+
+
+def _kernel(lyr_ref, qposf_ref, win_ref, qpos_ref, *rest, **kw):
+    # dense-flash wrapper: drop the prefetch refs the body doesn't need
+    # (win rides prefetch AND feeds the body)
+    _flash_body(qpos_ref, win_ref, *rest, **kw)
+
+
+def _kernel4(lyr_ref, qposf_ref, win_ref, qpos_ref, *rest, **kw):
+    _flash_body4(qpos_ref, win_ref, *rest, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "bt", "bs",

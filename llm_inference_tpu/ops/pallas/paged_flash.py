@@ -1,22 +1,27 @@
 """Blockwise (flash) prefill attention over a PAGED KV pool — Pallas TPU.
 
-The paged twin of flash_attention.py, for prefills whose keys live in the
-page pool rather than a dense cache: prefix-cache suffix prefill (fresh
-tokens attending over SHARED history pages, engine/prefix_cache.py) and
-chunked paged admissions (later chunks attending over the earlier chunks'
-pages). The jnp fallback for these paths gathers every sequence's pages
-into a dense [B, Hkv, NB·ps, D] array EVERY LAYER (llama._gather_paged) —
-tripling the attention-side HBM traffic (read pages + write dense + read
-dense) and materializing the full rectangle of scores. This kernel reads
-each page exactly once, straight out of the pool via the page-table
-indirection in its BlockSpec index maps (same pattern as
-paged_attention.py), with the online-softmax recurrence over pages.
+Reference analogue: none — the reference has neither paging nor prefix
+reuse (its dense cache and full-rectangle prefill chain are covered by
+flash_attention.py, reference: src/layers/attention/context_attention.cpp:
+146-161); this is the paged twin of that kernel, for prefills whose keys
+live in the page pool rather than a dense cache: prefix-cache suffix
+prefill (fresh tokens attending over SHARED history pages,
+engine/prefix_cache.py) and chunked paged admissions (later chunks
+attending over the earlier chunks' pages). The jnp fallback for these
+paths gathers every sequence's pages into a dense [B, Hkv, NB·ps, D]
+array EVERY LAYER (llama._gather_paged) — tripling the attention-side HBM
+traffic (read pages + write dense + read dense) and materializing the
+full rectangle of scores. This kernel reads each page exactly once,
+straight out of the pool via the page-table indirection in its BlockSpec
+index maps (same pattern as paged_attention.py), with the online-softmax
+recurrence over pages.
 
-Grid (B, Hq, T/bt, NB), pages innermost; causal/window block skipping,
-the traced sliding window, the quantized-cache scale folding, and the
-int4 linear-fold unpack are shared with flash_attention.py (imported
-helpers) — block index clamps read the per-t-block frontier off the
-prefetched positions (rows non-decreasing, as in every prefill path).
+Grid (B, Hq, T/bt, NB), pages innermost. The kernel BODIES are the ones
+from flash_attention.py (_flash_body/_flash_body4 — online softmax,
+causal/window block skipping, traced sliding window, int8 scale folding,
+int4 linear-fold unpack), shared so a fix or Mosaic workaround lands in
+both kernels at once; only the host-side index maps (page-table
+indirection, one extra prefetch operand) differ.
 """
 
 from __future__ import annotations
@@ -29,107 +34,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llm_inference_tpu.ops.pallas import use_interpret
-from llm_inference_tpu.ops.pallas.flash_attention import (_head_scale_row,
-                                                          _live, _mask,
-                                                          _online_update)
+from llm_inference_tpu.ops.pallas.flash_attention import (_flash_body,
+                                                          _flash_body4)
 
 
-def _kernel(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, q_ref, k_ref,
-            v_ref, ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
-            scale: float, softcap: float, ps: int, G: int,
-            quantized: bool):
-    h = pl.program_id(1)
-    s = pl.program_id(3)
-    ns = pl.num_programs(3)
-    qpos = qpos_ref[0]                                      # [bt] int32
-    win = win_ref[0]
-    bt = q_ref.shape[2]
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    @pl.when(_live(qpos, win, s, ps, bt))
-    def _():
-        q = q_ref[0, 0].astype(jnp.bfloat16)                # [bt, D]
-        k = k_ref[0, 0, 0].astype(jnp.bfloat16)             # [ps, D]
-        v = v_ref[0, 0, 0].astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if quantized:
-            scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
-        if softcap > 0.0:
-            scores = jnp.tanh(scores / softcap) * softcap
-        scores = _mask(scores, qpos, win, s, ps)
-        p, alpha = _online_update(scores, m_ref, l_ref)
-        if quantized:
-            p = p * _head_scale_row(vs_ref[0, 0], h // G)
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32)
-
-    @pl.when(s == ns - 1)
-    def _():
-        l = l_ref[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+def _kernel(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, *rest, **kw):
+    # paged wrapper: drop the prefetch refs the shared body doesn't need
+    # (win rides prefetch AND feeds the body)
+    _flash_body(qpos_ref, win_ref, *rest, **kw)
 
 
-def _kernel4(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, q_ref, k_ref,
-             v_ref, ks_ref, vs_ref, o_ref, acc0_ref, acc1_ref, m_ref,
-             l_ref, *, scale: float, softcap: float, ps: int, G: int):
-    """INT4-page variant — the linear-fold unpack of flash _kernel4."""
-    h = pl.program_id(1)
-    s = pl.program_id(3)
-    ns = pl.num_programs(3)
-    qpos = qpos_ref[0]
-    win = win_ref[0]
-    bt = q_ref.shape[2]
-
-    @pl.when(s == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc0_ref[:] = jnp.zeros_like(acc0_ref)
-        acc1_ref[:] = jnp.zeros_like(acc1_ref)
-
-    @pl.when(_live(qpos, win, s, ps, bt))
-    def _():
-        q0 = q_ref[0, 0, :, 0].astype(jnp.float32)          # [bt, D2]
-        q1 = q_ref[0, 0, :, 1].astype(jnp.float32)
-        kp = k_ref[0, 0, 0].astype(jnp.int32)               # [ps, D2]
-        k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)
-        k_lo = (kp & 0xF).astype(jnp.float32)
-        scores = (jax.lax.dot_general(
-            q0, k_lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                q1, k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
-        scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
-        if softcap > 0.0:
-            scores = jnp.tanh(scores / softcap) * softcap
-        scores = _mask(scores, qpos, win, s, ps)
-        p, alpha = _online_update(scores, m_ref, l_ref)
-        p = p * _head_scale_row(vs_ref[0, 0], h // G)
-        vp = v_ref[0, 0, 0].astype(jnp.int32)   # i32: no i8 ALU on v5e
-        d1 = jnp.dot(p, vp.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        psum = jnp.sum(p, axis=1, keepdims=True)
-        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
-        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
-
-    @pl.when(s == ns - 1)
-    def _():
-        l = l_ref[:]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0, :, 0] = (acc0_ref[:] / safe).astype(o_ref.dtype)
-        o_ref[0, 0, :, 1] = (acc1_ref[:] / safe).astype(o_ref.dtype)
+def _kernel4(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, *rest, **kw):
+    _flash_body4(qpos_ref, win_ref, *rest, **kw)
 
 
 NEG_INF = -1e30
@@ -167,7 +83,7 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
                              lambda b, h, t, s, lyr, qposf, pt, win:
                              (b, h, t, 0, 0))
         kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
-                                   ps=ps, G=G)
+                                   bs=ps, G=G)
         scratch = [pltpu.VMEM((bt, D2), jnp.float32),
                    pltpu.VMEM((bt, D2), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
@@ -177,7 +93,7 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
                              lambda b, h, t, s, lyr, qposf, pt, win:
                              (b, h, t, 0))
         kernel = functools.partial(_kernel, scale=scale, softcap=softcap,
-                                   ps=ps, G=G, quantized=quantized)
+                                   bs=ps, G=G, quantized=quantized)
         scratch = [pltpu.VMEM((bt, Dk), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32)]
