@@ -72,6 +72,29 @@ class ModelConfig:
     # Mixture-of-experts (mixtral): 0 = dense FFN.
     num_experts: int = 0
     experts_per_token: int = 2
+    # --- DeepSeek V2/V3 (MLA + fine-grained MoE); kv_lora_rank > 0 turns
+    # the family on ---
+    # Multi-head latent attention: q low-rank (0 = full q_proj, V2-lite),
+    # shared compressed-KV rank, decoupled nope/rope head dims, v width.
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # interleaved rope pairing in the checkpoint (config.rope_interleave)
+    rope_interleave: bool = False
+    # MoE block: shared experts (always-on MLP of n·moe_inter width),
+    # expert intermediate width, group-limited routing (n_group groups,
+    # top `topk_group` kept), sigmoid+bias scoring (V3) vs softmax (V2),
+    # routed weight normalization + scaling, first k layers dense.
+    n_shared_experts: int = 0
+    moe_intermediate_size: int = 0
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = True
+    first_k_dense: int = 0
+    router_score: str = "sigmoid_bias"   # or "softmax" (V2)
 
     @property
     def q_per_kv(self) -> int:
@@ -248,6 +271,48 @@ def gemma2_9b(**kw) -> ModelConfig:
                        **kw)
 
 
+def deepseek_v3(**kw) -> ModelConfig:
+    """DeepSeek-V3/R1 (671B total, 37B active): MLA (kv_lora 512, q_lora
+    1536, 128+64 nope/rope split) + 256-expert sigmoid-routed MoE with one
+    shared expert, group-limited routing, first 3 layers dense, yarn rope
+    to 128k."""
+    defaults = dict(
+        name="deepseek-v3", vocab_size=129280, hidden_size=7168,
+        intermediate_size=18432, num_layers=61, num_heads=128,
+        num_kv_heads=128, head_dim=192,           # qk_head_dim (nope+rope)
+        rope_theta=10000.0, max_position_embeddings=163840,
+        rms_norm_eps=1e-6,
+        rope_scaling={"type": "yarn", "factor": 40.0,
+                      "original_max_position_embeddings": 4096,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 1.0, "mscale_all_dim": 1.0},
+        q_lora_rank=1536, kv_lora_rank=512, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128, rope_interleave=True,
+        num_experts=256, experts_per_token=8, n_shared_experts=1,
+        moe_intermediate_size=2048, n_group=8, topk_group=4,
+        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=3,
+        router_score="sigmoid_bias")
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+def tiny_deepseek(**kw) -> ModelConfig:
+    """Small MLA+MoE config for tests (V3 semantics, toy sizes)."""
+    defaults = dict(
+        name="tiny-deepseek", vocab_size=256, hidden_size=64,
+        intermediate_size=128, num_layers=3, num_heads=4, num_kv_heads=4,
+        head_dim=48, rms_norm_eps=1e-6, max_position_embeddings=256,
+        dtype="float32",
+        q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        num_experts=8, experts_per_token=2, n_shared_experts=1,
+        moe_intermediate_size=48, n_group=2, topk_group=1,
+        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=1,
+        router_score="sigmoid_bias")
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
 def tiny_llama(**kw) -> ModelConfig:
     """Small config for tests — analogous to the reference's tiny example
     configs (reference: examples/cpp/attention/context_attn_example.cpp:7-20)."""
@@ -274,7 +339,9 @@ PRESETS = {
     "gemma2-2b": gemma2_2b,
     "gemma2-9b": gemma2_9b,
     "gemma3-4b": gemma3_4b,
+    "deepseek-v3": deepseek_v3,
     "tiny-llama": tiny_llama,
+    "tiny-deepseek": tiny_deepseek,
 }
 
 

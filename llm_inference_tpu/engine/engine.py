@@ -401,10 +401,18 @@ class InferenceEngine:
         return 1
 
     def new_cache(self, batch: int, max_seq: Optional[int] = None):
-        cache = kvcache.init_cache(
-            self.cfg.num_layers, batch, self.cfg.num_kv_heads,
-            max_seq or self.engine_cfg.max_seq_len, self.cfg.head_dim,
-            self.cache_dtype)
+        # families with non-standard cache layouts (deepseek's MLA latent
+        # cache) provide their own constructor
+        model_nc = getattr(self._model, "new_cache", None)
+        if model_nc is not None:
+            cache = model_nc(self.cfg, batch,
+                             max_seq or self.engine_cfg.max_seq_len,
+                             self.cache_dtype)
+        else:
+            cache = kvcache.init_cache(
+                self.cfg.num_layers, batch, self.cfg.num_kv_heads,
+                max_seq or self.engine_cfg.max_seq_len, self.cfg.head_dim,
+                self.cache_dtype)
         return self._shard_cache(cache)
 
     def _bucket(self, n: int) -> int:

@@ -7,6 +7,7 @@ lifetimes.
 """
 
 from llm_inference_tpu.models import llama  # noqa: F401
+from llm_inference_tpu.models import deepseek  # noqa: F401
 from llm_inference_tpu.models import gemma2  # noqa: F401
 from llm_inference_tpu.models import mixtral  # noqa: F401
 from llm_inference_tpu.models.registry import get_model, register_model  # noqa: F401

@@ -1,0 +1,493 @@
+"""DeepSeek V3/R1 family: Multi-head Latent Attention + fine-grained MoE.
+
+Reference analogue: none (the reference is a dense-MHA LLaMA-2 engine,
+src/models/llama/llama.h:14-207); this family extends the framework to the
+architecture of DeepSeek-V3/R1 — HF-parity-tested against
+transformers.DeepseekV3ForCausalLM.
+
+TPU-first design decisions (vs the HF eager graph, which expands the
+latent into per-head K/V and caches THAT):
+
+- The KV cache stores the LATENT: k = [c_kv ∥ roped k_rot]
+  (kv_lora_rank + qk_rope_head_dim per token, ONE kv head), v = c_kv.
+  For V3 that is ~1088 B/token(bf16·2) against the expanded cache's
+  num_heads·(qk_head_dim + v_head_dim) = 81920 — the whole point of MLA,
+  and exactly the quantity the decode roofline streams.
+- Attention runs ABSORBED: q_eff[h] = [q_nope[h] @ W_uk[h] ∥ q_rot[h]]
+  attends over the shared latent rows (MQA with one 576-wide key), and
+  the per-head output re-expands via W_uv. By associativity this equals
+  HF's expanded computation exactly — scores are q_nope·(W_uk c) + RoPE
+  dot either way. The per-head expansion matmuls move to the QUERY side
+  (T tokens), not the cache side (S tokens): decode touches
+  S·(kv_lora+rope) latent bytes instead of S·H·(192+128).
+- The dense KV-cache machinery is reused unchanged (scan-carry DUS
+  writes, int8 quantized mode with per-(token, head=1) scales, sharded
+  batch axis); k and v simply have different widths. The fused Pallas
+  attention kernels gate themselves off (D=576 ∉ {64,128,256}) — decode
+  attention here is ONE [B·H, 576]×[576, S] MQA dot chain that XLA
+  already runs near bandwidth on the tiny latent cache. Paged/MLA is not
+  wired yet (guarded).
+- MoE (V3 semantics): sigmoid router + e_score_correction bias,
+  group-limited routing (top-2-sum group scores, topk_group groups kept),
+  raw-sigmoid top-k weights (norm_topk_prob, routed_scaling_factor), one
+  always-on shared expert, first `first_k_dense` layers dense — the layer
+  stack runs as TWO scans (dense prefix, MoE rest) so each scan's pytree
+  is shape-uniform.
+- YaRN rope (ops/rope.py "yarn") with the mscale² score-scale fold;
+  checkpoints with rope_interleave store interleaved rope pairs — the
+  conversion bakes the de-interleave permutation into the projection
+  COLUMNS once, so the runtime always uses the standard HF pairing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_inference_tpu.config import ModelConfig
+from llm_inference_tpu.ops import activations, attention, kvcache, norms, rope
+from llm_inference_tpu.ops.linear import matmul
+from llm_inference_tpu.utils import debug
+
+Params = Dict[str, Any]
+
+
+def is_deepseek(cfg: ModelConfig) -> bool:
+    return cfg.kv_lora_rank > 0
+
+
+def _act_dtype(cfg: ModelConfig):
+    return jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16
+
+
+def qk_head_dim(cfg: ModelConfig) -> int:
+    return cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+
+
+def latent_dim(cfg: ModelConfig) -> int:
+    return cfg.kv_lora_rank + cfg.qk_rope_head_dim
+
+
+def score_scale(cfg: ModelConfig) -> float:
+    """HF DeepseekV3Attention.scaling: qk_head_dim^-0.5, times the yarn
+    mscale(factor, mscale_all_dim)^2 when that key is set."""
+    s = qk_head_dim(cfg) ** -0.5
+    rs = cfg.rope_scaling or {}
+    mad = rs.get("mscale_all_dim", 0)
+    factor = rs.get("factor", 1.0)
+    if mad and factor > 1:
+        m = 0.1 * float(mad) * math.log(float(factor)) + 1.0
+        s = s * m * m
+    return s
+
+
+def new_cache(cfg: ModelConfig, batch: int, max_seq: int,
+              dtype=jnp.bfloat16) -> kvcache.KVCache:
+    """Latent MLA cache: ONE kv head; k rows are [c_kv ∥ k_rot]
+    (latent_dim wide), v rows the bare c_kv (kv_lora_rank)."""
+    L = cfg.num_layers
+    kshape = (L, batch, 1, max_seq, latent_dim(cfg))
+    vshape = (L, batch, 1, max_seq, cfg.kv_lora_rank)
+    if dtype == jnp.int8 or dtype == "int8":
+        sshape = (L, batch, max_seq, 1)
+        return kvcache.KVCache(k=jnp.zeros(kshape, jnp.int8),
+                               v=jnp.zeros(vshape, jnp.int8),
+                               k_scale=jnp.zeros(sshape, jnp.float32),
+                               v_scale=jnp.zeros(sshape, jnp.float32),
+                               bits=8)
+    if dtype == "int4":
+        raise NotImplementedError("int4 KV for MLA latents is not wired "
+                                  "(the latent is already ~40x smaller)")
+    return kvcache.KVCache(k=jnp.zeros(kshape, dtype),
+                           v=jnp.zeros(vshape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+def _mla_attention(cfg, h, lp, cache, layer_idx, positions, write_offsets,
+                   mask, cos, sin):
+    """Multi-head latent attention (absorbed form) over the latent cache."""
+    B, T, _ = h.shape
+    Hh = cfg.num_heads
+    nope, rdim = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    kvr = cfg.kv_lora_rank
+    eps = cfg.rms_norm_eps
+
+    normed = norms.rms_norm(h, lp["attn_norm"], eps)
+    if cfg.q_lora_rank > 0:
+        qa = norms.rms_norm(matmul(normed, lp["wq_a"]), lp["q_a_norm"], eps)
+        q = matmul(qa, lp["wq_b"])
+    else:
+        q = matmul(normed, lp["wq"])
+    q = q.reshape(B, T, Hh, nope + rdim)
+    q_nope, q_rot = q[..., :nope], q[..., nope:]
+
+    ckv = matmul(normed, lp["wkv_a"])              # [B, T, kvr + rdim]
+    c = norms.rms_norm(ckv[..., :kvr], lp["kv_a_norm"], eps)
+    k_rot = ckv[..., None, kvr:]                   # [B, T, 1, rdim]
+
+    q_rot = rope.apply_rope(q_rot, positions, cos, sin)
+    k_rot = rope.apply_rope(k_rot, positions, cos, sin)
+
+    # absorb W_uk into the query: scores = q_nope·(W_uk c) = (q_nope W_uk)·c
+    q_abs = jnp.einsum("bthn,hnr->bthr", q_nope.astype(jnp.float32),
+                       lp["w_uk"].astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(q.dtype)
+    q_eff = jnp.concatenate([q_abs, q_rot], axis=-1)       # [B,T,Hh,kvr+r]
+    k_eff = jnp.concatenate([c, k_rot[:, :, 0]], axis=-1)[:, :, None, :]
+    v_eff = c[:, :, None, :]                               # [B,T,1,kvr]
+
+    cache = kvcache.update_cache_layer(cache, layer_idx, k_eff, v_eff,
+                                       write_offsets)
+
+    def at_layer(x):
+        return (None if x is None else
+                jax.lax.dynamic_index_in_dim(x, layer_idx, 0,
+                                             keepdims=False))
+
+    out_lat = attention.attend(q_eff, at_layer(cache.k), at_layer(cache.v),
+                               mask, scale=score_scale(cfg),
+                               k_scale=at_layer(cache.k_scale),
+                               v_scale=at_layer(cache.v_scale))
+    # re-expand per head: out[h] = latent_out[h] @ W_uv[h]
+    out = jnp.einsum("bthr,hrv->bthv", out_lat.astype(jnp.float32),
+                     lp["w_uv"].astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    attn = matmul(out.reshape(B, T, Hh * cfg.v_head_dim), lp["wo"])
+    return attn, cache
+
+
+def _mlp(x, gate, up, down):
+    return matmul(activations.swiglu_split(matmul(x, gate), matmul(x, up)),
+                  down)
+
+
+def _v3_moe(cfg, x, lp):
+    """V3 routed mixture + shared expert (HF DeepseekV3MoE semantics)."""
+    B, T, H = x.shape
+    E, k = cfg.num_experts, cfg.experts_per_token
+    G = cfg.n_group
+    logits = jnp.einsum("bth,he->bte", x.astype(jnp.float32),
+                        lp["router"].astype(jnp.float32))
+    scores = jax.nn.sigmoid(logits)                       # [B, T, E] f32
+    biased = scores + lp["router_bias"].astype(jnp.float32)
+    # group-limited routing: per-group top-2 sum → keep topk_group groups
+    gs = jnp.sum(jax.lax.top_k(biased.reshape(B, T, G, E // G), 2)[0],
+                 axis=-1)                                 # [B, T, G]
+    _, gidx = jax.lax.top_k(gs, cfg.topk_group)
+    gmask = jnp.sum(jax.nn.one_hot(gidx, G, dtype=jnp.float32),
+                    axis=-2) > 0                          # [B, T, G]
+    emask = jnp.repeat(gmask, E // G, axis=-1)            # [B, T, E]
+    choice = jnp.where(emask, biased, 0.0)
+    _, tidx = jax.lax.top_k(choice, k)
+    w = jnp.take_along_axis(scores, tidx, axis=-1)        # RAW sigmoid
+    if cfg.norm_topk_prob:
+        w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+    w = w * cfg.routed_scaling_factor
+    sel = jnp.sum(jax.nn.one_hot(tidx, E, dtype=jnp.float32)
+                  * w[..., None], axis=-2)                # [B, T, E]
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(E):                                    # static loop
+        y = _mlp(x, lp["e_gate"][e], lp["e_up"][e], lp["e_down"][e])
+        out = out + sel[..., e:e + 1] * y.astype(jnp.float32)
+    out = out.astype(x.dtype)
+    out = out + _mlp(x, lp["s_gate"], lp["s_up"], lp["s_down"])
+    return out
+
+
+def _layer(cfg, h, lp, cache, layer_idx, positions, write_offsets, mask,
+           cos, sin, moe: bool):
+    attn, cache = _mla_attention(cfg, h, lp, cache, layer_idx, positions,
+                                 write_offsets, mask, cos, sin)
+    h = h + attn
+    normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
+    if moe:
+        h = h + _v3_moe(cfg, normed, lp)
+    else:
+        h = h + _mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
+    return h, cache
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    cfg: ModelConfig,
+    params: Params,
+    ids: jnp.ndarray,            # [B, T] int32
+    positions: jnp.ndarray,      # [B, T] int32
+    cache: kvcache.KVCache,
+    *,
+    logits_mode: str = "last",
+    last_idx: Optional[jnp.ndarray] = None,
+    tp_axis: Optional[str] = None,
+    paged_history: bool = False,
+) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
+    """Prefill (T>1) / decode (T=1) over the latent cache. Two layer
+    scans: the dense prefix (first_k_dense layers) then the MoE rest."""
+    if tp_axis is not None:
+        raise NotImplementedError("deepseek TP is not wired yet")
+    if not isinstance(cache, kvcache.KVCache):
+        raise NotImplementedError("deepseek serves the dense latent cache "
+                                  "only (no paged MLA yet)")
+    B, T = ids.shape
+    dtype = _act_dtype(cfg)
+    h = jnp.take(params["embed"], ids, axis=0).astype(dtype)
+    S = cache.max_seq_len
+    mask = attention.make_attention_mask(positions, S)
+    write_offsets = positions[:, 0]
+    cos, sin = rope.make_rope_table(
+        min(cfg.max_position_embeddings, S), cfg.qk_rope_head_dim,
+        cfg.rope_theta, cfg.rope_scaling)
+    debug.tap("embed", h)
+
+    def run_stack(h, cache, stack, idx0, moe):
+        def body(carry, lp):
+            h, cache, idx = carry
+            h, cache = _layer(cfg, h, lp, cache, idx, positions,
+                              write_offsets, mask, cos, sin, moe)
+            debug.tap("out", h, layer=idx)
+            return (h, cache, idx + 1), None
+
+        (h, cache, _), _ = jax.lax.scan(
+            body, (h, cache, jnp.int32(idx0)), stack)
+        return h, cache
+
+    if params.get("dense_layers"):
+        h, cache = run_stack(h, cache, params["dense_layers"], 0, False)
+    h, cache = run_stack(h, cache, params["moe_layers"],
+                         cfg.first_k_dense, True)
+
+    if logits_mode == "none":
+        return None, cache
+    h = norms.rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    if logits_mode == "hidden":
+        return h, cache
+    if logits_mode == "last":
+        if last_idx is None:
+            last_idx = jnp.full((B,), T - 1, jnp.int32)
+        h = h[jnp.arange(B), last_idx]
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(h.astype(jnp.float32),
+                         params["embed"].T.astype(jnp.float32))
+    else:
+        logits = matmul(h, lm_head).astype(jnp.float32)
+    debug.tap("logits", logits)
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# params: random init + HF conversion
+# ---------------------------------------------------------------------------
+
+def _attn_keys(cfg: ModelConfig):
+    keys = ["attn_norm", "wkv_a", "kv_a_norm", "w_uk", "w_uv", "wo",
+            "ffn_norm"]
+    if cfg.q_lora_rank > 0:
+        keys += ["wq_a", "q_a_norm", "wq_b"]
+    else:
+        keys += ["wq"]
+    return keys
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
+    """Random dummy weights (perf/tests), matching the HF layout."""
+    dtype = dtype or _act_dtype(cfg)
+    H, V = cfg.hidden_size, cfg.vocab_size
+    Hh, nope, rdim = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    kvr, vd = cfg.kv_lora_rank, cfg.v_head_dim
+    E = cfg.num_experts
+    ks = iter(jax.random.split(key, 64))
+
+    def rnd(shape, scale=0.02):
+        return (jax.random.normal(next(ks), shape, jnp.float32)
+                * scale).astype(dtype)
+
+    def attn_stack(L):
+        d = {
+            "attn_norm": jnp.ones((L, H), dtype),
+            "wkv_a": rnd((L, H, kvr + rdim)),
+            "kv_a_norm": jnp.ones((L, kvr), dtype),
+            "w_uk": rnd((L, Hh, nope, kvr)),
+            "w_uv": rnd((L, Hh, kvr, vd)),
+            "wo": rnd((L, Hh * vd, H)),
+            "ffn_norm": jnp.ones((L, H), dtype),
+        }
+        if cfg.q_lora_rank > 0:
+            d["wq_a"] = rnd((L, H, cfg.q_lora_rank))
+            d["q_a_norm"] = jnp.ones((L, cfg.q_lora_rank), dtype)
+            d["wq_b"] = rnd((L, cfg.q_lora_rank, Hh * (nope + rdim)))
+        else:
+            d["wq"] = rnd((L, H, Hh * (nope + rdim)))
+        return d
+
+    Ld = cfg.first_k_dense
+    Lm = cfg.num_layers - Ld
+    dense = attn_stack(Ld) if Ld else {}
+    if Ld:
+        dense.update({
+            "w_gate": rnd((Ld, H, cfg.intermediate_size)),
+            "w_up": rnd((Ld, H, cfg.intermediate_size)),
+            "w_down": rnd((Ld, cfg.intermediate_size, H)),
+        })
+    mi = cfg.moe_intermediate_size
+    si = mi * cfg.n_shared_experts
+    moe = attn_stack(Lm)
+    moe.update({
+        "router": rnd((Lm, H, E)),
+        "router_bias": jnp.zeros((Lm, E), jnp.float32),
+        "e_gate": rnd((Lm, E, H, mi)),
+        "e_up": rnd((Lm, E, H, mi)),
+        "e_down": rnd((Lm, E, mi, H)),
+        "s_gate": rnd((Lm, H, si)),
+        "s_up": rnd((Lm, H, si)),
+        "s_down": rnd((Lm, si, H)),
+    })
+    params: Params = {
+        "embed": rnd((V, H)),
+        "dense_layers": dense,
+        "moe_layers": moe,
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = rnd((H, V))
+    return params
+
+
+def _deinterleave_cols(w: np.ndarray) -> np.ndarray:
+    """Rope-pair de-interleave on the LAST axis: [x0,x1,x2,x3,..] →
+    [x0,x2,.. ∥ x1,x3,..] (bakes HF's apply_rotary_pos_emb_interleave
+    reshuffle into the projection, so runtime rope uses the standard
+    half-split pairing)."""
+    return np.concatenate([w[..., 0::2], w[..., 1::2]], axis=-1)
+
+
+def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
+                          dtype=None) -> Params:
+    """transformers DeepseekV3 state dict → our two-stack pytree."""
+    from llm_inference_tpu.utils.checkpoint import _np
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    sd = {(k[6:] if k.startswith("model.") else k): v for k, v in sd.items()}
+
+    def get(name):
+        a = _np(sd[name])
+        return a if a.dtype == np.float16 else a.astype(np.float32)
+
+    Hh, nope, rdim = cfg.num_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    kvr, vd = cfg.kv_lora_rank, cfg.v_head_dim
+    qk = nope + rdim
+    Ld = cfg.first_k_dense
+
+    def attn_entries(i, acc):
+        p = f"layers.{i}."
+        acc.setdefault("attn_norm", []).append(
+            get(p + "input_layernorm.weight"))
+        if cfg.q_lora_rank > 0:
+            acc.setdefault("wq_a", []).append(
+                get(p + "self_attn.q_a_proj.weight").T)
+            acc.setdefault("q_a_norm", []).append(
+                get(p + "self_attn.q_a_layernorm.weight"))
+            wqb = get(p + "self_attn.q_b_proj.weight").T  # [qr, Hh·qk]
+        else:
+            wqb = get(p + "self_attn.q_proj.weight").T    # [H, Hh·qk]
+        wkva = get(p + "self_attn.kv_a_proj_with_mqa.weight").T
+        if cfg.rope_interleave:
+            # de-interleave the rope output columns once, per head
+            w3 = wqb.reshape(wqb.shape[0], Hh, qk)
+            w3 = np.concatenate(
+                [w3[..., :nope], _deinterleave_cols(w3[..., nope:])], -1)
+            wqb = w3.reshape(wqb.shape[0], Hh * qk)
+            wkva = np.concatenate(
+                [wkva[:, :kvr], _deinterleave_cols(wkva[:, kvr:])], -1)
+        acc.setdefault("wq_b" if cfg.q_lora_rank > 0 else "wq",
+                       []).append(wqb)
+        acc.setdefault("wkv_a", []).append(wkva)
+        acc.setdefault("kv_a_norm", []).append(
+            get(p + "self_attn.kv_a_layernorm.weight"))
+        # kv_b_proj [Hh·(nope+vd), kvr] → per-head W_uk [Hh, nope, kvr]
+        # (k_nope[h] = W_uk[h] @ c) and W_uv [Hh, kvr, vd] (v = c·W_uv)
+        wkvb = get(p + "self_attn.kv_b_proj.weight").reshape(
+            Hh, nope + vd, kvr)
+        acc.setdefault("w_uk", []).append(wkvb[:, :nope, :])
+        acc.setdefault("w_uv", []).append(
+            wkvb[:, nope:, :].transpose(0, 2, 1))
+        acc.setdefault("wo", []).append(get(p + "self_attn.o_proj.weight").T)
+        acc.setdefault("ffn_norm", []).append(
+            get(p + "post_attention_layernorm.weight"))
+
+    dense_acc: Dict[str, list] = {}
+    for i in range(Ld):
+        p = f"layers.{i}."
+        attn_entries(i, dense_acc)
+        dense_acc.setdefault("w_gate", []).append(
+            get(p + "mlp.gate_proj.weight").T)
+        dense_acc.setdefault("w_up", []).append(
+            get(p + "mlp.up_proj.weight").T)
+        dense_acc.setdefault("w_down", []).append(
+            get(p + "mlp.down_proj.weight").T)
+
+    moe_acc: Dict[str, list] = {}
+    for i in range(Ld, cfg.num_layers):
+        p = f"layers.{i}."
+        attn_entries(i, moe_acc)
+        moe_acc.setdefault("router", []).append(get(p + "mlp.gate.weight").T)
+        moe_acc.setdefault("router_bias", []).append(
+            get(p + "mlp.gate.e_score_correction_bias"))
+        moe_acc.setdefault("e_gate", []).append(np.stack(
+            [get(p + f"mlp.experts.{e}.gate_proj.weight").T
+             for e in range(cfg.num_experts)]))
+        moe_acc.setdefault("e_up", []).append(np.stack(
+            [get(p + f"mlp.experts.{e}.up_proj.weight").T
+             for e in range(cfg.num_experts)]))
+        moe_acc.setdefault("e_down", []).append(np.stack(
+            [get(p + f"mlp.experts.{e}.down_proj.weight").T
+             for e in range(cfg.num_experts)]))
+        moe_acc.setdefault("s_gate", []).append(
+            get(p + "mlp.shared_experts.gate_proj.weight").T)
+        moe_acc.setdefault("s_up", []).append(
+            get(p + "mlp.shared_experts.up_proj.weight").T)
+        moe_acc.setdefault("s_down", []).append(
+            get(p + "mlp.shared_experts.down_proj.weight").T)
+
+    def fin(acc, f32_keys=("router", "router_bias")):
+        return {k: jnp.asarray(np.stack(v),
+                               jnp.float32 if k in f32_keys else dtype)
+                for k, v in acc.items()}
+
+    params: Params = {
+        "embed": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "dense_layers": fin(dense_acc) if Ld else {},
+        "moe_layers": fin(moe_acc),
+        "final_norm": jnp.asarray(get("norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            np.ascontiguousarray(get("lm_head.weight").T), dtype)
+    return params
+
+
+def quantize_params(params: Params, qcfg, **kw) -> Params:
+    """Weight quantization for the two-stack MLA layout is not wired yet
+    (the latent CACHE quantizes via cache_dtype='int8'); refuse loudly
+    rather than let the llama-layout quantizer mangle the pytree."""
+    if not getattr(qcfg, "enabled", False):
+        return params
+    raise NotImplementedError(
+        "deepseek weight quantization is not implemented yet — run dense "
+        "weights (the MLA latent cache still quantizes via --kv-cache int8)")
+
+
+# register with the factory
+from llm_inference_tpu.models import registry as _registry  # noqa: E402
+import sys as _sys  # noqa: E402
+_registry.register_model("deepseek", _sys.modules[__name__])
+_registry.register_model("tiny-deepseek", _sys.modules[__name__])

@@ -89,7 +89,9 @@ def attend(
         probs = probs * jnp.swapaxes(v_scale, 1, 2)[:, :, None, None, :]
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(q.dtype),
                      v.astype(q.dtype), preferred_element_type=jnp.float32)
-    out = out.reshape(B, Hq, T, D).transpose(0, 2, 1, 3)
+    # Dv may differ from the q/k dim (MLA latent attention: k carries the
+    # rope tail, v is the bare latent — models/deepseek.py)
+    out = out.reshape(B, Hq, T, v.shape[-1]).transpose(0, 2, 1, 3)
     return out.astype(q.dtype)
 
 

@@ -69,6 +69,43 @@ def make_rope_table(
         medium = (wavelen >= orig / hi) & (wavelen <= orig / lo)
         inv_freq = jnp.where(medium, blended, scaled)
     mscale = 1.0
+    if scaling and stype == "yarn":
+        # YaRN (DeepSeek V2/V3): interpolate low-frequency dims by
+        # `factor`, keep high-frequency dims exact, linear-ramp the band
+        # between (found from the beta_fast/beta_slow rotation counts);
+        # cos/sin get the attention factor mscale(factor, mscale) /
+        # mscale(factor, mscale_all_dim) — HF _compute_yarn_parameters.
+        import math
+        factor = float(scaling["factor"])
+        orig = float(scaling.get("original_max_position_embeddings", 4096))
+        beta_fast = float(scaling.get("beta_fast", 32.0))
+        beta_slow = float(scaling.get("beta_slow", 1.0))
+        dim = head_dim
+
+        def corr_dim(n_rot):
+            return (dim * math.log(orig / (n_rot * 2 * math.pi))
+                    / (2 * math.log(theta)))
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+        ramp = jnp.clip((jnp.arange(dim // 2, dtype=jnp.float32) - low)
+                        / max(high - low, 1e-3), 0.0, 1.0)
+        extrap = 1.0 - ramp                       # 1 → keep exact
+        inv_freq = (inv_freq / factor) * (1.0 - extrap) + inv_freq * extrap
+
+        def _ms(scale, m=1.0):
+            return 0.1 * m * math.log(scale) + 1.0 if scale > 1 else 1.0
+
+        # HF: explicit attention_factor wins; else the mscale ratio only
+        # when BOTH mscale keys are set; else get_mscale(factor)
+        af = scaling.get("attention_factor")
+        ms, msad = scaling.get("mscale"), scaling.get("mscale_all_dim")
+        if af is not None:
+            mscale = float(af)
+        elif ms and msad:
+            mscale = _ms(factor, float(ms)) / _ms(factor, float(msad))
+        else:
+            mscale = _ms(factor)
     if scaling and stype == "longrope":
         # Phi-3 LongRoPE: per-dimension frequency rescale factors plus an
         # attention magnitude factor on cos/sin. HF picks short vs long

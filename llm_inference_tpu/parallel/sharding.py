@@ -210,6 +210,9 @@ def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
     """TP divisibility requirements (mirrors what the spec rules assume).
     MoE models use the tensor axis as the EXPERT axis instead (see
     sharded_forward), so the check there is expert-count divisibility."""
+    if cfg.kv_lora_rank > 0:
+        raise ValueError("deepseek (MLA) multi-chip sharding is not wired "
+                         "yet — run single-chip")
     if is_moe(cfg):
         if cfg.num_experts % tp_size != 0:
             raise ValueError(f"num_experts={cfg.num_experts} not divisible "

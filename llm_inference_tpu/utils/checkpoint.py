@@ -100,6 +100,25 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
     if family == "mixtral":
         moe_kw = dict(num_experts=g("num_local_experts", 8),
                       experts_per_token=g("num_experts_per_tok", 2))
+    if str(family).startswith("deepseek"):
+        # DeepSeek V2/V3 MLA + MoE (models/deepseek.py)
+        moe_kw = dict(
+            num_experts=g("n_routed_experts", 0) or 0,
+            experts_per_token=g("num_experts_per_tok", 8) or 8,
+            q_lora_rank=g("q_lora_rank") or 0,
+            kv_lora_rank=g("kv_lora_rank"),
+            qk_nope_head_dim=g("qk_nope_head_dim"),
+            qk_rope_head_dim=g("qk_rope_head_dim"),
+            v_head_dim=g("v_head_dim"),
+            rope_interleave=bool(g("rope_interleave", False)),
+            n_shared_experts=g("n_shared_experts", 0) or 0,
+            moe_intermediate_size=g("moe_intermediate_size", 0) or 0,
+            n_group=g("n_group", 1) or 1,
+            topk_group=g("topk_group", 1) or 1,
+            routed_scaling_factor=g("routed_scaling_factor", 1.0) or 1.0,
+            norm_topk_prob=bool(g("norm_topk_prob", True)),
+            first_k_dense=g("first_k_dense_replace", 0) or 0,
+            router_score="sigmoid_bias")
     return ModelConfig(
         name=family,
         vocab_size=g("vocab_size"),
@@ -158,6 +177,9 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
     Accepts torch tensors or numpy arrays. Keys may carry a leading "model."
     or not (both appear in the wild).
     """
+    if cfg.kv_lora_rank > 0:          # DeepSeek MLA family
+        from llm_inference_tpu.models import deepseek
+        return deepseek.convert_hf_state_dict(cfg, sd, dtype)
     dtype = jnp.dtype(dtype or cfg.dtype)
     sd = { (k[6:] if k.startswith("model.") else k): v for k, v in sd.items() }
 

@@ -1,0 +1,179 @@
+"""DeepSeek V3 family (models/deepseek.py): MLA latent attention + V3 MoE,
+HF logits parity, engine integration, and the latent int8 cache.
+
+No reference analogue (the reference is a dense-MHA LLaMA-2 engine); parity
+is against transformers.DeepseekV3ForCausalLM.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.config import (EngineConfig, GenerationConfig,
+                                      tiny_deepseek)
+from llm_inference_tpu.models import deepseek, registry
+from llm_inference_tpu.ops import kvcache
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_deepseek()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return deepseek.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _hf(seed=0, q_lora=32, rope_scaling=None, L=3):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from llm_inference_tpu.utils import checkpoint
+    hf_cfg = transformers.DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=L,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_shared_experts=1, n_routed_experts=8, routed_scaling_factor=2.5,
+        kv_lora_rank=32, q_lora_rank=q_lora, qk_rope_head_dim=16,
+        v_head_dim=32, qk_nope_head_dim=32, n_group=2, topk_group=1,
+        num_experts_per_tok=2, first_k_dense_replace=1,
+        norm_topk_prob=True, max_position_embeddings=128,
+        rope_theta=10000.0, rope_scaling=rope_scaling,
+        tie_word_embeddings=False, pad_token_id=0, torch_dtype="float32")
+    torch.manual_seed(seed)
+    hf = transformers.DeepseekV3ForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        for lyr in hf.model.layers[hf_cfg.first_k_dense_replace:]:
+            lyr.mlp.gate.e_score_correction_bias.uniform_(-0.05, 0.05)
+    cfg = checkpoint.model_config_from_hf(hf.config)
+    assert cfg.kv_lora_rank == 32 and cfg.rope_interleave
+    cfg = cfg.__class__(**{**cfg.to_dict(), "dtype": "float32"})
+    params = checkpoint.convert_hf_state_dict(cfg, hf.state_dict(),
+                                              dtype="float32")
+    return hf, cfg, params
+
+
+class TestHFParity:
+    @pytest.mark.parametrize("q_lora", [32, None])
+    def test_logits_parity(self, q_lora):
+        """Absorbed-MLA + V3 routing must match HF's expanded eager graph
+        exactly (associativity-level float noise only). q_lora=None is the
+        V2-lite-style full q projection."""
+        torch = pytest.importorskip("torch")
+        hf, cfg, params = _hf(q_lora=q_lora)
+        assert cfg.q_lora_rank == (q_lora or 0)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(2, 120, (2, 9)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        cache = deepseek.new_cache(cfg, 2, 16, jnp.float32)
+        pos = jnp.tile(jnp.arange(9, dtype=jnp.int32), (2, 1))
+        got, _ = deepseek.forward(cfg, params, jnp.asarray(ids, jnp.int32),
+                                  pos, cache, logits_mode="all")
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-4,
+                                   rtol=3e-4)
+
+    def test_yarn_parity(self):
+        """YaRN rope scaling (the V3 long-context config) incl. the
+        mscale^2 score-scale fold."""
+        torch = pytest.importorskip("torch")
+        hf, cfg, params = _hf(seed=2, rope_scaling={
+            "rope_type": "yarn", "factor": 8.0,
+            "original_max_position_embeddings": 16,
+            "beta_fast": 32, "beta_slow": 1,
+            "mscale": 1.0, "mscale_all_dim": 1.0})
+        assert cfg.rope_scaling and cfg.rope_scaling["rope_type"] == "yarn"
+        rng = np.random.default_rng(3)
+        ids = rng.integers(2, 120, (1, 24)).astype(np.int64)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids)).logits.numpy()
+        cache = deepseek.new_cache(cfg, 1, 32, jnp.float32)
+        pos = jnp.arange(24, dtype=jnp.int32)[None]
+        got, _ = deepseek.forward(cfg, params, jnp.asarray(ids, jnp.int32),
+                                  pos, cache, logits_mode="all")
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4,
+                                   rtol=5e-4)
+
+    def test_greedy_decode_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        from llm_inference_tpu.engine import InferenceEngine
+        hf, cfg, params = _hf(seed=4)
+        prompt = [3, 17, 42, 9]
+        with torch.no_grad():
+            hf_out = hf.generate(torch.tensor([prompt]), max_new_tokens=8,
+                                 do_sample=False)
+        want = hf_out[0, len(prompt):].tolist()
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(8, 16)))
+        got = eng.generate([prompt],
+                           GenerationConfig(greedy=True, max_new_tokens=8,
+                                            eos_token_ids=()))[0].token_ids
+        assert got == want, (got, want)
+
+
+class TestForward:
+    def test_prefill_decode_consistency(self, cfg, params):
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)),
+                          jnp.int32)
+        pos = jnp.tile(jnp.arange(6, dtype=jnp.int32), (2, 1))
+        c = deepseek.new_cache(cfg, 2, 32, jnp.float32)
+        full, _ = deepseek.forward(cfg, params, ids, pos, c,
+                                   logits_mode="all")
+        c2 = deepseek.new_cache(cfg, 2, 32, jnp.float32)
+        _, c2 = deepseek.forward(cfg, params, ids[:, :5], pos[:, :5], c2,
+                                 logits_mode="none")
+        step, _ = deepseek.forward(cfg, params, ids[:, 5:6], pos[:, 5:6],
+                                   c2)
+        np.testing.assert_allclose(np.asarray(step),
+                                   np.asarray(full[:, -1]), atol=2e-5,
+                                   rtol=2e-5)
+
+    def test_latent_cache_is_small(self, cfg, params):
+        c = deepseek.new_cache(cfg, 1, 32, jnp.float32)
+        # ONE kv head; k carries latent+rope, v the bare latent
+        assert c.k.shape == (cfg.num_layers, 1, 1, 32,
+                             cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+        assert c.v.shape[-1] == cfg.kv_lora_rank
+
+    def test_int8_latent_cache_close_to_f32(self, cfg, params):
+        ids = jnp.array([[3, 5, 7, 11]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+
+        def run(dtype):
+            c = deepseek.new_cache(cfg, 1, 32, dtype)
+            lg, c = deepseek.forward(cfg, params, ids, pos, c)
+            lg2, _ = deepseek.forward(cfg, params,
+                                      jnp.array([[9]], jnp.int32),
+                                      jnp.array([[4]], jnp.int32), c)
+            return np.asarray(lg), np.asarray(lg2)
+
+        f1, f2 = run(jnp.float32)
+        q1, q2 = run("int8")
+        assert np.corrcoef(f1.ravel(), q1.ravel())[0, 1] > 0.999
+        assert np.corrcoef(f2.ravel(), q2.ravel())[0, 1] > 0.995
+
+    def test_registry_dispatch(self, cfg):
+        assert registry.get_model("tiny-deepseek") is deepseek
+        assert registry.get_model("deepseek-v3") is deepseek
+
+
+class TestEngine:
+    def test_generate_and_scheduler(self, cfg, params):
+        from llm_inference_tpu.engine import (ContinuousBatchingScheduler,
+                                              InferenceEngine)
+        eng = InferenceEngine(
+            cfg, params, cache_dtype="int8",
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=())
+        solo = eng.generate([[5, 6, 7]], gen)[0].token_ids
+        assert len(solo) == 6
+        sched = ContinuousBatchingScheduler(eng, gen)
+        reqs = sched.run([[5, 6, 7], [9, 10]], max_new_tokens=6)
+        assert reqs[0].output_ids == solo
