@@ -85,7 +85,7 @@ class ModelConfig:
     rope_interleave: bool = False
     # MoE block: shared experts (always-on MLP of n·moe_inter width),
     # expert intermediate width, group-limited routing (n_group groups,
-    # top `topk_group` kept), sigmoid+bias scoring (V3) vs softmax (V2),
+    # top `topk_group` kept, sigmoid+bias V3 scoring),
     # routed weight normalization + scaling, first k layers dense.
     n_shared_experts: int = 0
     moe_intermediate_size: int = 0
@@ -94,7 +94,6 @@ class ModelConfig:
     routed_scaling_factor: float = 1.0
     norm_topk_prob: bool = True
     first_k_dense: int = 0
-    router_score: str = "sigmoid_bias"   # or "softmax" (V2)
 
     @property
     def q_per_kv(self) -> int:
@@ -290,8 +289,7 @@ def deepseek_v3(**kw) -> ModelConfig:
         qk_rope_head_dim=64, v_head_dim=128, rope_interleave=True,
         num_experts=256, experts_per_token=8, n_shared_experts=1,
         moe_intermediate_size=2048, n_group=8, topk_group=4,
-        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=3,
-        router_score="sigmoid_bias")
+        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=3)
     defaults.update(kw)
     return ModelConfig(**defaults)
 
@@ -307,8 +305,7 @@ def tiny_deepseek(**kw) -> ModelConfig:
         qk_rope_head_dim=16, v_head_dim=32,
         num_experts=8, experts_per_token=2, n_shared_experts=1,
         moe_intermediate_size=48, n_group=2, topk_group=1,
-        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=1,
-        router_score="sigmoid_bias")
+        routed_scaling_factor=2.5, norm_topk_prob=True, first_k_dense=1)
     defaults.update(kw)
     return ModelConfig(**defaults)
 

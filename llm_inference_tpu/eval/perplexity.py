@@ -66,9 +66,15 @@ def score_token_logprobs(
         end = min(start + window, N)
         chunk = jnp.asarray(ids[start:end])[None]
         pos = jnp.arange(end - start, dtype=jnp.int32)[None]
-        cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
-                                   window, cfg.head_dim,
-                                   jnp.dtype(cfg.dtype))
+        # families with non-standard caches (deepseek's MLA latent cache)
+        # provide their own constructor — same hook the engine uses
+        model_nc = getattr(_registry.get_model(cfg.name), "new_cache", None)
+        if model_nc is not None:
+            cache = model_nc(cfg, 1, window, jnp.dtype(cfg.dtype))
+        else:
+            cache = kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                       window, cfg.head_dim,
+                                       jnp.dtype(cfg.dtype))
         logits, _ = fwd(params, chunk, pos, cache)   # [1, T, V]
         logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
         tgt = ids[start + 1:end]

@@ -136,8 +136,10 @@ def _mla_attention(cfg, h, lp, cache, layer_idx, positions, write_offsets,
     k_rot = rope.apply_rope(k_rot, positions, cos, sin)
 
     # absorb W_uk into the query: scores = q_nope·(W_uk c) = (q_nope W_uk)·c
-    q_abs = jnp.einsum("bthn,hnr->bthr", q_nope.astype(jnp.float32),
-                       lp["w_uk"].astype(jnp.float32),
+    # (operands stay in the activation dtype; preferred_element_type gives
+    # the f32 accumulator — casting the weight slice to f32 would
+    # materialize an f32 copy per layer per step)
+    q_abs = jnp.einsum("bthn,hnr->bthr", q_nope, lp["w_uk"],
                        preferred_element_type=jnp.float32).astype(q.dtype)
     q_eff = jnp.concatenate([q_abs, q_rot], axis=-1)       # [B,T,Hh,kvr+r]
     k_eff = jnp.concatenate([c, k_rot[:, :, 0]], axis=-1)[:, :, None, :]
@@ -156,8 +158,7 @@ def _mla_attention(cfg, h, lp, cache, layer_idx, positions, write_offsets,
                                k_scale=at_layer(cache.k_scale),
                                v_scale=at_layer(cache.v_scale))
     # re-expand per head: out[h] = latent_out[h] @ W_uv[h]
-    out = jnp.einsum("bthr,hrv->bthv", out_lat.astype(jnp.float32),
-                     lp["w_uv"].astype(jnp.float32),
+    out = jnp.einsum("bthr,hrv->bthv", out_lat, lp["w_uv"],
                      preferred_element_type=jnp.float32).astype(h.dtype)
     attn = matmul(out.reshape(B, T, Hh * cfg.v_head_dim), lp["wo"])
     return attn, cache

@@ -48,7 +48,6 @@ def _kernel4(lyr_ref, qposf_ref, ptf_ref, win_ref, qpos_ref, *rest, **kw):
     _flash_body4(qpos_ref, win_ref, *rest, **kw)
 
 
-NEG_INF = -1e30
 _DEF_BT = 256
 
 

@@ -77,7 +77,11 @@ def make_rope_table(
         # mscale(factor, mscale_all_dim) — HF _compute_yarn_parameters.
         import math
         factor = float(scaling["factor"])
-        orig = float(scaling.get("original_max_position_embeddings", 4096))
+        # HF falls back to config.max_position_embeddings when the key is
+        # absent; checkpoint conversion bakes that in — a bare dict here
+        # defaults to the table length (the closest available analogue)
+        orig = float(scaling.get("original_max_position_embeddings")
+                     or max_positions)
         beta_fast = float(scaling.get("beta_fast", 32.0))
         beta_slow = float(scaling.get("beta_slow", 1.0))
         dim = head_dim

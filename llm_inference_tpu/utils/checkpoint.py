@@ -101,7 +101,14 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
         moe_kw = dict(num_experts=g("num_local_experts", 8),
                       experts_per_token=g("num_experts_per_tok", 2))
     if str(family).startswith("deepseek"):
-        # DeepSeek V2/V3 MLA + MoE (models/deepseek.py)
+        # DeepSeek V3/R1 MLA + MoE (models/deepseek.py). V2 has a
+        # DIFFERENT router (softmax, no e_score_correction_bias) and the
+        # VL variants aren't text decoders — refuse rather than convert
+        # them with V3 semantics.
+        if str(family) != "deepseek_v3":
+            raise NotImplementedError(
+                f"model_type {family!r}: only deepseek_v3 is wired "
+                f"(V2's softmax router / VL variants differ)")
         moe_kw = dict(
             num_experts=g("n_routed_experts", 0) or 0,
             experts_per_token=g("num_experts_per_tok", 8) or 8,
@@ -117,8 +124,15 @@ def model_config_from_hf(hf_cfg) -> ModelConfig:
             topk_group=g("topk_group", 1) or 1,
             routed_scaling_factor=g("routed_scaling_factor", 1.0) or 1.0,
             norm_topk_prob=bool(g("norm_topk_prob", True)),
-            first_k_dense=g("first_k_dense_replace", 0) or 0,
-            router_score="sigmoid_bias")
+            first_k_dense=g("first_k_dense_replace", 0) or 0)
+        if rope_scaling and (rope_scaling.get("rope_type")
+                             or rope_scaling.get("type")) == "yarn":
+            # HF yarn falls back to max_position_embeddings when the
+            # original length is absent — bake the resolved value in
+            rope_scaling = dict(rope_scaling)
+            rope_scaling.setdefault(
+                "original_max_position_embeddings",
+                g("max_position_embeddings", 4096))
     return ModelConfig(
         name=family,
         vocab_size=g("vocab_size"),
@@ -177,8 +191,8 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
     Accepts torch tensors or numpy arrays. Keys may carry a leading "model."
     or not (both appear in the wild).
     """
-    if cfg.kv_lora_rank > 0:          # DeepSeek MLA family
-        from llm_inference_tpu.models import deepseek
+    from llm_inference_tpu.models import deepseek
+    if deepseek.is_deepseek(cfg):     # MLA family → two-stack layout
         return deepseek.convert_hf_state_dict(cfg, sd, dtype)
     dtype = jnp.dtype(dtype or cfg.dtype)
     sd = { (k[6:] if k.startswith("model.") else k): v for k, v in sd.items() }

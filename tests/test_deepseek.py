@@ -177,3 +177,14 @@ class TestEngine:
         sched = ContinuousBatchingScheduler(eng, gen)
         reqs = sched.run([[5, 6, 7], [9, 10]], max_new_tokens=6)
         assert reqs[0].output_ids == solo
+
+
+class TestPerplexity:
+    def test_score_token_logprobs_uses_latent_cache(self, cfg, params):
+        """eval/perplexity must build the MLA cache via the model hook
+        (a llama-geometry cache mis-shapes the latent writes)."""
+        from llm_inference_tpu.eval.perplexity import score_token_logprobs
+        rng = np.random.default_rng(2)
+        ids = rng.integers(0, cfg.vocab_size, 24).astype(np.int32)
+        lp = score_token_logprobs(cfg, params, ids, window=16, stride=8)
+        assert lp.shape == (23,) and np.isfinite(lp).all()
