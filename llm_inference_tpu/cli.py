@@ -82,8 +82,14 @@ def build_engine(args):
         # without it every projection falls back to the slow XLA dequant.
         # tp_size aligns block widths to shard-local dims (block_params);
         # MoE weights are never dim-split, so blocks stay full-width.
-        params = llama.prepare_params(
-            params, tp_size=1 if is_moe else args.tp, fuse=False)
+        # Families with their own layout (deepseek's two stacks) provide
+        # their own prepare_params.
+        prep = getattr(model_mod, "prepare_params", None)
+        if prep is not None:
+            params = prep(params, tp_size=args.tp)
+        else:
+            params = llama.prepare_params(
+                params, tp_size=1 if is_moe else args.tp, fuse=False)
 
     adapter_names = None
     if getattr(args, "lora", None):

@@ -110,25 +110,32 @@ def new_cache(cfg: ModelConfig, batch: int, max_seq: int,
 # layers
 # ---------------------------------------------------------------------------
 
-def _mla_attention(cfg, h, lp, cache, layer_idx, positions, write_offsets,
-                   mask, cos, sin):
-    """Multi-head latent attention (absorbed form) over the latent cache."""
+def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
+                   write_offsets, mask, cos, sin):
+    """Multi-head latent attention (absorbed form) over the latent cache.
+    `layer_idx` indexes the cache (absolute); `w_idx` indexes this stack's
+    QTensor weights (stack-relative)."""
     B, T, _ = h.shape
     Hh = cfg.num_heads
     nope, rdim = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     kvr = cfg.kv_lora_rank
     eps = cfg.rms_norm_eps
 
+    def mm(name, x):
+        if name in qw:
+            return matmul(x, qw[name], layer=w_idx)
+        return matmul(x, lp[name])
+
     normed = norms.rms_norm(h, lp["attn_norm"], eps)
     if cfg.q_lora_rank > 0:
-        qa = norms.rms_norm(matmul(normed, lp["wq_a"]), lp["q_a_norm"], eps)
-        q = matmul(qa, lp["wq_b"])
+        qa = norms.rms_norm(mm("wq_a", normed), lp["q_a_norm"], eps)
+        q = mm("wq_b", qa)
     else:
-        q = matmul(normed, lp["wq"])
+        q = mm("wq", normed)
     q = q.reshape(B, T, Hh, nope + rdim)
     q_nope, q_rot = q[..., :nope], q[..., nope:]
 
-    ckv = matmul(normed, lp["wkv_a"])              # [B, T, kvr + rdim]
+    ckv = mm("wkv_a", normed)                      # [B, T, kvr + rdim]
     c = norms.rms_norm(ckv[..., :kvr], lp["kv_a_norm"], eps)
     k_rot = ckv[..., None, kvr:]                   # [B, T, 1, rdim]
 
@@ -160,16 +167,17 @@ def _mla_attention(cfg, h, lp, cache, layer_idx, positions, write_offsets,
     # re-expand per head: out[h] = latent_out[h] @ W_uv[h]
     out = jnp.einsum("bthr,hrv->bthv", out_lat, lp["w_uv"],
                      preferred_element_type=jnp.float32).astype(h.dtype)
-    attn = matmul(out.reshape(B, T, Hh * cfg.v_head_dim), lp["wo"])
+    attn = mm("wo", out.reshape(B, T, Hh * cfg.v_head_dim))
     return attn, cache
 
 
-def _mlp(x, gate, up, down):
-    return matmul(activations.swiglu_split(matmul(x, gate), matmul(x, up)),
-                  down)
+def _mlp(x, gate, up, down, layer=None):
+    act = activations.swiglu_split(matmul(x, gate, layer=layer),
+                                   matmul(x, up, layer=layer))
+    return matmul(act, down, layer=layer)
 
 
-def _v3_moe(cfg, x, lp):
+def _v3_moe(cfg, x, lp, qw, w_idx):
     """V3 routed mixture + shared expert (HF DeepseekV3MoE semantics)."""
     B, T, H = x.shape
     E, k = cfg.num_experts, cfg.experts_per_token
@@ -195,22 +203,36 @@ def _v3_moe(cfg, x, lp):
                   * w[..., None], axis=-2)                # [B, T, E]
 
     out = jnp.zeros_like(x, dtype=jnp.float32)
+    quantized = "e_gate" in qw
     for e in range(E):                                    # static loop
-        y = _mlp(x, lp["e_gate"][e], lp["e_up"][e], lp["e_down"][e])
+        if quantized:
+            # flattened [Lm·E] QTensor stacks, kernel-indexed (mixtral's
+            # stacked-operand convention — no scan-sliced custom calls)
+            idx = w_idx * E + e
+            y = _mlp(x, qw["e_gate"], qw["e_up"], qw["e_down"], layer=idx)
+        else:
+            y = _mlp(x, lp["e_gate"][e], lp["e_up"][e], lp["e_down"][e])
         out = out + sel[..., e:e + 1] * y.astype(jnp.float32)
     out = out.astype(x.dtype)
-    out = out + _mlp(x, lp["s_gate"], lp["s_up"], lp["s_down"])
+    if "s_gate" in qw:
+        out = out + _mlp(x, qw["s_gate"], qw["s_up"], qw["s_down"],
+                         layer=w_idx)
+    else:
+        out = out + _mlp(x, lp["s_gate"], lp["s_up"], lp["s_down"])
     return out
 
 
-def _layer(cfg, h, lp, cache, layer_idx, positions, write_offsets, mask,
-           cos, sin, moe: bool):
-    attn, cache = _mla_attention(cfg, h, lp, cache, layer_idx, positions,
-                                 write_offsets, mask, cos, sin)
+def _layer(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
+           write_offsets, mask, cos, sin, moe: bool):
+    attn, cache = _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx,
+                                 positions, write_offsets, mask, cos, sin)
     h = h + attn
     normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
     if moe:
-        h = h + _v3_moe(cfg, normed, lp)
+        h = h + _v3_moe(cfg, normed, lp, qw, w_idx)
+    elif "w_gate" in qw:
+        h = h + _mlp(normed, qw["w_gate"], qw["w_up"], qw["w_down"],
+                     layer=w_idx)
     else:
         h = h + _mlp(normed, lp["w_gate"], lp["w_up"], lp["w_down"])
     return h, cache
@@ -251,15 +273,20 @@ def forward(
     debug.tap("embed", h)
 
     def run_stack(h, cache, stack, idx0, moe):
+        from llm_inference_tpu.ops.quantization import QTensor
+        qw = {k: v for k, v in stack.items() if isinstance(v, QTensor)}
+        xs = {k: v for k, v in stack.items() if not isinstance(v, QTensor)}
+
         def body(carry, lp):
             h, cache, idx = carry
-            h, cache = _layer(cfg, h, lp, cache, idx, positions,
-                              write_offsets, mask, cos, sin, moe)
+            h, cache = _layer(cfg, h, lp, qw, cache, idx, idx - idx0,
+                              positions, write_offsets, mask, cos, sin,
+                              moe)
             debug.tap("out", h, layer=idx)
             return (h, cache, idx + 1), None
 
         (h, cache, _), _ = jax.lax.scan(
-            body, (h, cache, jnp.int32(idx0)), stack)
+            body, (h, cache, jnp.int32(idx0)), xs)
         return h, cache
 
     if params.get("dense_layers"):
@@ -476,15 +503,70 @@ def convert_hf_state_dict(cfg: ModelConfig, sd: Dict[str, Any],
     return params
 
 
+# 2-D matmul weights per stack (quantizable; norms/router/absorb tensors
+# stay dense — w_uk/w_uv are per-head 3-D einsum operands and the router
+# is an accuracy-critical sliver)
+_QUANT_KEYS = ("wq", "wq_a", "wq_b", "wkv_a", "wo",
+               "w_gate", "w_up", "w_down", "s_gate", "s_up", "s_down")
+_EXPERT_KEYS = ("e_gate", "e_up", "e_down")
+
+
 def quantize_params(params: Params, qcfg, **kw) -> Params:
-    """Weight quantization for the two-stack MLA layout is not wired yet
-    (the latent CACHE quantizes via cache_dtype='int8'); refuse loudly
-    rather than let the llama-layout quantizer mangle the pytree."""
+    """INT8/INT4 weight-only quantization over the two-stack MLA layout:
+    per-stack [Lx, K, N] weights become stacked QTensors (kernel-indexed
+    by the stack-relative layer), expert stacks flatten to [Lm·E, K, N]
+    indexed w_idx·E + e — the mixtral convention."""
+    from llm_inference_tpu.ops.quantization import quantize
     if not getattr(qcfg, "enabled", False):
         return params
-    raise NotImplementedError(
-        "deepseek weight quantization is not implemented yet — run dense "
-        "weights (the MLA latent cache still quantizes via --kv-cache int8)")
+    bits = {"int8": 8, "int4": 4}[qcfg.weights]
+    asym = getattr(qcfg, "asymmetric", False)
+
+    def qstack(w):                          # [Lx, K, N]
+        return jax.vmap(lambda m: quantize(m, bits, qcfg.group_size,
+                                           asymmetric=asym))(w)
+
+    out = dict(params)
+    for sk in ("dense_layers", "moe_layers"):
+        stack = dict(params[sk])
+        for name in _QUANT_KEYS:
+            if name in stack:
+                stack[name] = qstack(stack[name])
+        for name in _EXPERT_KEYS:
+            if name in stack:
+                w = stack[name]             # [Lm, E, K, N]
+                Lm, E, K, N = w.shape
+                stack[name] = qstack(w.reshape(Lm * E, K, N))
+        out[sk] = stack
+    return out
+
+
+def prepare_params(params: Params, tp_size: int = 1, *, donate: bool = True,
+                   **_ignored) -> Params:
+    """Re-lay every QTensor into the column-blocked streaming layout
+    (quantization.to_blocked) for the Pallas decode GEMV — the deepseek
+    analogue of llama.prepare_params (no qkv fusion here; the projections
+    are already the checkpoint's fused forms)."""
+    from llm_inference_tpu.ops.quantization import (QTensor, choose_block_n,
+                                                    to_blocked)
+
+    def _transform(p):
+        out = dict(p)
+        for sk in ("dense_layers", "moe_layers"):
+            stack = dict(p[sk])
+            for name, w in stack.items():
+                if not isinstance(w, QTensor) or w.block_n:
+                    continue
+                budget = (3 << 20) if w.bits == 8 else (3 << 20) // 2
+                bn = choose_block_n(w.q.shape[-2], w.q.shape[-1], budget)
+                if bn:
+                    stack[name] = to_blocked(w, bn)
+            out[sk] = stack
+        return out
+
+    if donate:
+        return jax.jit(_transform, donate_argnums=0)(params)
+    return _transform(params)
 
 
 # register with the factory

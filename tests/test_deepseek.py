@@ -188,3 +188,43 @@ class TestPerplexity:
         ids = rng.integers(0, cfg.vocab_size, 24).astype(np.int32)
         lp = score_token_logprobs(cfg, params, ids, window=16, stride=8)
         assert lp.shape == (23,) and np.isfinite(lp).all()
+
+
+class TestQuantizedWeights:
+    @pytest.mark.parametrize("weights", ["int8", "int4"])
+    def test_quantized_close_to_dense(self, cfg, params, weights):
+        from llm_inference_tpu.config import QuantConfig
+        qp = deepseek.quantize_params(
+            params, QuantConfig(weights=weights, group_size=16))
+        qp = deepseek.prepare_params(qp, donate=False)
+        from llm_inference_tpu.ops.quantization import QTensor
+        assert isinstance(qp["moe_layers"]["wkv_a"], QTensor)
+        assert qp["moe_layers"]["e_gate"].q.shape[0] == (
+            (cfg.num_layers - cfg.first_k_dense) * cfg.num_experts
+            or qp["moe_layers"]["e_gate"].q.shape[0])
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)),
+                          jnp.int32)
+        pos = jnp.arange(6, dtype=jnp.int32)[None]
+        c1 = deepseek.new_cache(cfg, 1, 32, jnp.float32)
+        dense, _ = deepseek.forward(cfg, params, ids, pos, c1)
+        c2 = deepseek.new_cache(cfg, 1, 32, jnp.float32)
+        quant, _ = deepseek.forward(cfg, qp, ids, pos, c2)
+        corr = np.corrcoef(np.asarray(dense).ravel(),
+                           np.asarray(quant).ravel())[0, 1]
+        assert corr > (0.999 if weights == "int8" else 0.99), corr
+
+    def test_engine_generate_quantized(self, cfg, params):
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.engine import InferenceEngine
+        qp = deepseek.quantize_params(
+            params, QuantConfig(weights="int8", group_size=16))
+        qp = deepseek.prepare_params(qp, donate=False)
+        eng = InferenceEngine(
+            cfg, qp, cache_dtype="int8",
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    prefill_buckets=(8, 16)))
+        out = eng.generate([[5, 6, 7]],
+                           GenerationConfig(greedy=True, max_new_tokens=5,
+                                            eos_token_ids=()))[0]
+        assert len(out.token_ids) == 5
