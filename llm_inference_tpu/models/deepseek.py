@@ -177,8 +177,12 @@ def _mlp(x, gate, up, down, layer=None):
     return matmul(act, down, layer=layer)
 
 
-def _v3_moe(cfg, x, lp, qw, w_idx):
-    """V3 routed mixture + shared expert (HF DeepseekV3MoE semantics)."""
+def _v3_moe(cfg, x, lp, qw, w_idx, expert_axis=None):
+    """V3 routed mixture + shared expert (HF DeepseekV3MoE semantics).
+    Under expert parallelism (`expert_axis` inside shard_map) each shard
+    computes its LOCAL experts' router-masked contributions and one psum
+    completes the routed mixture; the shared expert is replicated and
+    added OUTSIDE the psum (it would otherwise be summed N times)."""
     B, T, H = x.shape
     E, k = cfg.num_experts, cfg.experts_per_token
     G = cfg.n_group
@@ -202,17 +206,29 @@ def _v3_moe(cfg, x, lp, qw, w_idx):
     sel = jnp.sum(jax.nn.one_hot(tidx, E, dtype=jnp.float32)
                   * w[..., None], axis=-2)                # [B, T, E]
 
-    out = jnp.zeros_like(x, dtype=jnp.float32)
     quantized = "e_gate" in qw
-    for e in range(E):                                    # static loop
+    if expert_axis is not None:
+        # local slice of the expert axis (quantized EP stacks arrive in
+        # quantize_params' expert-block-major order, so the shard's stack
+        # is its own [Lm·El] kernel-indexable stack)
+        n_sh = jax.lax.psum(1, expert_axis)
+        e_local = E // n_sh
+        off = jax.lax.axis_index(expert_axis) * e_local
+        sel = jax.lax.dynamic_slice_in_dim(sel, off, e_local, axis=2)
+    else:
+        e_local = E
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(e_local):                              # static loop
         if quantized:
-            # flattened [Lm·E] QTensor stacks, kernel-indexed (mixtral's
+            # flattened [Lm·El] QTensor stacks, kernel-indexed (mixtral's
             # stacked-operand convention — no scan-sliced custom calls)
-            idx = w_idx * E + e
+            idx = w_idx * e_local + e
             y = _mlp(x, qw["e_gate"], qw["e_up"], qw["e_down"], layer=idx)
         else:
             y = _mlp(x, lp["e_gate"][e], lp["e_up"][e], lp["e_down"][e])
         out = out + sel[..., e:e + 1] * y.astype(jnp.float32)
+    if expert_axis is not None:
+        out = jax.lax.psum(out, expert_axis)
     out = out.astype(x.dtype)
     if "s_gate" in qw:
         out = out + _mlp(x, qw["s_gate"], qw["s_up"], qw["s_down"],
@@ -223,13 +239,13 @@ def _v3_moe(cfg, x, lp, qw, w_idx):
 
 
 def _layer(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
-           write_offsets, mask, cos, sin, moe: bool):
+           write_offsets, mask, cos, sin, moe: bool, expert_axis=None):
     attn, cache = _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx,
                                  positions, write_offsets, mask, cos, sin)
     h = h + attn
     normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
     if moe:
-        h = h + _v3_moe(cfg, normed, lp, qw, w_idx)
+        h = h + _v3_moe(cfg, normed, lp, qw, w_idx, expert_axis)
     elif "w_gate" in qw:
         h = h + _mlp(normed, qw["w_gate"], qw["w_up"], qw["w_down"],
                      layer=w_idx)
@@ -256,8 +272,8 @@ def forward(
 ) -> Tuple[Optional[jnp.ndarray], kvcache.KVCache]:
     """Prefill (T>1) / decode (T=1) over the latent cache. Two layer
     scans: the dense prefix (first_k_dense layers) then the MoE rest."""
-    if tp_axis is not None:
-        raise NotImplementedError("deepseek TP is not wired yet")
+    # tp_axis names the EXPERT axis (mixtral convention): expert stacks
+    # shard over it, attention/latent-cache replicate across it
     if not isinstance(cache, kvcache.KVCache):
         raise NotImplementedError("deepseek serves the dense latent cache "
                                   "only (no paged MLA yet)")
@@ -281,7 +297,7 @@ def forward(
             h, cache, idx = carry
             h, cache = _layer(cfg, h, lp, qw, cache, idx, idx - idx0,
                               positions, write_offsets, mask, cos, sin,
-                              moe)
+                              moe, expert_axis=tp_axis)
             debug.tap("out", h, layer=idx)
             return (h, cache, idx + 1), None
 
@@ -511,11 +527,15 @@ _QUANT_KEYS = ("wq", "wq_a", "wq_b", "wkv_a", "wo",
 _EXPERT_KEYS = ("e_gate", "e_up", "e_down")
 
 
-def quantize_params(params: Params, qcfg, **kw) -> Params:
+def quantize_params(params: Params, qcfg, ep_shards: int = 1,
+                    **kw) -> Params:
     """INT8/INT4 weight-only quantization over the two-stack MLA layout:
     per-stack [Lx, K, N] weights become stacked QTensors (kernel-indexed
     by the stack-relative layer), expert stacks flatten to [Lm·E, K, N]
-    indexed w_idx·E + e — the mixtral convention."""
+    indexed w_idx·E_local + e — the mixtral convention. ep_shards > 1
+    lays the expert stacks out EXPERT-BLOCK-MAJOR (shard, layer, local
+    expert) so an axis-0 PartitionSpec chunks them into shard-local
+    kernel-indexable stacks."""
     from llm_inference_tpu.ops.quantization import quantize
     if not getattr(qcfg, "enabled", False):
         return params
@@ -536,6 +556,13 @@ def quantize_params(params: Params, qcfg, **kw) -> Params:
             if name in stack:
                 w = stack[name]             # [Lm, E, K, N]
                 Lm, E, K, N = w.shape
+                if ep_shards > 1:
+                    if E % ep_shards:
+                        raise ValueError(f"num_experts={E} not divisible "
+                                         f"by ep_shards={ep_shards}")
+                    El = E // ep_shards
+                    w = (w.reshape(Lm, ep_shards, El, K, N)
+                          .transpose(1, 0, 2, 3, 4))
                 stack[name] = qstack(w.reshape(Lm * E, K, N))
         out[sk] = stack
     return out

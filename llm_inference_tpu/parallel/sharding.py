@@ -118,6 +118,35 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
         params)
 
 
+def deepseek_param_pspecs(params, expert_axis: str = "expert"):
+    """Expert-parallel PartitionSpecs for the deepseek two-stack pytree:
+    expert stacks shard their expert axis (dense [Lm, E, K, N] → axis 1;
+    flattened expert-block-major QTensors → axis 0); everything else —
+    attention, shared experts, router, norms, embeddings — replicates
+    (models/deepseek._v3_moe completes the routed mixture with one psum
+    per MoE layer; the shared expert stays outside the psum)."""
+    from llm_inference_tpu.ops.quantization import QTensor
+
+    def espec_for(name, v):
+        if name in ("e_gate", "e_up", "e_down"):
+            if isinstance(v, QTensor):
+                return jax.tree.map(
+                    lambda leaf: P(expert_axis,
+                                   *([None] * (leaf.ndim - 1))), v)
+            return P(None, expert_axis, None, None)
+        if isinstance(v, QTensor):
+            return jax.tree.map(lambda leaf: P(), v)
+        return P()
+
+    espec = {}
+    for k, v in params.items():
+        if k in ("dense_layers", "moe_layers"):
+            espec[k] = {kk: espec_for(kk, vv) for kk, vv in v.items()}
+        else:
+            espec[k] = P()
+    return espec
+
+
 def moe_param_pspecs(params, expert_axis: str = "expert"):
     """PartitionSpecs for expert parallelism over a mixtral params pytree:
     stacked expert weights shard their EXPERT axis; router, attention,
@@ -210,9 +239,6 @@ def validate_tp(cfg: ModelConfig, tp_size: int) -> None:
     """TP divisibility requirements (mirrors what the spec rules assume).
     MoE models use the tensor axis as the EXPERT axis instead (see
     sharded_forward), so the check there is expert-count divisibility."""
-    if cfg.kv_lora_rank > 0:
-        raise ValueError("deepseek (MLA) multi-chip sharding is not wired "
-                         "yet — run single-chip")
     if is_moe(cfg):
         if cfg.num_experts % tp_size != 0:
             raise ValueError(f"num_experts={cfg.num_experts} not divisible "
@@ -237,9 +263,12 @@ def shard_params_for(cfg: ModelConfig, params, mesh: Mesh,
                      tensor_axis: str = "tensor",
                      pipe_axis: Optional[str] = None):
     """Family-aware device_put: MoE params get expert-parallel specs over
-    the tensor axis (moe_param_pspecs); everything else Megatron TP."""
+    the tensor axis (moe_param_pspecs / deepseek_param_pspecs); everything
+    else Megatron TP."""
     if is_moe(cfg):
-        specs = moe_param_pspecs(params, tensor_axis)
+        specs = (deepseek_param_pspecs(params, tensor_axis)
+                 if cfg.kv_lora_rank > 0
+                 else moe_param_pspecs(params, tensor_axis))
         shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                                  is_leaf=lambda x: isinstance(x, P))
         return jax.device_put(params, shardings)
@@ -273,8 +302,12 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     # MoE: the tensor axis is the EXPERT axis — expert stacks shard on it,
     # attention weights/KV replicate across it (one psum/layer completes
     # the mixture; models/mixtral.moe_ffn)
-    pspecs = (moe_param_pspecs(params, tensor_axis) if moe
-              else param_pspecs(params, mesh, tensor_axis))
+    if moe and cfg.kv_lora_rank > 0:
+        pspecs = deepseek_param_pspecs(params, tensor_axis)
+    elif moe:
+        pspecs = moe_param_pspecs(params, tensor_axis)
+    else:
+        pspecs = param_pspecs(params, mesh, tensor_axis)
     kv_tensor_axis = None if moe else tensor_axis
     if cache_kind == "paged":
         if mesh.shape[data_axis] != 1:

@@ -228,3 +228,59 @@ class TestQuantizedWeights:
                            GenerationConfig(greedy=True, max_new_tokens=5,
                                             eos_token_ids=()))[0]
         assert len(out.token_ids) == 5
+
+
+class TestExpertParallel:
+    """EP over the deepseek two-stack layout: expert stacks shard their
+    expert axis, one psum per MoE layer completes the routed mixture, the
+    shared expert stays replicated outside the psum."""
+
+    @pytest.mark.parametrize("ep", [2, 4])
+    def test_ep_matches_single_device(self, cfg, params, ep):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+        from llm_inference_tpu.parallel.sharding import (shard_cache,
+                                                         shard_params_for,
+                                                         sharded_forward)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)),
+                          jnp.int32)
+        pos = jnp.tile(jnp.arange(6, dtype=jnp.int32), (2, 1))
+        c0 = deepseek.new_cache(cfg, 2, 32, jnp.float32)
+        g, _ = deepseek.forward(cfg, params, ids, pos, c0)
+        mesh = make_mesh(ShardingConfig(data=1, tensor=ep))
+        sp = shard_params_for(cfg, params, mesh)
+        cache = shard_cache(deepseek.new_cache(cfg, 2, 32, jnp.float32),
+                            mesh, tensor_axis=None)
+        fwd = sharded_forward(cfg, mesh, sp)
+        lg, _ = fwd(sp, ids, pos, cache, jnp.full((2,), 5, jnp.int32))
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(g),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_ep_quantized_stacks(self, cfg, params):
+        """ep_shards expert-block-major int8 stacks under ep=4 equal the
+        single-device ep=1 quantized forward exactly."""
+        from llm_inference_tpu.config import QuantConfig, ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+        from llm_inference_tpu.parallel.sharding import (shard_cache,
+                                                         shard_params_for,
+                                                         sharded_forward)
+        q = QuantConfig(weights="int8", group_size=16)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)),
+                          jnp.int32)
+        pos = jnp.tile(jnp.arange(6, dtype=jnp.int32), (2, 1))
+        qp1 = deepseek.prepare_params(
+            deepseek.quantize_params(params, q), donate=False)
+        c1 = deepseek.new_cache(cfg, 2, 32, jnp.float32)
+        g, _ = deepseek.forward(cfg, qp1, ids, pos, c1)
+        qp4 = deepseek.prepare_params(
+            deepseek.quantize_params(params, q, ep_shards=4), donate=False)
+        mesh = make_mesh(ShardingConfig(data=1, tensor=4))
+        sq = shard_params_for(cfg, qp4, mesh)
+        cache = shard_cache(deepseek.new_cache(cfg, 2, 32, jnp.float32),
+                            mesh, tensor_axis=None)
+        fwd = sharded_forward(cfg, mesh, sq)
+        lg, _ = fwd(sq, ids, pos, cache, jnp.full((2,), 5, jnp.int32))
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(g),
+                                   atol=2e-4, rtol=2e-4)
