@@ -100,23 +100,23 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
                 xsum_all += xsum
             else:
                 g = c0 // gsize                     # ch == gsize
-                s = s_ref[0, 0][g]                  # [2·bn] f32
-                acc_lo += d_lo * s[None, :bn]
-                acc_hi += d_hi * s[None, bn:]
+                # 2-D static row slices: a 1-D `s[g][None, :bn]` take
+                # lowers as a >2-D gather, which Mosaic rejects
+                s = s_ref[0, 0][g:g + 1]            # [1, 2·bn] f32
+                acc_lo += d_lo * s[:, :bn]
+                acc_hi += d_hi * s[:, bn:]
                 if asym:
-                    z = z_ref[0, 0][g]
-                    acc_lo += xsum * z[None, :bn]
-                    acc_hi += xsum * z[None, bn:]
+                    z = z_ref[0, 0][g:g + 1]
+                    acc_lo += xsum * z[:, :bn]
+                    acc_hi += xsum * z[:, bn:]
+        acc = jnp.concatenate([acc_lo, acc_hi], axis=1)    # [M, 2·bn]
         if per_channel:
-            s = s_ref[0, 0][0]
-            acc_lo = acc_lo * s[None, :bn]
-            acc_hi = acc_hi * s[None, bn:]
+            # full-width [1, 2·bn] ops AFTER the concat: broadcasting a
+            # lane-OFFSET slice (s[:, bn:]) trips a Mosaic layout error
+            acc = acc * s_ref[0, 0][0:1]
             if asym:
-                z = z_ref[0, 0][0]
-                acc_lo += xsum_all * z[None, :bn]
-                acc_hi += xsum_all * z[None, bn:]
-        o_ref[:] = jnp.concatenate([acc_lo, acc_hi], axis=1
-                                   ).astype(o_ref.dtype)
+                acc = acc + xsum_all * z_ref[0, 0][0:1]
+        o_ref[:] = acc.astype(o_ref.dtype)
         return
 
     acc = jnp.zeros((M, bn), jnp.float32)

@@ -7,7 +7,7 @@ batch sizes, reports aggregate tok/s vs the HBM roofline
 of one scan to attribute the gap.
 
 Usage:  PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_batched.py \
-            [--bs 8,32] [--quant int8|int4] [--kv int8|bf16] [--profile]
+            [--bs 8,32] [--quant int8|int4] [--kv int8|int4|bf16] [--profile]
 """
 import argparse
 import sys
@@ -41,7 +41,7 @@ def main():
     gs = 128 if args.quant == "int4" else 0
     qcfg = QuantConfig(weights=args.quant, group_size=gs,
                        quantize_embedding=True)
-    cache_dtype = "int8" if args.kv == "int8" else jnp.bfloat16
+    cache_dtype = args.kv if args.kv in ("int8", "int4") else jnp.bfloat16
 
     t0 = time.time()
     params = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
@@ -98,7 +98,7 @@ def main():
             times[steps] = best
 
         dt = (times[64] - times[16]) / 48
-        kv_itemsize = 1 if cache_dtype == "int8" else 2
+        kv_itemsize = {"int8": 1.0, "int4": 0.5}.get(cache_dtype, 2.0)
         kv_bytes = (cfg.num_layers * cfg.num_kv_heads * (P + 40)
                     * cfg.head_dim * 2 * kv_itemsize)
         sol = (wbytes + B * kv_bytes) / hbm_bw
