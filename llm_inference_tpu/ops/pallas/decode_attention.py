@@ -196,21 +196,24 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
                                                    ).astype(o_ref.dtype)
 
 
-def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
-             vs_ref, o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *, hb: int,
-             sb: int, ns: int, scale: float, softcap: float):
+def _kernel4(pos_ref, layer_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref,
+             ks_ref, vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref, m_ref,
+             l_ref, *, hb: int, sb: int, ns: int, scale: float,
+             softcap: float):
     """INT4 KV variant (quantization.quantize_kv4 offset-lo packing: signed
     byte = 16·hi + lo_u, lo stored +8). Every nibble extraction is a linear
     fold — no floor/mul on the VPU:
       scores = (q0·lo_uᵀ − 8·rowsum(q0) + q1·hiᵀ)·scale, hi = byte >> 4
       out    = [p·lo_u − 8·rowsum(p) ∥ (p·bytes − p·lo_u)/16]
-    q and the output ride PRE-SPLIT [.., G, 2, D/2] blocks (split outside
-    via a free reshape) so the kernel never slices lanes at D/2."""
+    q and the output ride as SEPARATE half operands (q0 = dims [0, D/2),
+    q1 = dims [D/2, D)): slicing a mid unit dim of one packed
+    [.., G, 2, D/2] block lowers to a shape cast Mosaic rejects on v5e
+    (tpu_smoke caught it in the flash twin)."""
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]
-    _, _, G, _, D2 = q_ref.shape
+    _, _, G, D2 = q0_ref.shape
     HG = hb * G
     HS = hb * sb
 
@@ -223,8 +226,8 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
 
     @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
     def _():
-        q0 = q_ref[0, :, :, 0].reshape(HG, D2).astype(jnp.float32)
-        q1 = q_ref[0, :, :, 1].reshape(HG, D2).astype(jnp.float32)
+        q0 = q0_ref[0].reshape(HG, D2).astype(jnp.float32)
+        q1 = q1_ref[0].reshape(HG, D2).astype(jnp.float32)
         kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)  # exact: lo_u≥0
         k_lo = (kp & 0xF).astype(jnp.float32)
@@ -282,18 +285,19 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
 
     @pl.when(j == ns - 1)
     def _():
-        o_ref[0, :, :, 0] = (acc0_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o_ref.dtype)
-        o_ref[0, :, :, 1] = (acc1_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o_ref.dtype)
+        o0_ref[0] = (acc0_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o0_ref.dtype)
+        o1_ref[0] = (acc1_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o1_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
+def _decode_attn4(q0, q1, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
                   scale: float, softcap: float, interpret: bool):
-    """INT4-KV twin of _decode_attn: q arrives [B, Hkv, G, 2, D/2]
-    (pre-split halves), pools are packed [L, B, Hkv, S, D/2]."""
-    B, Hkv, G, _, D2 = q.shape
+    """INT4-KV twin of _decode_attn: q arrives as two [B, Hkv, G, D/2]
+    half operands (lo dims, hi dims), pools are packed [L, B, Hkv, S, D/2];
+    the output is the matching pair of halves."""
+    B, Hkv, G, D2 = q0.shape
     S = k_all.shape[3]
     # itemsize 1 pins hb = Hkv (scale-block full-dim rule) and sizes sb
     # on the packed D/2 bytes — same policy as the int8 path
@@ -314,9 +318,11 @@ def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
     def s_map(b, g, j, pos, lyr, win):
         return (lyr[0], b, live(b, j, pos, win), g)
 
+    qspec = pl.BlockSpec((1, hb, G, D2),
+                         lambda b, g, j, pos, lyr, win: (b, g, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, hb, G, 2, D2),
-                     lambda b, g, j, pos, lyr, win: (b, g, 0, 0, 0)),
+        qspec,
+        qspec,
         pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
         pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
         pl.BlockSpec((1, 1, sb, hb), s_map),
@@ -328,9 +334,7 @@ def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hb, G, 2, D2),
-                                   lambda b, g, j, pos, lyr, win:
-                                   (b, g, 0, 0, 0)),
+            out_specs=(qspec, qspec),
             scratch_shapes=[
                 pltpu.VMEM((hb * G, D2), jnp.float32),
                 pltpu.VMEM((hb * G, D2), jnp.float32),
@@ -338,7 +342,8 @@ def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
                 pltpu.VMEM((hb * G, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        out_shape=(jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -346,7 +351,7 @@ def _decode_attn4(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
             bytes_accessed=(k_all.size + v_all.size) // k_all.shape[0],
             transcendentals=B * Hkv * G * S),
         interpret=interpret,
-    )(pos, layer, win, q, k_all, v_all, ks_all, vs_all)
+    )(pos, layer, win, q0, q1, k_all, v_all, ks_all, vs_all)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
@@ -464,12 +469,15 @@ def decode_attention(
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
     if k_all.shape[4] * 2 == D:
-        # packed INT4 cache: split q/out halves with a free reshape so the
-        # kernel's lane dims stay D/2-wide end to end
-        qg = q.reshape(B, Hkv, G, 2, D // 2)
-        out = _decode_attn4(qg, k_all, v_all, k_scale, v_scale, pos, lyr,
-                            win, scale=scale, softcap=logit_softcap,
-                            interpret=use_interpret())
+        # packed INT4 cache: q/out ride as separate half operands so the
+        # kernel's lane dims stay D/2-wide end to end with no mid-unit-dim
+        # block slicing (Mosaic shape-cast limit)
+        qg = q.reshape(B, Hkv, G, D)
+        o0, o1 = _decode_attn4(qg[..., :D // 2], qg[..., D // 2:],
+                               k_all, v_all, k_scale, v_scale, pos, lyr,
+                               win, scale=scale, softcap=logit_softcap,
+                               interpret=use_interpret())
+        out = jnp.concatenate([o0, o1], axis=-1)
         return out.reshape(B, 1, Hq, D).astype(q.dtype)
     qg = q.reshape(B, Hkv, G, D)
     out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr, win,

@@ -108,7 +108,7 @@ def _flash_body(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     h = pl.program_id(1)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
-    qpos = qpos_ref[0]                                      # [bt] int32
+    qpos = qpos_ref[0, 0]                                   # [bt] int32
     win = win_ref[0]
     bt = q_ref.shape[2]
 
@@ -146,17 +146,24 @@ def _flash_body(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                 o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *, scale: float,
-                 softcap: float, bs: int, G: int):
+def _flash_body4(qpos_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref, ks_ref,
+                 vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref, m_ref, l_ref,
+                 *, scale: float, softcap: float, bs: int, G: int):
     """INT4-KV variant (quantize_kv4 offset-lo packing) — same linear-fold
-    unpack as decode_attention._kernel4. Shared with paged_flash."""
+    unpack as decode_attention._kernel4. Shared with paged_flash.
+
+    q and the output ride as SEPARATE half operands (q0 = dims [0, D/2),
+    q1 = dims [D/2, D)) rather than one packed [.., 2, D/2] block: slicing
+    a mid unit dim of a block ("q_ref[0, 0, :, 0]") lowers to a
+    lanes-preserving shape cast Mosaic rejects on v5e
+    ("infer-vector-layout: unsupported shape cast", caught by
+    scripts/tpu_smoke.py)."""
     h = pl.program_id(1)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
-    qpos = qpos_ref[0]
+    qpos = qpos_ref[0, 0]
     win = win_ref[0]
-    bt = q_ref.shape[2]
+    bt = q0_ref.shape[2]
 
     @pl.when(s == 0)
     def _():
@@ -167,8 +174,8 @@ def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(_live(qpos, win, s, bs, bt))
     def _():
-        q0 = q_ref[0, 0, :, 0].astype(jnp.float32)          # [bt, D2]
-        q1 = q_ref[0, 0, :, 1].astype(jnp.float32)
+        q0 = q0_ref[0, 0].astype(jnp.float32)               # [bt, D2]
+        q1 = q1_ref[0, 0].astype(jnp.float32)
         kp = k_ref[0, 0, 0].astype(jnp.int32)               # [bs, D2]
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)   # exact: lo_u≥0
         k_lo = (kp & 0xF).astype(jnp.float32)
@@ -199,8 +206,8 @@ def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     def _():
         l = l_ref[:]
         safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0, :, 0] = (acc0_ref[:] / safe).astype(o_ref.dtype)
-        o_ref[0, 0, :, 1] = (acc1_ref[:] / safe).astype(o_ref.dtype)
+        o0_ref[0, 0] = (acc0_ref[:] / safe).astype(o0_ref.dtype)
+        o1_ref[0, 0] = (acc1_ref[:] / safe).astype(o1_ref.dtype)
 
 
 def _kernel(lyr_ref, qposf_ref, win_ref, qpos_ref, *rest, **kw):
@@ -217,9 +224,9 @@ def _kernel4(lyr_ref, qposf_ref, win_ref, qpos_ref, *rest, **kw):
                                              "kvbits", "interpret"))
 def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
            softcap, bt, bs, kvbits, interpret):
-    # q arrives [B, Hq, T, D] (or [B, Hq, T, 2, D/2] packed) so the q/out
-    # block satisfies the Mosaic constraint that the last two block dims
-    # tile (8, 128)
+    # q arrives [B, Hq, T, D] so the q/out block satisfies the Mosaic
+    # constraint that the last two block dims tile (8, 128); the int4
+    # path splits it into half-D operands (see _flash_body4)
     B, Hq, T = q.shape[:3]
     L, _, Hkv, S, Dk = k_all.shape
     G = Hq // Hkv
@@ -245,10 +252,15 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
         return (lyr[0], b, h // G, live(b, h, t, s, qpos, win), 0)
 
     if kvbits == 4:
-        D2 = q.shape[4]
-        qspec = pl.BlockSpec((1, 1, bt, 2, D2),
+        D2 = Dk                       # pools are packed [.., S, D/2]
+        qspec = pl.BlockSpec((1, 1, bt, D2),
                              lambda b, h, t, s, lyr, qpos, win:
-                             (b, h, t, 0, 0))
+                             (b, h, t, 0))
+        qspecs = [qspec, qspec]       # q0 (lo dims), q1 (hi dims)
+        out_specs = (qspec, qspec)
+        out_shape = (jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16))
+        q_ops = (q[..., :D2], q[..., D2:])
         kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
                                    bs=bs, G=G)
         scratch = [pltpu.VMEM((bt, D2), jnp.float32),
@@ -259,14 +271,22 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
         qspec = pl.BlockSpec((1, 1, bt, Dk),
                              lambda b, h, t, s, lyr, qpos, win:
                              (b, h, t, 0))
+        qspecs = [qspec]
+        out_specs = qspec
+        out_shape = jax.ShapeDtypeStruct(q.shape, jnp.bfloat16)
+        q_ops = (q,)
         kernel = functools.partial(_kernel, scale=scale, softcap=softcap,
                                    bs=bs, G=G, quantized=quantized)
         scratch = [pltpu.VMEM((bt, Dk), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32)]
     in_specs = [
-        pl.BlockSpec((1, bt), lambda b, h, t, s, lyr, qpos, win: (b, t)),
-        qspec,
+        # [B, 1, Tp] with a (1, 1, bt) block: the trailing block dims
+        # (1, bt) match the array's (1, Tp) under Mosaic's divisibility
+        # rule for ANY B — a [B, Tp] (1, bt) block only lowers when B == 1
+        pl.BlockSpec((1, 1, bt),
+                     lambda b, h, t, s, lyr, qpos, win: (b, 0, t)),
+        *qspecs,
         pl.BlockSpec((1, 1, 1, bs, Dk), kv_map),
         pl.BlockSpec((1, 1, 1, bs, Dk), kv_map),
     ]
@@ -279,23 +299,23 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
 
         in_specs += [pl.BlockSpec((1, 1, bs, Hkv), s_map),
                      pl.BlockSpec((1, 1, bs, Hkv), s_map)]
-        operands = (qpos, q, k_all, v_all, ks_all, vs_all)
+        operands = (qpos[:, None], *q_ops, k_all, v_all, ks_all, vs_all)
     else:
         dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         zmap = lambda b, h, t, s, lyr, qpos, win: (0, 0, 0, 0)  # noqa: E731
         in_specs += [pl.BlockSpec((1, 1, 1, 128), zmap),
                      pl.BlockSpec((1, 1, 1, 128), zmap)]
-        operands = (qpos, q, k_all, v_all, dummy, dummy)
-    return pl.pallas_call(
+        operands = (qpos[:, None], *q_ops, k_all, v_all, dummy, dummy)
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
-            out_specs=qspec,
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -308,6 +328,9 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
     )(lyr, qpos.reshape(-1), win, *operands)
     # ^ qpos rides prefetch FLAT (for the index maps) and as the blocked
     #   [bt] operand (vector masking)
+    if kvbits == 4:
+        out = jnp.concatenate(out, axis=-1)       # [B, Hq, Tp, D]
+    return out
 
 
 def flash_attention(
@@ -355,15 +378,10 @@ def flash_attention(
     kvbits = 4 if k_all.shape[4] * 2 == D else (
         8 if k_scale is not None else 16)
     qt = q.transpose(0, 2, 1, 3)
-    if kvbits == 4:
-        # pre-split halves (free reshape) — lane dims stay D/2 in-kernel
-        qt = qt.reshape(B, Hq, qt.shape[2], 2, D // 2)
     out = _flash(qt, k_all, v_all, k_scale, v_scale,
                  positions.astype(jnp.int32), lyr, win,
                  scale=scale, softcap=logit_softcap,
                  bt=bt, bs=bs, kvbits=kvbits, interpret=use_interpret())
-    if kvbits == 4:
-        out = out.reshape(B, Hq, out.shape[2], D)
     out = out.transpose(0, 2, 1, 3)
     if pad_t:
         out = out[:, :T]

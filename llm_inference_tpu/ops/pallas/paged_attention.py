@@ -115,18 +115,21 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
                                                    ).astype(o_ref.dtype)
 
 
-def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
-             ks_ref, vs_ref, o_ref, acc0_ref, acc1_ref, m_ref, l_ref, *,
-             hb: int, nb: int, scale: float, softcap: float):
+def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q0_ref, q1_ref, k_ref,
+             v_ref, ks_ref, vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref,
+             m_ref, l_ref, *, hb: int, nb: int, scale: float,
+             softcap: float):
     """INT4-page variant (quantize_kv4 offset-lo packing): K unpacks with
     one arithmetic shift + AND and a rowsum(q) offset fold; the V hi-nibble
     dot is a difference of dots — see decode_attention._kernel4. Scales
-    fold through the MXU-built flat scale row as in the int8 kernel."""
+    fold through the MXU-built flat scale row as in the int8 kernel.
+    q/out ride as separate half operands (Mosaic shape-cast limit — see
+    decode_attention._kernel4)."""
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]
-    _, _, G, _, D2 = q_ref.shape
+    _, _, G, D2 = q0_ref.shape
     ps = k_ref.shape[3]
     HG = hb * G
     HS = hb * ps
@@ -140,8 +143,8 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
 
     @pl.when((j * ps <= pos) & ((win <= 0) | ((j + 1) * ps > pos - win + 1)))
     def _():
-        q0 = q_ref[0, :, :, 0].reshape(HG, D2).astype(jnp.float32)
-        q1 = q_ref[0, :, :, 1].reshape(HG, D2).astype(jnp.float32)
+        q0 = q0_ref[0].reshape(HG, D2).astype(jnp.float32)
+        q1 = q1_ref[0].reshape(HG, D2).astype(jnp.float32)
         kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)
         k_lo = (kp & 0xF).astype(jnp.float32)
@@ -195,18 +198,19 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
 
     @pl.when(j == nb - 1)
     def _():
-        o_ref[0, :, :, 0] = (acc0_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o_ref.dtype)
-        o_ref[0, :, :, 1] = (acc1_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o_ref.dtype)
+        o0_ref[0] = (acc0_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o0_ref.dtype)
+        o1_ref[0] = (acc1_ref[:] / l_ref[:]).reshape(
+            hb, G, D2).astype(o1_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
-                 win, *, scale, softcap, interpret):
-    """INT4-page twin of _paged_attn: q arrives [B, Hkv, G, 2, D/2]
-    (pre-split halves), pools are packed [L, P, Hkv, ps, D/2]."""
-    B, Hkv, G, _, D2 = q.shape
+def _paged_attn4(q0, q1, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
+                 layer, win, *, scale, softcap, interpret):
+    """INT4-page twin of _paged_attn: q arrives as two [B, Hkv, G, D/2]
+    half operands, pools are packed [L, P, Hkv, ps, D/2]; the output is
+    the matching pair of halves."""
+    B, Hkv, G, D2 = q0.shape
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
     hb = Hkv                        # scale-block full-dim rule
@@ -225,9 +229,11 @@ def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
     def s_map(b, g, j, pos, lyr, pt, win):
         return (lyr[0], pt[b * NB + live(b, j, pos, win)], 0, g)
 
+    qspec = pl.BlockSpec((1, hb, G, D2),
+                         lambda b, g, j, pos, lyr, pt, win: (b, g, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, hb, G, 2, D2),
-                     lambda b, g, j, pos, lyr, pt, win: (b, g, 0, 0, 0)),
+        qspec,
+        qspec,
         pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
         pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
         pl.BlockSpec((1, 1, ps, hb), s_map),
@@ -239,9 +245,7 @@ def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
             num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hb, G, 2, D2),
-                                   lambda b, g, j, pos, lyr, pt, win:
-                                   (b, g, 0, 0, 0)),
+            out_specs=(qspec, qspec),
             scratch_shapes=[
                 pltpu.VMEM((hb * G, D2), jnp.float32),
                 pltpu.VMEM((hb * G, D2), jnp.float32),
@@ -249,7 +253,8 @@ def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
                 pltpu.VMEM((hb * G, 1), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        out_shape=(jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -257,7 +262,7 @@ def _paged_attn4(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
             bytes_accessed=2 * B * Hkv * NB * ps * D2,
             transcendentals=B * Hkv * G * NB * ps),
         interpret=interpret,
-    )(pos, layer, pt, win, q, k_pages, v_pages, ks_pages, vs_pages)
+    )(pos, layer, pt, win, q0, q1, k_pages, v_pages, ks_pages, vs_pages)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
@@ -379,11 +384,15 @@ def paged_decode_attention(
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
     if k_pages.shape[4] * 2 == D:
-        # packed INT4 pages: split q/out halves with a free reshape
-        qg = q.reshape(B, Hkv, G, 2, D // 2)
-        out = _paged_attn4(qg, k_pages, v_pages, k_scale, v_scale, pt,
-                           pos, lyr, win, scale=scale,
-                           softcap=logit_softcap, interpret=use_interpret())
+        # packed INT4 pages: q/out ride as separate half operands (Mosaic
+        # shape-cast limit — see decode_attention)
+        qg = q.reshape(B, Hkv, G, D)
+        o0, o1 = _paged_attn4(qg[..., :D // 2], qg[..., D // 2:],
+                              k_pages, v_pages, k_scale, v_scale, pt,
+                              pos, lyr, win, scale=scale,
+                              softcap=logit_softcap,
+                              interpret=use_interpret())
+        out = jnp.concatenate([o0, o1], axis=-1)
         return out.reshape(B, 1, Hq, D).astype(q.dtype)
     qg = q.reshape(B, Hkv, G, D)
     out = _paged_attn(qg, k_pages, v_pages, k_scale, v_scale, pt, pos, lyr,

@@ -77,10 +77,15 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
                 h // G, 0, 0)
 
     if kvbits == 4:
-        D2 = q.shape[4]
-        qspec = pl.BlockSpec((1, 1, bt, 2, D2),
+        D2 = Dk                       # pool pages are packed [.., ps, D/2]
+        qspec = pl.BlockSpec((1, 1, bt, D2),
                              lambda b, h, t, s, lyr, qposf, pt, win:
-                             (b, h, t, 0, 0))
+                             (b, h, t, 0))
+        qspecs = [qspec, qspec]       # q0 (lo dims), q1 (hi dims)
+        out_specs = (qspec, qspec)
+        out_shape = (jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16),
+                     jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16))
+        q_ops = (q[..., :D2], q[..., D2:])
         kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
                                    bs=ps, G=G)
         scratch = [pltpu.VMEM((bt, D2), jnp.float32),
@@ -91,15 +96,21 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
         qspec = pl.BlockSpec((1, 1, bt, Dk),
                              lambda b, h, t, s, lyr, qposf, pt, win:
                              (b, h, t, 0))
+        qspecs = [qspec]
+        out_specs = qspec
+        out_shape = jax.ShapeDtypeStruct(q.shape, jnp.bfloat16)
+        q_ops = (q,)
         kernel = functools.partial(_kernel, scale=scale, softcap=softcap,
                                    bs=ps, G=G, quantized=quantized)
         scratch = [pltpu.VMEM((bt, Dk), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32)]
     in_specs = [
-        pl.BlockSpec((1, bt),
-                     lambda b, h, t, s, lyr, qposf, pt, win: (b, t)),
-        qspec,
+        # [B, 1, Tp] with a (1, 1, bt) block — see flash_attention._flash
+        # (a [B, Tp] (1, bt) block only lowers when B == 1)
+        pl.BlockSpec((1, 1, bt),
+                     lambda b, h, t, s, lyr, qposf, pt, win: (b, 0, t)),
+        *qspecs,
         pl.BlockSpec((1, 1, 1, ps, Dk), kv_map),
         pl.BlockSpec((1, 1, 1, ps, Dk), kv_map),
     ]
@@ -110,24 +121,25 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
 
         in_specs += [pl.BlockSpec((1, 1, ps, Hkv), s_map),
                      pl.BlockSpec((1, 1, ps, Hkv), s_map)]
-        operands = (qpos, q, k_pages, v_pages, ks_pages, vs_pages)
+        operands = (qpos[:, None], *q_ops, k_pages, v_pages, ks_pages,
+                    vs_pages)
     else:
         dummy = jnp.zeros((1, 1, 1, 128), jnp.float32)
         zmap = (lambda b, h, t, s, lyr, qposf, pt, win:
                 (0, 0, 0, 0))
         in_specs += [pl.BlockSpec((1, 1, 1, 128), zmap),
                      pl.BlockSpec((1, 1, 1, 128), zmap)]
-        operands = (qpos, q, k_pages, v_pages, dummy, dummy)
-    return pl.pallas_call(
+        operands = (qpos[:, None], *q_ops, k_pages, v_pages, dummy, dummy)
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
-            out_specs=qspec,
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
@@ -139,6 +151,9 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
             transcendentals=B * Hq * Tp * NB * ps),
         interpret=interpret,
     )(lyr, qpos.reshape(-1), pt, win, *operands)
+    if kvbits == 4:
+        out = jnp.concatenate(out, axis=-1)       # [B, Hq, Tp, D]
+    return out
 
 
 def paged_flash_attention(
@@ -175,14 +190,10 @@ def paged_flash_attention(
     kvbits = 4 if k_pages.shape[4] * 2 == D else (
         8 if k_scale is not None else 16)
     qt = q.transpose(0, 2, 1, 3)
-    if kvbits == 4:
-        qt = qt.reshape(B, Hq, qt.shape[2], 2, D // 2)
     out = _paged_flash(qt, k_pages, v_pages, k_scale, v_scale,
                        positions.astype(jnp.int32), pt, lyr, win,
                        scale=scale, softcap=logit_softcap, bt=bt,
                        kvbits=kvbits, interpret=use_interpret())
-    if kvbits == 4:
-        out = out.reshape(B, Hq, out.shape[2], D)
     out = out.transpose(0, 2, 1, 3)
     if pad_t:
         out = out[:, :T]

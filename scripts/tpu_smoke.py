@@ -99,6 +99,18 @@ def main():
                             attention.make_attention_mask(pos, 2048))
     ok &= check("flash_attention T=1024 S=2048 GQA", got, want)
 
+    # B>1 dense flash: the qpos operand rides [B, 1, Tp] — a [B, Tp]
+    # (1, bt) block violates Mosaic's trailing-dims rule for B > 1
+    q2 = jax.random.normal(ks[0], (2, 256, 32, 128), jnp.bfloat16)
+    k2 = jax.random.normal(ks[1], (2, 2, 8, 512, 128), jnp.bfloat16)
+    v2 = jax.random.normal(ks[2], (2, 2, 8, 512, 128), jnp.bfloat16)
+    pos2 = jnp.stack([jnp.arange(256, dtype=jnp.int32),
+                      128 + jnp.arange(256, dtype=jnp.int32)])
+    got = FA.flash_attention(q2, k2, v2, 1, pos2)
+    want = attention.attend(q2, k2[1], v2[1],
+                            attention.make_attention_mask(pos2, 512))
+    ok &= check("flash_attention B=2", got, want)
+
     # flash with history offset + traced window (skip clamps + prefetched
     # window under Mosaic) and quantized caches (scale-row MXU extraction)
     posw = (512 + jnp.arange(1024, dtype=jnp.int32))[None]
