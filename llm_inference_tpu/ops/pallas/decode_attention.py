@@ -196,24 +196,28 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
                                                    ).astype(o_ref.dtype)
 
 
-def _kernel4(pos_ref, layer_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref,
-             ks_ref, vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref, m_ref,
-             l_ref, *, hb: int, sb: int, ns: int, scale: float,
-             softcap: float):
+def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
+             ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int,
+             sb: int, ns: int, scale: float, softcap: float):
     """INT4 KV variant (quantization.quantize_kv4 offset-lo packing: signed
     byte = 16·hi + lo_u, lo stored +8). Every nibble extraction is a linear
     fold — no floor/mul on the VPU:
-      scores = (q0·lo_uᵀ − 8·rowsum(q0) + q1·hiᵀ)·scale, hi = byte >> 4
+      scores = (q·[lo_u ∥ hi]ᵀ − 8·losum(q))·scale, hi = byte >> 4
       out    = [p·lo_u − 8·rowsum(p) ∥ (p·bytes − p·lo_u)/16]
-    q and the output ride as SEPARATE half operands (q0 = dims [0, D/2),
-    q1 = dims [D/2, D)): slicing a mid unit dim of one packed
-    [.., G, 2, D/2] block lowers to a shape cast Mosaic rejects on v5e
-    (tpu_smoke caught it in the flash twin)."""
+    q and the output ride FULL-D: the dequantized K halves are rebuilt
+    with one in-kernel lane concat ([bs, D/2] ∥ [bs, D/2] → [bs, D], a
+    relayout Mosaic lowers on v5e — probed by scripts/proto_lane_concat),
+    so the score dot is ONE full-128-wide MXU contraction rather than two
+    half-width ones, with zero host-side q/out half copies. (Half-D q
+    BlockSpecs over the 128-wide array violate Mosaic's last-block-dim
+    rule; host-side q slices cost two HBM copies per call — both earlier
+    designs this replaces.)"""
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]
-    _, _, G, D2 = q0_ref.shape
+    _, _, G, D = q_ref.shape
+    D2 = D // 2
     HG = hb * G
     HS = hb * sb
 
@@ -221,24 +225,24 @@ def _kernel4(pos_ref, layer_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref,
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-        acc0_ref[:] = jnp.zeros_like(acc0_ref)
-        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
     def _():
-        q0 = q0_ref[0].reshape(HG, D2).astype(jnp.float32)
-        q1 = q1_ref[0].reshape(HG, D2).astype(jnp.float32)
+        q = q_ref[0].reshape(HG, D).astype(jnp.float32)
         kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)  # exact: lo_u≥0
         k_lo = (kp & 0xF).astype(jnp.float32)
-        # NT dots contracting D/2; f32 nibbles on the MXU's f32 path
+        kfull = jnp.concatenate([k_lo, k_hi], axis=1)      # [HS, D]
+        # the −8 offset applies to the lo half's q dims only
+        lane = jax.lax.broadcasted_iota(jnp.int32, (HG, D), 1)
+        q_losum = jnp.sum(jnp.where(lane < D2, q, 0.0), axis=1,
+                          keepdims=True)
+        # ONE NT dot contracting the full D; f32 nibbles on the MXU
         scores = (jax.lax.dot_general(
-            q0, k_lo, (((1,), (1,)), ((), ())),
+            q, kfull, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                q1, k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+            - 8.0 * q_losum) * scale
         # per-(slot, head) scale fold — identical to the int8 kernel
         eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0) ==
                jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1)
@@ -280,24 +284,24 @@ def _kernel4(pos_ref, layer_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref,
         d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
                      preferred_element_type=jnp.float32)  # p·lo_u
         psum = jnp.sum(p, axis=1, keepdims=True)          # scaled-p rowsum
-        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
-        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+        acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
+            [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
     @pl.when(j == ns - 1)
     def _():
-        o0_ref[0] = (acc0_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o0_ref.dtype)
-        o1_ref[0] = (acc1_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o1_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(
+            hb, G, D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _decode_attn4(q0, q1, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
+def _decode_attn4(qg, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
                   scale: float, softcap: float, interpret: bool):
-    """INT4-KV twin of _decode_attn: q arrives as two [B, Hkv, G, D/2]
-    half operands (lo dims, hi dims), pools are packed [L, B, Hkv, S, D/2];
-    the output is the matching pair of halves."""
-    B, Hkv, G, D2 = q0.shape
+    """INT4-KV twin of _decode_attn: q and the output ride FULL-D (zero
+    copies); the kernel rebuilds the dequantized K by lane-concatenating
+    the unpacked halves (see _kernel4). Pools are packed
+    [L, B, Hkv, S, D/2]."""
+    B, Hkv, G, D = qg.shape
+    D2 = D // 2
     S = k_all.shape[3]
     # itemsize 1 pins hb = Hkv (scale-block full-dim rule) and sizes sb
     # on the packed D/2 bytes — same policy as the int8 path
@@ -318,10 +322,9 @@ def _decode_attn4(q0, q1, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
     def s_map(b, g, j, pos, lyr, win):
         return (lyr[0], b, live(b, j, pos, win), g)
 
-    qspec = pl.BlockSpec((1, hb, G, D2),
+    qspec = pl.BlockSpec((1, hb, G, D),
                          lambda b, g, j, pos, lyr, win: (b, g, 0, 0))
     in_specs = [
-        qspec,
         qspec,
         pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
         pl.BlockSpec((1, 1, hb, sb, D2), kv_map),
@@ -334,16 +337,14 @@ def _decode_attn4(q0, q1, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=in_specs,
-            out_specs=(qspec, qspec),
+            out_specs=qspec,
             scratch_shapes=[
-                pltpu.VMEM((hb * G, D2), jnp.float32),
-                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, D), jnp.float32),
                 pltpu.VMEM((hb * G, 1), jnp.float32),
                 pltpu.VMEM((hb * G, 1), jnp.float32),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16),
-                   jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -351,7 +352,7 @@ def _decode_attn4(q0, q1, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
             bytes_accessed=(k_all.size + v_all.size) // k_all.shape[0],
             transcendentals=B * Hkv * G * S),
         interpret=interpret,
-    )(pos, layer, win, q0, q1, k_all, v_all, ks_all, vs_all)
+    )(pos, layer, win, qg, k_all, v_all, ks_all, vs_all)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
@@ -469,15 +470,12 @@ def decode_attention(
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
     if k_all.shape[4] * 2 == D:
-        # packed INT4 cache: q/out ride as separate half operands so the
-        # kernel's lane dims stay D/2-wide end to end with no mid-unit-dim
-        # block slicing (Mosaic shape-cast limit)
+        # packed INT4 cache: q/out ride FULL-D; the kernel lane-concats the
+        # unpacked K/V halves (zero host copies, one full-width MXU dot)
         qg = q.reshape(B, Hkv, G, D)
-        o0, o1 = _decode_attn4(qg[..., :D // 2], qg[..., D // 2:],
-                               k_all, v_all, k_scale, v_scale, pos, lyr,
-                               win, scale=scale, softcap=logit_softcap,
-                               interpret=use_interpret())
-        out = jnp.concatenate([o0, o1], axis=-1)
+        out = _decode_attn4(qg, k_all, v_all, k_scale, v_scale, pos,
+                            lyr, win, scale=scale, softcap=logit_softcap,
+                            interpret=use_interpret())
         return out.reshape(B, 1, Hq, D).astype(q.dtype)
     qg = q.reshape(B, Hkv, G, D)
     out = _decode_attn(qg, k_all, v_all, k_scale, v_scale, pos, lyr, win,

@@ -43,8 +43,10 @@ Design:
   head's indicator row (a lane-column slice + relayout would be the VPU-
   hostile alternative). INT4 packed caches (quantize_kv4 offset-lo) use
   the same linear-fold unpack as decode_attention._kernel4: K via one
-  arithmetic shift + rowsum(q) FMA, V's hi-nibble dot as a difference of
-  dots; q and the output ride pre-split [.., 2, D/2] blocks.
+  arithmetic shift + losum(q) FMA, V's hi-nibble dot as a difference of
+  dots. q and the output ride FULL-D: the dequantized K halves are
+  lane-concatenated in-kernel into one [bs, D] operand, so the score dot
+  is a single full-128-wide MXU contraction with zero host-side copies.
 """
 
 from __future__ import annotations
@@ -146,46 +148,50 @@ def _flash_body(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
-def _flash_body4(qpos_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref, ks_ref,
-                 vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref, m_ref, l_ref,
+def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
+                 vs_ref, o_ref, acc_ref, m_ref, l_ref,
                  *, scale: float, softcap: float, bs: int, G: int):
     """INT4-KV variant (quantize_kv4 offset-lo packing) — same linear-fold
     unpack as decode_attention._kernel4. Shared with paged_flash.
 
-    q and the output ride as SEPARATE half operands (q0 = dims [0, D/2),
-    q1 = dims [D/2, D)) rather than one packed [.., 2, D/2] block: slicing
-    a mid unit dim of a block ("q_ref[0, 0, :, 0]") lowers to a
-    lanes-preserving shape cast Mosaic rejects on v5e
-    ("infer-vector-layout: unsupported shape cast", caught by
-    scripts/tpu_smoke.py)."""
+    q and the output ride FULL-D: the dequantized K is rebuilt by
+    lane-concatenating the unpacked halves in-kernel ([bs, D/2] ∥
+    [bs, D/2] → [bs, D], a relayout Mosaic lowers on v5e — probed by
+    scripts/proto_lane_concat), so the score dot is ONE full-128-wide MXU
+    contraction and there are no host-side q/out half copies. (Slicing a
+    mid unit dim of a packed [.., 2, D/2] block is a Mosaic-rejected
+    shape cast; half-D BlockSpecs over the 128-wide q violate the
+    last-block-dim rule — both earlier designs this replaces.)"""
     h = pl.program_id(1)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
     qpos = qpos_ref[0, 0]
     win = win_ref[0]
-    bt = q0_ref.shape[2]
+    bt = q_ref.shape[2]
+    D = q_ref.shape[3]
+    D2 = D // 2
 
     @pl.when(s == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-        acc0_ref[:] = jnp.zeros_like(acc0_ref)
-        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when(_live(qpos, win, s, bs, bt))
     def _():
-        q0 = q0_ref[0, 0].astype(jnp.float32)               # [bt, D2]
-        q1 = q1_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0].astype(jnp.float32)                 # [bt, D]
         kp = k_ref[0, 0, 0].astype(jnp.int32)               # [bs, D2]
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)   # exact: lo_u≥0
         k_lo = (kp & 0xF).astype(jnp.float32)
+        kfull = jnp.concatenate([k_lo, k_hi], axis=1)       # [bs, D]
+        # the −8 offset applies to the lo half's q dims only
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, D), 1)
+        q_losum = jnp.sum(jnp.where(lane < D2, q, 0.0), axis=1,
+                          keepdims=True)
         scores = (jax.lax.dot_general(
-            q0, k_lo, (((1,), (1,)), ((), ())),
+            q, kfull, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                q1, k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+            - 8.0 * q_losum) * scale
         scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
@@ -199,15 +205,14 @@ def _flash_body4(qpos_ref, win_ref, q0_ref, q1_ref, k_ref, v_ref, ks_ref,
         d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
                      preferred_element_type=jnp.float32)    # p·lo_u
         psum = jnp.sum(p, axis=1, keepdims=True)
-        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
-        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+        acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
+            [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
     @pl.when(s == ns - 1)
     def _():
         l = l_ref[:]
         safe = jnp.where(l == 0.0, 1.0, l)
-        o0_ref[0, 0] = (acc0_ref[:] / safe).astype(o0_ref.dtype)
-        o1_ref[0, 0] = (acc1_ref[:] / safe).astype(o1_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
 
 
 def _kernel(lyr_ref, qposf_ref, win_ref, qpos_ref, *rest, **kw):
@@ -226,7 +231,8 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
            softcap, bt, bs, kvbits, interpret):
     # q arrives [B, Hq, T, D] so the q/out block satisfies the Mosaic
     # constraint that the last two block dims tile (8, 128); the int4
-    # path splits it into half-D operands (see _flash_body4)
+    # path keeps q/out full-D and lane-concats the unpacked KV halves
+    # in-kernel (see _flash_body4)
     B, Hq, T = q.shape[:3]
     L, _, Hkv, S, Dk = k_all.shape
     G = Hq // Hkv
@@ -253,18 +259,18 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
 
     if kvbits == 4:
         D2 = Dk                       # pools are packed [.., S, D/2]
-        qspec = pl.BlockSpec((1, 1, bt, D2),
+        D = 2 * D2
+        # q/out ride FULL-D; the kernel lane-concats the unpacked halves
+        qspec = pl.BlockSpec((1, 1, bt, D),
                              lambda b, h, t, s, lyr, qpos, win:
                              (b, h, t, 0))
-        qspecs = [qspec, qspec]       # q0 (lo dims), q1 (hi dims)
-        out_specs = (qspec, qspec)
-        out_shape = (jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16),
-                     jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16))
-        q_ops = (q[..., :D2], q[..., D2:])
+        qspecs = [qspec]
+        out_specs = qspec
+        out_shape = jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.bfloat16)
+        q_ops = (q,)
         kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
                                    bs=bs, G=G)
-        scratch = [pltpu.VMEM((bt, D2), jnp.float32),
-                   pltpu.VMEM((bt, D2), jnp.float32),
+        scratch = [pltpu.VMEM((bt, D), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32)]
     else:
@@ -328,8 +334,6 @@ def _flash(q, k_all, v_all, ks_all, vs_all, qpos, lyr, win, *, scale,
     )(lyr, qpos.reshape(-1), win, *operands)
     # ^ qpos rides prefetch FLAT (for the index maps) and as the blocked
     #   [bt] operand (vector masking)
-    if kvbits == 4:
-        out = jnp.concatenate(out, axis=-1)       # [B, Hq, Tp, D]
     return out
 
 

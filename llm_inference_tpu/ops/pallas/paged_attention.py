@@ -115,21 +115,22 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
                                                    ).astype(o_ref.dtype)
 
 
-def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q0_ref, q1_ref, k_ref,
-             v_ref, ks_ref, vs_ref, o0_ref, o1_ref, acc0_ref, acc1_ref,
+def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref,
+             v_ref, ks_ref, vs_ref, o_ref, acc_ref,
              m_ref, l_ref, *, hb: int, nb: int, scale: float,
              softcap: float):
     """INT4-page variant (quantize_kv4 offset-lo packing): K unpacks with
-    one arithmetic shift + AND and a rowsum(q) offset fold; the V hi-nibble
-    dot is a difference of dots — see decode_attention._kernel4. Scales
-    fold through the MXU-built flat scale row as in the int8 kernel.
-    q/out ride as separate half operands (Mosaic shape-cast limit — see
-    decode_attention._kernel4)."""
+    one arithmetic shift + AND, lane-concatenated into a full-D operand
+    (one 128-wide MXU contraction, zero host q/out copies — see
+    decode_attention._kernel4), with a losum(q) offset fold; the V
+    hi-nibble dot is a difference of dots. Scales fold through the
+    MXU-built flat scale row as in the int8 kernel."""
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]
-    _, _, G, D2 = q0_ref.shape
+    _, _, G, D = q_ref.shape
+    D2 = D // 2
     ps = k_ref.shape[3]
     HG = hb * G
     HS = hb * ps
@@ -138,23 +139,22 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q0_ref, q1_ref, k_ref,
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-        acc0_ref[:] = jnp.zeros_like(acc0_ref)
-        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when((j * ps <= pos) & ((win <= 0) | ((j + 1) * ps > pos - win + 1)))
     def _():
-        q0 = q0_ref[0].reshape(HG, D2).astype(jnp.float32)
-        q1 = q1_ref[0].reshape(HG, D2).astype(jnp.float32)
+        q = q_ref[0].reshape(HG, D).astype(jnp.float32)
         kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
         k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)
         k_lo = (kp & 0xF).astype(jnp.float32)
+        kfull = jnp.concatenate([k_lo, k_hi], axis=1)      # [HS, D]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (HG, D), 1)
+        q_losum = jnp.sum(jnp.where(lane < D2, q, 0.0), axis=1,
+                          keepdims=True)
         scores = (jax.lax.dot_general(
-            q0, k_lo, (((1,), (1,)), ((), ())),
+            q, kfull, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                q1, k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(q0, axis=1, keepdims=True)) * scale
+            - 8.0 * q_losum) * scale
         # flat [1, HS] per-slot scale rows (see the int8 kernel above)
         rr = jax.lax.broadcasted_iota(jnp.int32, (hb, HS), 1)
         selT = (rr // ps == jax.lax.broadcasted_iota(
@@ -193,24 +193,23 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q0_ref, q1_ref, k_ref,
         d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
                      preferred_element_type=jnp.float32)
         psum = jnp.sum(p, axis=1, keepdims=True)
-        acc0_ref[:] = acc0_ref[:] * alpha + (d2 - 8.0 * psum)
-        acc1_ref[:] = acc1_ref[:] * alpha + (d1 - d2) * 0.0625
+        acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
+            [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
     @pl.when(j == nb - 1)
     def _():
-        o0_ref[0] = (acc0_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o0_ref.dtype)
-        o1_ref[0] = (acc1_ref[:] / l_ref[:]).reshape(
-            hb, G, D2).astype(o1_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(
+            hb, G, D).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
-def _paged_attn4(q0, q1, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
+def _paged_attn4(qg, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
                  layer, win, *, scale, softcap, interpret):
-    """INT4-page twin of _paged_attn: q arrives as two [B, Hkv, G, D/2]
-    half operands, pools are packed [L, P, Hkv, ps, D/2]; the output is
-    the matching pair of halves."""
-    B, Hkv, G, D2 = q0.shape
+    """INT4-page twin of _paged_attn: q and the output ride FULL-D (zero
+    copies); the kernel lane-concats the unpacked K halves (see _kernel4).
+    Pools are packed [L, P, Hkv, ps, D/2]."""
+    B, Hkv, G, D = qg.shape
+    D2 = D // 2
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
     hb = Hkv                        # scale-block full-dim rule
@@ -229,10 +228,9 @@ def _paged_attn4(q0, q1, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
     def s_map(b, g, j, pos, lyr, pt, win):
         return (lyr[0], pt[b * NB + live(b, j, pos, win)], 0, g)
 
-    qspec = pl.BlockSpec((1, hb, G, D2),
+    qspec = pl.BlockSpec((1, hb, G, D),
                          lambda b, g, j, pos, lyr, pt, win: (b, g, 0, 0))
     in_specs = [
-        qspec,
         qspec,
         pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
         pl.BlockSpec((1, 1, hb, ps, D2), kv_map),
@@ -245,16 +243,14 @@ def _paged_attn4(q0, q1, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
             num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
-            out_specs=(qspec, qspec),
+            out_specs=qspec,
             scratch_shapes=[
-                pltpu.VMEM((hb * G, D2), jnp.float32),
-                pltpu.VMEM((hb * G, D2), jnp.float32),
+                pltpu.VMEM((hb * G, D), jnp.float32),
                 pltpu.VMEM((hb * G, 1), jnp.float32),
                 pltpu.VMEM((hb * G, 1), jnp.float32),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16),
-                   jax.ShapeDtypeStruct(q0.shape, jnp.bfloat16)),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -262,7 +258,7 @@ def _paged_attn4(q0, q1, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
             bytes_accessed=2 * B * Hkv * NB * ps * D2,
             transcendentals=B * Hkv * G * NB * ps),
         interpret=interpret,
-    )(pos, layer, pt, win, q0, q1, k_pages, v_pages, ks_pages, vs_pages)
+    )(pos, layer, pt, win, qg, k_pages, v_pages, ks_pages, vs_pages)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "softcap", "interpret"))
@@ -384,15 +380,13 @@ def paged_decode_attention(
     win = jnp.asarray(0 if window is None else window,
                       jnp.int32).reshape(1)
     if k_pages.shape[4] * 2 == D:
-        # packed INT4 pages: q/out ride as separate half operands (Mosaic
-        # shape-cast limit — see decode_attention)
+        # packed INT4 pages: q/out ride FULL-D; the kernel lane-concats
+        # the unpacked halves (see decode_attention)
         qg = q.reshape(B, Hkv, G, D)
-        o0, o1 = _paged_attn4(qg[..., :D // 2], qg[..., D // 2:],
-                              k_pages, v_pages, k_scale, v_scale, pt,
-                              pos, lyr, win, scale=scale,
-                              softcap=logit_softcap,
-                              interpret=use_interpret())
-        out = jnp.concatenate([o0, o1], axis=-1)
+        out = _paged_attn4(qg, k_pages, v_pages, k_scale, v_scale, pt,
+                           pos, lyr, win, scale=scale,
+                           softcap=logit_softcap,
+                           interpret=use_interpret())
         return out.reshape(B, 1, Hq, D).astype(q.dtype)
     qg = q.reshape(B, Hkv, G, D)
     out = _paged_attn(qg, k_pages, v_pages, k_scale, v_scale, pt, pos, lyr,

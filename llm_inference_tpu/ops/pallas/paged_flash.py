@@ -78,18 +78,19 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
 
     if kvbits == 4:
         D2 = Dk                       # pool pages are packed [.., ps, D/2]
-        qspec = pl.BlockSpec((1, 1, bt, D2),
+        D = 2 * D2
+        # q/out ride FULL-D; the kernel lane-concats the unpacked halves
+        # (see flash_attention._flash_body4)
+        qspec = pl.BlockSpec((1, 1, bt, D),
                              lambda b, h, t, s, lyr, qposf, pt, win:
                              (b, h, t, 0))
-        qspecs = [qspec, qspec]       # q0 (lo dims), q1 (hi dims)
-        out_specs = (qspec, qspec)
-        out_shape = (jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16),
-                     jax.ShapeDtypeStruct((B, Hq, Tp, D2), jnp.bfloat16))
-        q_ops = (q[..., :D2], q[..., D2:])
+        qspecs = [qspec]
+        out_specs = qspec
+        out_shape = jax.ShapeDtypeStruct((B, Hq, Tp, D), jnp.bfloat16)
+        q_ops = (q,)
         kernel = functools.partial(_kernel4, scale=scale, softcap=softcap,
                                    bs=ps, G=G)
-        scratch = [pltpu.VMEM((bt, D2), jnp.float32),
-                   pltpu.VMEM((bt, D2), jnp.float32),
+        scratch = [pltpu.VMEM((bt, D), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32),
                    pltpu.VMEM((bt, 1), jnp.float32)]
     else:
@@ -151,8 +152,6 @@ def _paged_flash(q, k_pages, v_pages, ks_pages, vs_pages, qpos, pt, lyr,
             transcendentals=B * Hq * Tp * NB * ps),
         interpret=interpret,
     )(lyr, qpos.reshape(-1), pt, win, *operands)
-    if kvbits == 4:
-        out = jnp.concatenate(out, axis=-1)       # [B, Hq, Tp, D]
     return out
 
 
