@@ -37,9 +37,10 @@ def measure(cfg, qcfg, *, cache_dtype, seq_len, prompt_len, steps_a, steps_b,
 
     t0 = time.time()
     params = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
-    # BENCH_INT4_NPAIR=1 A/Bs the N-pair difference-of-dots int4 layout
+    # N-pair difference-of-dots int4 layout is the default (chip A/B:
+    # 170.9 vs 155.4 tok/s); BENCH_INT4_NPAIR=0 A/Bs the plain layout
     params = llama.prepare_params(
-        params, int4_npair=os.environ.get("BENCH_INT4_NPAIR") == "1")
+        params, int4_npair=os.environ.get("BENCH_INT4_NPAIR", "1") == "1")
     log(f"[bench:{tag}] params built in {time.time()-t0:.1f}s, "
         f"{llama.param_bytes(params)/1e9:.2f} GB")
 

@@ -65,17 +65,18 @@ def build_engine(args):
             params = quantize_fn(params, qcfg, ep_shards=args.tp)
         else:
             params = quantize_fn(params, qcfg, row_shards=args.tp)
-    if getattr(args, "int4_npair", False) and (
-            not is_llama or args.tp > 1 or args.quant != "int4"):
-        # refuse rather than silently lay out the plain split-half path —
-        # an A/B "with npair on" must never measure the wrong layout
+    npair = getattr(args, "int4_npair", None)
+    if npair and (not is_llama or args.tp > 1 or args.quant != "int4"):
+        # explicit --int4-npair: refuse rather than silently lay out the
+        # plain split-half path — an A/B "with npair on" must never measure
+        # the wrong layout. (Default None = auto: npair when eligible.)
         raise SystemExit("--int4-npair requires --quant int4, tp=1, and a "
                          "llama-family model")
     if is_llama:
         # fuse + streaming re-layout: the llama kernel path's contract
         params = llama.prepare_params(
             params, tp_size=args.tp,
-            int4_npair=getattr(args, "int4_npair", False))
+            int4_npair=npair is not False)
     elif args.quant != "none":
         # gemma2/mixtral keep raw layer keys (no qkv fusion) but still need
         # the column-blocked streaming layout for the Pallas quant matmul —
@@ -136,9 +137,13 @@ def main(argv=None):
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"])
     ap.add_argument("--group-size", type=int, default=0)
-    ap.add_argument("--int4-npair", action="store_true",
-                    help="N-pair int4 layout (difference-of-dots unpack; "
-                         "single-chip llama-family only)")
+    ap.add_argument("--int4-npair", action="store_true", default=None,
+                    help="require the N-pair int4 layout (difference-of-"
+                         "dots unpack; single-chip llama-family only). "
+                         "Default: auto — used whenever eligible")
+    ap.add_argument("--no-int4-npair", dest="int4_npair",
+                    action="store_false",
+                    help="force the plain split-half int4 layout")
     ap.add_argument("--asym", action="store_true",
                     help="asymmetric (min/max, zero-point) weight quantization")
     ap.add_argument("--kv-cache", default="bf16",

@@ -183,19 +183,21 @@ _ROW_KEYS = ("wo", "w_down")
 
 def block_params(params: Params, tp_size: int = 1,
                  target_bytes: int = 3 << 20,
-                 int4_npair: bool = False) -> Params:
+                 int4_npair: bool = True) -> Params:
     """Re-lay every QTensor into the column-blocked streaming layout
     (quantization.to_blocked) so the Pallas decode GEMV DMAs contiguous
     chunks. The block width divides the TP-shard-local output dim so the
     blocked leading axis shards cleanly; the chunk-size budget is computed
     on the shard-local contraction rows.
 
-    int4_npair: re-lay INT4 weights with N-PAIR nibble packing
+    int4_npair (DEFAULT): re-lay INT4 weights with N-PAIR nibble packing
     (quantization.to_blocked_npair) enabling the difference-of-dots unpack
-    in the Pallas kernel. Currently single-chip only (tp_size == 1): the
-    paired columns (j, j + bn/2) live inside one output block, which an
-    NB-axis TP shard keeps intact, but the variant is gated until the
-    sharded path is A/B'd on chip."""
+    in the Pallas kernel — chip A/B'd at 7B decode: 170.9 vs 155.4 tok/s
+    (81.2% vs 73.9% of the HBM roofline), the lo-nibble AND plus two dots
+    replace the VPU floor/mul hi extraction. Currently single-chip only
+    (tp_size == 1): the paired columns (j, j + bn/2) live inside one output
+    block, which an NB-axis TP shard keeps intact, but the variant is gated
+    until the sharded path is A/B'd on chip."""
     layers = dict(params["layers"])
     npair_ok = int4_npair and tp_size == 1
 
@@ -272,7 +274,7 @@ def pad_params_for_tp(params: Params, cfg: ModelConfig,
 
 def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
                    block: bool = True, donate: bool = True,
-                   int4_npair: bool = False) -> Params:
+                   int4_npair: bool = True) -> Params:
     """Post-quantization layout passes: fuse qkv/gate-up, then re-lay
     QTensors for streaming. Call after quantize_params / checkpoint load.
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Union
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -226,19 +227,30 @@ def to_blocked_npair(qt: QTensor, block_n: int) -> QTensor:
     assert block_n % 256 == 0, block_n
     *lead, Kp, N = qt.q.shape
     assert N % block_n == 0, (N, block_n)
-    nb, bnp = N // block_n, block_n // 2
-    # unpack split-half codes → [..., K, N] int8 in [-8, 7]
     br = qt.block_rows or Kp
-    pb = qt.q.reshape(*lead, Kp // br, br, N)
-    lo = jnp.right_shift(jnp.left_shift(pb, 4), 4)
-    hi = jnp.right_shift(pb, 4)
-    codes = jnp.concatenate([lo, hi], axis=-2).reshape(*lead, 2 * Kp, N)
-    # pair columns (j, j + bn/2) within each bn block
-    cb = codes.reshape(*lead, 2 * Kp, nb, 2, bnp).astype(jnp.int32)
-    lo_u = cb[..., 0, :] + 8                         # [..., K, nb, bnp]
-    hi_s = cb[..., 1, :]
-    packed = (((hi_s & 0xF) << 4) | lo_u).astype(jnp.int8)
-    packed = jnp.moveaxis(packed, -2, -3)            # [..., nb, K, bnp]
+
+    def pack2d(q2):                                   # [Kp, N] → [nb, K, bnp]
+        nb, bnp = N // block_n, block_n // 2
+        # unpack split-half codes → [K, N] int8 in [-8, 7]
+        pb = q2.reshape(Kp // br, br, N)
+        lo = jnp.right_shift(jnp.left_shift(pb, 4), 4)
+        hi = jnp.right_shift(pb, 4)
+        codes = jnp.concatenate([lo, hi], axis=-2).reshape(2 * Kp, N)
+        # pair columns (j, j + bn/2) within each bn block
+        cb = codes.reshape(2 * Kp, nb, 2, bnp).astype(jnp.int32)
+        lo_u = cb[..., 0, :] + 8                      # [K, nb, bnp]
+        hi_s = cb[..., 1, :]
+        packed = (((hi_s & 0xF) << 4) | lo_u).astype(jnp.int8)
+        return jnp.moveaxis(packed, -2, -3)           # [nb, K, bnp]
+
+    if lead:
+        # layer-by-layer: at full [L, K, N] the int32 unpack intermediates
+        # transiently need ~4x the packed bytes in HBM (a 7B gate-up stack
+        # OOM'd a 16 GB chip); lax.map runs one layer's transform at a time
+        packed = jax.lax.map(pack2d, qt.q.reshape(-1, Kp, N))
+        packed = packed.reshape(*lead, *packed.shape[1:])
+    else:
+        packed = pack2d(qt.q)
     return QTensor(q=packed, scale=_blk(qt.scale, block_n), bits=4,
                    group_size=qt.group_size, orig_dtype=qt.orig_dtype,
                    block_rows=0, block_n=block_n, pack_axis="n",

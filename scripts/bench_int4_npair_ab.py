@@ -84,7 +84,9 @@ def measure(cfg, params, tag, *, steps_a=32, steps_b=160, prompt_len=128,
     return tok_s, first_tokens
 
 
-def main():
+def run_one(layout: str):
+    """One layout per PROCESS: the relay backend frees buffers lazily, so
+    measuring both layouts in one process OOMs HBM on the second."""
     import jax
     from llm_inference_tpu.config import QuantConfig, llama2_7b
     from llm_inference_tpu.models import llama
@@ -96,19 +98,32 @@ def main():
     t0 = time.time()
     raw = llama.init_params_quantized(cfg, jax.random.PRNGKey(0), qcfg)
     log(f"[npair_ab] quantized params built in {time.time()-t0:.1f}s")
+    params = llama.prepare_params(raw, int4_npair=(layout == "npair"))
+    tok_s, toks = measure(cfg, params, layout)
+    print(repr({"layout": layout, "tok_s": tok_s,
+                "tokens": toks.tolist()}))
 
-    results = {}
-    tokens = {}
-    for tag, npair in (("plain", False), ("npair", True)):
-        params = llama.prepare_params(raw, int4_npair=npair, donate=False)
-        results[tag], tokens[tag] = measure(cfg, params, tag)
-        del params
 
-    same = np.array_equal(tokens["plain"], tokens["npair"])
+def main():
+    if len(sys.argv) > 1:
+        run_one(sys.argv[1])
+        return
+    import ast
+    import subprocess
+    out = {}
+    for layout in ("plain", "npair"):
+        r = subprocess.run([sys.executable, __file__, layout],
+                           capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        if r.returncode != 0:
+            log(f"[npair_ab] {layout} run failed rc={r.returncode}")
+            sys.exit(1)
+        out[layout] = ast.literal_eval(r.stdout.strip().splitlines()[-1])
+    same = out["plain"]["tokens"] == out["npair"]["tokens"]
     log(f"[npair_ab] greedy tokens identical across layouts: {same}")
-    win = results["npair"] / results["plain"]
+    win = out["npair"]["tok_s"] / out["plain"]["tok_s"]
     log(f"[npair_ab] npair/plain = {win:.3f}x "
-        f"({results['plain']:.1f} → {results['npair']:.1f} tok/s)")
+        f"({out['plain']['tok_s']:.1f} → {out['npair']['tok_s']:.1f} tok/s)")
     sys.exit(0 if same else 1)
 
 
