@@ -13,11 +13,13 @@ natural-layout write; the attention kernels instead use TN/NT dot_general
 forms that contract head_dim directly from the natural layout with no
 in-kernel transposes).
 
-Updates are chains of per-sequence `lax.dynamic_update_slice` ops (see
-_write_pages for why neither vmap nor a batched scatter works), kept fully
-in place by jit donation / while-carry aliasing. Unlike the reference
-(batch=1, shared history offset), offsets are per-sequence so continuous
-batching can mix requests at different positions.
+Decode-step updates (T == 1) are ONE Pallas RMW-scatter call for the whole
+batch (ops/pallas/kv_write.py, cache aliased in place); prefill updates are
+chains of per-sequence `lax.dynamic_update_slice` ops (see _write_pages for
+why neither vmap nor a batched scatter works), kept fully in place by jit
+donation / while-carry aliasing. Unlike the reference (batch=1, shared
+history offset), offsets are per-sequence so continuous batching can mix
+requests at different positions.
 """
 
 from __future__ import annotations
@@ -139,8 +141,9 @@ def update_cache_layer(
         vq, vs = qfn(v_new)
         k_all, v_all = _write_pages(cache.k, cache.v, layer,
                                     kq, vq, offsets)
-        ks_all = _write_scales(cache.k_scale, layer, ks[..., 0], offsets)
-        vs_all = _write_scales(cache.v_scale, layer, vs[..., 0], offsets)
+        ks_all, vs_all = _write_scales_pair(cache.k_scale, cache.v_scale,
+                                            layer, ks[..., 0], vs[..., 0],
+                                            offsets)
         return cache.replace(k=k_all, v=v_all, k_scale=ks_all,
                              v_scale=vs_all)
     k_all, v_all = _write_pages(cache.k, cache.v, layer, k_new, v_new,
@@ -149,18 +152,26 @@ def update_cache_layer(
 
 
 def _write_pages(k_all, v_all, layer, k_new, v_new, offsets):
-    """Per-sequence chain of dynamic_update_slice (B is static and small).
+    """Decode steps (T == 1): ONE Pallas RMW-scatter call for all B rows
+    (ops/pallas/kv_write.py — the cache is aliased in place; the B-chain of
+    DUS ops it replaces cost ~1 ms/step in per-op overhead at B=16).
 
-    NOT a vmapped DUS over the batch axis — vmap(in_axes=1) physically
-    transposes the whole cache to [B, L, ...] and back EVERY LAYER (measured
-    4 × 2.1 GB of copies per layer-step at B=8 on a 7B cache). NOT a batched
-    advanced-index scatter either — XLA assigns the scatter a non-default
-    operand layout, forcing two full-cache layout copies per layer at the
-    Pallas-call boundary. A chain of plain DUS ops keeps the carry aliased
-    in place (verified: zero cache copies in the trace)."""
-    B = k_new.shape[0]
+    Prefill (T > 1): per-sequence chain of dynamic_update_slice (B is
+    static and small; runs once per request). NOT a vmapped DUS over the
+    batch axis — vmap(in_axes=1) physically transposes the whole cache to
+    [B, L, ...] and back EVERY LAYER (measured 4 × 2.1 GB of copies per
+    layer-step at B=8 on a 7B cache). NOT a batched advanced-index scatter
+    either — XLA assigns the scatter a non-default operand layout, forcing
+    two full-cache layout copies per layer at the Pallas-call boundary. A
+    chain of plain DUS ops keeps the carry aliased in place (verified: zero
+    cache copies in the trace)."""
+    from llm_inference_tpu.ops.pallas import kv_write
+    B, T = k_new.shape[:2]
     k_new = k_new.transpose(0, 2, 1, 3).astype(k_all.dtype)   # [B, Hkv, T, D]
     v_new = v_new.transpose(0, 2, 1, 3).astype(v_all.dtype)
+    if T == 1 and k_all.shape[3] % kv_write._SLOT_BLK == 0:
+        return kv_write.write_token(k_all, v_all, layer, k_new, v_new,
+                                    offsets)
     zero = jnp.int32(0)
     for b in range(B):
         idx = (layer, jnp.int32(b), zero, offsets[b], zero)
@@ -183,6 +194,18 @@ def _write_scales(s_all, layer, s_new, offsets):
             s_all, s_new[b][None, None], (layer, jnp.int32(b),
                                           offsets[b], zero))
     return s_all
+
+
+def _write_scales_pair(ks_all, vs_all, layer, ks_new, vs_new, offsets):
+    """K and V scales in one shot; decode (T == 1) goes through the Pallas
+    scatter (kv_write.write_token_scales), prefill through the DUS chain."""
+    from llm_inference_tpu.ops.pallas import kv_write
+    if ks_new.shape[1] == 1 and ks_all.shape[2] % kv_write._SLOT_BLK == 0:
+        return kv_write.write_token_scales(
+            ks_all, vs_all, layer, ks_new.astype(ks_all.dtype),
+            vs_new.astype(vs_all.dtype), offsets)
+    return (_write_scales(ks_all, layer, ks_new, offsets),
+            _write_scales(vs_all, layer, vs_new, offsets))
 
 
 def update_kv_cache_layer(k_all, v_all, layer, k_new, v_new, offsets):

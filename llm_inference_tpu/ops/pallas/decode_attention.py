@@ -13,14 +13,17 @@ FIXED, small number of MXU ops:
   scratch; output written once at the last block). hb and sb are chosen so
   one k block [hb, sb, D] is ~1 MB — big enough to stream at HBM bandwidth,
   while sb stays small so the skip granularity is fine.
-- LENGTH-AWARE STREAMING: the k/v/scale index maps clamp the slot-block
-  index at each sequence's fill (`min(j, pos // sb)`). Mosaic's pipeline
-  elides the DMA when consecutive grid steps map the same block, so slot
-  blocks beyond `pos` are never fetched — the kernel streams
-  ceil((pos+1)/sb)·sb slots, not the allocated S. (A serving-bucket cache
-  is typically 2-3x longer than the live sequence; the previous whole-S
-  kernel paid that multiple in HBM reads every layer.) A `pl.when` guard
-  skips the compute for those blocks too.
+- LENGTH-AWARE STREAMING via a DYNAMIC grid bound: the slot-block grid dim
+  is a TRACED value covering the batch's live range [lowest window-start
+  block, highest fill block] (_dynamic_grid), so the kernel streams
+  ~max(pos) slots, not the allocated S — one compiled program for every
+  fill. (A serving-bucket cache is typically 2-3x longer than the live
+  sequence; the previous whole-S kernel paid that multiple in HBM reads
+  every layer. Merely CLAMPING dead blocks' index maps does NOT recover
+  it — Mosaic still paid full-S time, measured in
+  scripts/proto_dynamic_grid.py.) Within the batch, per-sequence index
+  maps still clamp to each row's own fill and a `pl.when` guard skips
+  dead compute.
 - ALL hb pages fold into ONE MXU dot per tensor by flattening pages into the
   contraction/row dims (a per-head Python loop would serialize 3·hb tiny
   MXU ops):
@@ -109,27 +112,53 @@ def _pick_blocks(Hkv: int, S: int, D: int, itemsize: int):
     return hb, sb
 
 
+def _dynamic_grid(B, nh, pos, win, sb):
+    """Grid with a DYNAMIC slot-block dim covering the batch's live range
+    [base, hi] — base is the lowest window-start block (0 for global
+    attention), hi the highest causal frontier block.
+
+    The index-map clamp alone does NOT save the dead blocks' DMA time —
+    Mosaic still pays full-S streaming (measured: proto_decode_blocks at
+    B=16 S=512 fill=168 runs at the full-S cost, 2x the clamped
+    speed-of-light; proto_dynamic_grid shows the traced bound recovers
+    it). One compiled program serves every fill; ~one extra DMA-latency
+    bubble per (b, h) rollover at full fill is the only cost.
+
+    Returns (win2, grid) where win2 = [window, base] rides scalar prefetch
+    (the kernel and index maps offset grid j by base)."""
+    hi = jnp.max(pos) // sb
+    base = jnp.where(win[0] > 0,
+                     jnp.maximum(jnp.min(pos) - win[0] + 1, 0) // sb,
+                     jnp.int32(0))
+    win2 = jnp.stack([win[0], base]).astype(jnp.int32)
+    return win2, (B, nh, hi - base + 1)
+
+
 def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
             vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int, sb: int,
-            ns: int, scale: float, softcap: float, quantized: bool):
+            scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    # the slot-block grid dim is DYNAMIC (sized to the batch's live range,
+    # see _decode_attn); j counts from the window base block
+    j = win_ref[1] + pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]     # sliding window (slots), 0 = global attention
     _, _, G, D = q_ref.shape
     HG = hb * G
     HS = hb * sb
 
-    @pl.when(j == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # blocks past the sequence fill — and, for windowed layers, blocks
-    # wholly below the window start — are clamped to the nearest live block
-    # by the index maps (no DMA happens for them); skip compute too. Block
-    # j covers slots [j·sb, (j+1)·sb); the window spans (pos-win, pos].
+    # blocks past THIS sequence's fill — and, for windowed layers, blocks
+    # wholly below its window start — are clamped to its nearest live block
+    # by the index maps; skip their compute. (The grid already stops at the
+    # BATCH-wide frontier — dynamic ns — this guard handles per-sequence
+    # variance within the batch.) Block j covers slots [j·sb, (j+1)·sb);
+    # the window spans (pos-win, pos].
     @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
     def _():
         q = q_ref[0].reshape(HG, D).astype(jnp.bfloat16)      # rows (h, g)
@@ -189,7 +218,7 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 
-    @pl.when(j == ns - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         # slot `pos` is always written and unmasked → l > 0
         o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hb, G, D
@@ -198,7 +227,7 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
 
 def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
              ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int,
-             sb: int, ns: int, scale: float, softcap: float):
+             sb: int, scale: float, softcap: float):
     """INT4 KV variant (quantization.quantize_kv4 offset-lo packing: signed
     byte = 16·hi + lo_u, lo stored +8). Every nibble extraction is a linear
     fold — no floor/mul on the VPU:
@@ -213,7 +242,7 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
     rule; host-side q slices cost two HBM copies per call — both earlier
     designs this replaces.)"""
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    j = win_ref[1] + pl.program_id(2)   # dynamic grid: j from window base
     pos = pos_ref[b]
     win = win_ref[0]
     _, _, G, D = q_ref.shape
@@ -221,7 +250,7 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
     HG = hb * G
     HS = hb * sb
 
-    @pl.when(j == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -287,7 +316,7 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
         acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
             [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
-    @pl.when(j == ns - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(
             hb, G, D).astype(o_ref.dtype)
@@ -306,15 +335,15 @@ def _decode_attn4(qg, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
     # itemsize 1 pins hb = Hkv (scale-block full-dim rule) and sizes sb
     # on the packed D/2 bytes — same policy as the int8 path
     hb, sb = _pick_blocks(Hkv, S, D2, 1)
-    ns = S // sb
-    grid = (B, 1, ns)
-    kernel = functools.partial(_kernel4, hb=hb, sb=sb, ns=ns, scale=scale,
+    win, grid = _dynamic_grid(B, 1, pos, win, sb)
+    kernel = functools.partial(_kernel4, hb=hb, sb=sb, scale=scale,
                                softcap=softcap)
 
     def live(b, j, pos, win):
+        jj = j + win[1]     # grid j counts from the window base block
         lo = jnp.where(win[0] > 0,
                        jnp.maximum(pos[b] - win[0] + 1, 0) // sb, 0)
-        return jnp.minimum(jnp.maximum(j, lo), pos[b] // sb)
+        return jnp.minimum(jnp.maximum(jj, lo), pos[b] // sb)
 
     def kv_map(b, g, j, pos, lyr, win):
         return (lyr[0], b, g, live(b, j, pos, win), 0)
@@ -362,19 +391,18 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
     S = k_all.shape[3]
     quantized = ks_all is not None
     hb, sb = _pick_blocks(Hkv, S, D, k_all.dtype.itemsize)
-    ns = S // sb
-    grid = (B, Hkv // hb, ns)
-    kernel = functools.partial(_kernel, hb=hb, sb=sb, ns=ns, scale=scale,
+    win, grid = _dynamic_grid(B, Hkv // hb, pos, win, sb)
+    kernel = functools.partial(_kernel, hb=hb, sb=sb, scale=scale,
                                softcap=softcap, quantized=quantized)
 
     def live(b, j, pos, win):
-        # clamp the slot-block index into the LIVE range: [window start
-        # block, fill block]. Out-of-range grid steps re-map to the nearest
-        # live block, so Mosaic's pipeline elides their DMA entirely —
-        # windowed layers stream ~window slots, not the whole cache.
+        # clamp the slot-block index into THIS sequence's live range
+        # [window-start block, fill block]; the grid's dynamic last dim
+        # (_dynamic_grid) already spans only the BATCH-wide live range.
+        jj = j + win[1]     # grid j counts from the window base block
         lo = jnp.where(win[0] > 0,
                        jnp.maximum(pos[b] - win[0] + 1, 0) // sb, 0)
-        return jnp.minimum(jnp.maximum(j, lo), pos[b] // sb)
+        return jnp.minimum(jnp.maximum(jj, lo), pos[b] // sb)
 
     def kv_map(b, g, j, pos, lyr, win):
         return (lyr[0], b, g, live(b, j, pos, win), 0)

@@ -24,15 +24,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llm_inference_tpu.ops.pallas import use_interpret
+from llm_inference_tpu.ops.pallas.decode_attention import _dynamic_grid
 
 NEG_INF = -1e30
 
 
 def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
             ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref, *, hb: int,
-            nb: int, scale: float, softcap: float, quantized: bool):
+            scale: float, softcap: float, quantized: bool):
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    # page-block grid dim is DYNAMIC (decode_attention._dynamic_grid);
+    # j counts from the window base block
+    j = win_ref[1] + pl.program_id(2)
     pos = pos_ref[b]
     win = win_ref[0]     # sliding window (tokens), 0 = global attention
     _, _, G, D = q_ref.shape
@@ -40,7 +43,7 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
     HG = hb * G
     HS = hb * ps
 
-    @pl.when(j == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -108,7 +111,7 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 
-    @pl.when(j == nb - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         # token `pos` is always written and unmasked → l > 0
         o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(hb, G, D
@@ -117,7 +120,7 @@ def _kernel(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref, v_ref,
 
 def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref,
              v_ref, ks_ref, vs_ref, o_ref, acc_ref,
-             m_ref, l_ref, *, hb: int, nb: int, scale: float,
+             m_ref, l_ref, *, hb: int, scale: float,
              softcap: float):
     """INT4-page variant (quantize_kv4 offset-lo packing): K unpacks with
     one arithmetic shift + AND, lane-concatenated into a full-D operand
@@ -126,7 +129,7 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref,
     hi-nibble dot is a difference of dots. Scales fold through the
     MXU-built flat scale row as in the int8 kernel."""
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    j = win_ref[1] + pl.program_id(2)   # dynamic grid: j from base block
     pos = pos_ref[b]
     win = win_ref[0]
     _, _, G, D = q_ref.shape
@@ -135,7 +138,7 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref,
     HG = hb * G
     HS = hb * ps
 
-    @pl.when(j == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -196,7 +199,7 @@ def _kernel4(pos_ref, layer_ref, pt_ref, win_ref, q_ref, k_ref,
         acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
             [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
-    @pl.when(j == nb - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).reshape(
             hb, G, D).astype(o_ref.dtype)
@@ -213,14 +216,15 @@ def _paged_attn4(qg, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
     L, P, _, ps, _ = k_pages.shape
     NB = pt.shape[0] // B
     hb = Hkv                        # scale-block full-dim rule
-    grid = (B, 1, NB)
-    kernel = functools.partial(_kernel4, hb=hb, nb=NB, scale=scale,
+    win, grid = _dynamic_grid(B, 1, pos, win, ps)
+    kernel = functools.partial(_kernel4, hb=hb, scale=scale,
                                softcap=softcap)
 
     def live(b, j, pos, win):
+        jj = j + win[1]     # grid j counts from the window base block
         lo = jnp.where(win[0] > 0,
                        jnp.maximum(pos[b] - win[0] + 1, 0) // ps, 0)
-        return jnp.minimum(jnp.maximum(j, lo), pos[b] // ps)
+        return jnp.minimum(jnp.maximum(jj, lo), pos[b] // ps)
 
     def kv_map(b, g, j, pos, lyr, pt, win):
         return (lyr[0], pt[b * NB + live(b, j, pos, win)], g, 0, 0)
@@ -279,18 +283,19 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
                         (512 * 1024) // (ps * D * k_pages.dtype.itemsize)))
         while Hkv % hb:
             hb -= 1
-    grid = (B, Hkv // hb, NB)
-    kernel = functools.partial(_kernel, hb=hb, nb=NB, scale=scale,
+    win, grid = _dynamic_grid(B, Hkv // hb, pos, win, ps)
+    kernel = functools.partial(_kernel, hb=hb, scale=scale,
                                softcap=softcap, quantized=quantized)
 
     def live(b, j, pos, win):
-        # clamp the page-block index into the LIVE range [window start
-        # block, fill block]: out-of-range grid steps alias a live page,
-        # so consecutive identical indices elide the DMA — windowed
-        # layers stream ~window tokens of pages, not the whole table
+        # clamp the page-block index into THIS sequence's live range
+        # [window-start block, fill block]; the grid's dynamic last dim
+        # (decode_attention._dynamic_grid) spans only the BATCH-wide live
+        # range — dead blocks' DMAs aren't merely aliased, they never run
+        jj = j + win[1]     # grid j counts from the window base block
         lo = jnp.where(win[0] > 0,
                        jnp.maximum(pos[b] - win[0] + 1, 0) // ps, 0)
-        return jnp.minimum(jnp.maximum(j, lo), pos[b] // ps)
+        return jnp.minimum(jnp.maximum(jj, lo), pos[b] // ps)
 
     def kv_map(b, g, j, pos, lyr, pt, win):
         # the page-table indirection: block index = pool page id

@@ -305,6 +305,30 @@ def main():
     ok &= check("mixtral int8 experts (L*E stack)", mrun(mq), mrun(mp),
                 tol=6e-2)
 
+    # ---- batched KV write scatter (kv_write) vs the DUS chain ----
+    from llm_inference_tpu.ops.pallas import kv_write
+    L, B, H, S, D = 3, 16, 32, 512, 128
+    wk = jax.random.normal(key, (L, B, H, S, D), jnp.bfloat16)
+    wn = jax.random.normal(key, (B, H, 1, D), jnp.bfloat16)
+    woff = (jnp.arange(B, dtype=jnp.int32) * 29) % S
+    gk, gv = kv_write.write_token(wk, wk * 0, jnp.int32(1), wn, wn, woff)
+    want_k = wk
+    for b in range(B):
+        want_k = jax.lax.dynamic_update_slice(
+            want_k, wn[b][None, None], (jnp.int32(1), jnp.int32(b),
+                                        jnp.int32(0), woff[b], jnp.int32(0)))
+    ok &= check("kv_write bf16 B=16", gk, want_k)
+    ws = jax.random.normal(key, (L, B, S, H), jnp.float32)
+    wsn = jax.random.normal(key, (B, 1, H), jnp.float32)
+    gs, _ = kv_write.write_token_scales(ws, ws * 0, jnp.int32(2), wsn,
+                                        wsn, woff)
+    want_s = ws
+    for b in range(B):
+        want_s = jax.lax.dynamic_update_slice(
+            want_s, wsn[b][None, None], (jnp.int32(2), jnp.int32(b),
+                                         woff[b], jnp.int32(0)))
+    ok &= check("kv_write scales", gs, want_s)
+
     log("ALL OK" if ok else "FAILURES — see above")
     sys.exit(0 if ok else 1)
 
