@@ -127,6 +127,9 @@ def measure(cfg, qcfg, *, cache_dtype, seq_len, prompt_len, steps_a, steps_b,
 
 
 def main():
+    from llm_inference_tpu.utils import compile_cache
+    compile_cache.enable(verbose=True)
+
     import jax
     from llm_inference_tpu.config import QuantConfig, llama2_7b, tiny_llama
 

@@ -54,6 +54,10 @@ class InferenceEngine:
                  tokenizer=None, mesh=None,
                  cache_dtype=jnp.bfloat16,
                  adapter_names: Optional[Sequence[str]] = None):
+        # warm starts: reuse on-disk compiled executables (the 7B int4
+        # N-pair decode program costs ~8 min to compile cold on a v5e)
+        from llm_inference_tpu.utils import compile_cache
+        compile_cache.enable()
         self.cfg = cfg
         self.engine_cfg = engine_cfg or EngineConfig()
         self.tokenizer = tokenizer

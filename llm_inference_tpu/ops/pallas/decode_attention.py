@@ -125,10 +125,19 @@ def _dynamic_grid(B, nh, pos, win, sb):
     bubble per (b, h) rollover at full fill is the only cost.
 
     Returns (win2, grid) where win2 = [window, base] rides scalar prefetch
-    (the kernel and index maps offset grid j by base)."""
+    (the kernel and index maps offset grid j by base).
+
+    Rows with pos == 0 are treated as INACTIVE for the windowed base:
+    scheduler-padded/empty slots sit at pos 0, and one such row would drag
+    the base to block 0 so the whole batch streams the full history every
+    windowed layer (the mixed-progress continuous-batching perf cliff). An
+    ACTIVE decode row always has pos >= 1 — decode follows at least one
+    prefilled token — so the exclusion never clips a live row's window."""
     hi = jnp.max(pos) // sb
+    live_min = jnp.min(jnp.where(pos > 0, pos, jnp.iinfo(jnp.int32).max))
+    lo = jnp.where(jnp.any(pos > 0), live_min, jnp.int32(0))
     base = jnp.where(win[0] > 0,
-                     jnp.maximum(jnp.min(pos) - win[0] + 1, 0) // sb,
+                     jnp.maximum(lo - win[0] + 1, 0) // sb,
                      jnp.int32(0))
     win2 = jnp.stack([win[0], base]).astype(jnp.int32)
     return win2, (B, nh, hi - base + 1)
@@ -376,6 +385,9 @@ def _decode_attn4(qg, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        # deliberate full-S UPPER BOUND: the dynamic grid streams only
+        # ~max(pos) slots, but the live fraction is traced (unknown at
+        # lowering) — scheduling hints must not under-state the work
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * G * S * D2 * 2,
             bytes_accessed=(k_all.size + v_all.size) // k_all.shape[0],
@@ -454,6 +466,8 @@ def _decode_attn(q, k_all, v_all, ks_all, vs_all, pos, layer, win, *,
         out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        # deliberate full-S UPPER BOUND (see _decode_attn4's note): the
+        # dynamic grid covers ~max(pos) slots but that fraction is traced
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * G * S * D,
             bytes_accessed=(k_all.size + v_all.size) * k_all.dtype.itemsize

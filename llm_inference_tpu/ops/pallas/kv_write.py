@@ -30,8 +30,6 @@ on the DUS chain (once per request, not per step — see kvcache.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -43,7 +41,7 @@ _SLOT_BLK = 8   # sublane tile: smallest natural RMW granularity
 
 
 def _kernel(off_ref, layer_ref, kn_ref, vn_ref, ki_ref, vi_ref,
-            ko_ref, vo_ref, *, nh):
+            ko_ref, vo_ref):
     b = pl.program_id(0)
     s = off_ref[b] % _SLOT_BLK
     # read-modify-write as a one-hot sublane BLEND (a dynamic single-
@@ -79,7 +77,10 @@ def write_token(k_all, v_all, layer, k_new, v_new, offsets):
     """
     B, Hkv, _, Dc = k_new.shape
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
-    off = offsets.reshape(B).astype(jnp.int32)
+    # clamp at capacity: offsets[b] >= S must degrade to a last-slot write
+    # (dynamic_update_slice semantics of the jnp path) — unclamped, the
+    # block index below goes out of bounds, which is UB in Mosaic
+    off = jnp.minimum(offsets.reshape(B), k_all.shape[3] - 1).astype(jnp.int32)
 
     def cache_map(b, off, lyr):
         return (lyr[0], b, 0, off[b] // _SLOT_BLK, 0)
@@ -87,7 +88,7 @@ def write_token(k_all, v_all, layer, k_new, v_new, offsets):
     cache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, Dc), cache_map)
     new_spec = pl.BlockSpec((1, Hkv, 1, Dc), lambda b, off, lyr: (b, 0, 0, 0))
     return pl.pallas_call(
-        functools.partial(_kernel, nh=Hkv),
+        _kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
@@ -110,7 +111,9 @@ def write_token_scales(ks_all, vs_all, layer, ks_new, vs_new, offsets):
     """Write ONE token's per-head scales into slot-major [L, B, S, Hkv]."""
     B, _, Hkv = ks_new.shape
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
-    off = offsets.reshape(B).astype(jnp.int32)
+    # same capacity clamp as write_token (see comment there)
+    off = jnp.minimum(offsets.reshape(B),
+                      ks_all.shape[2] - 1).astype(jnp.int32)
 
     def cache_map(b, off, lyr):
         return (lyr[0], b, off[b] // _SLOT_BLK, 0)

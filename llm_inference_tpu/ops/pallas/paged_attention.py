@@ -257,6 +257,8 @@ def _paged_attn4(qg, k_pages, v_pages, ks_pages, vs_pages, pt, pos,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        # deliberate full-allocation UPPER BOUND: the dynamic grid streams
+        # only ~max(pos) slots, but the live fraction is traced
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * G * NB * ps * D2 * 2,
             bytes_accessed=2 * B * Hkv * NB * ps * D2,
@@ -345,6 +347,7 @@ def _paged_attn(q, k_pages, v_pages, ks_pages, vs_pages, pt, pos, layer,
         out_shape=jax.ShapeDtypeStruct(q.shape, jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        # deliberate full-allocation UPPER BOUND (see the int4 variant)
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * G * NB * ps * D,
             bytes_accessed=2 * B * Hkv * NB * ps * D
