@@ -194,12 +194,15 @@ def block_params(params: Params, tp_size: int = 1,
     (quantization.to_blocked_npair) enabling the difference-of-dots unpack
     in the Pallas kernel — chip A/B'd at 7B decode: 170.9 vs 155.4 tok/s
     (81.2% vs 73.9% of the HBM roofline), the lo-nibble AND plus two dots
-    replace the VPU floor/mul hi extraction. Currently single-chip only
-    (tp_size == 1): the paired columns (j, j + bn/2) live inside one output
-    block, which an NB-axis TP shard keeps intact, but the variant is gated
-    until the sharded path is A/B'd on chip."""
+    replace the VPU floor/mul hi extraction. TP-compatible: the paired
+    columns (j, j + bn/2) live inside one output block, bn divides the
+    shard-local output dim (choose_block_n runs on n_local), so an NB-axis
+    column shard keeps every pair intact; a row shard slices the UNPACKED
+    K rows (pack_axis "n" bytes are row-self-contained), which is strictly
+    simpler than the split-half layout's block_rows discipline. Sharded
+    parity: tests/test_sharding.py::test_tp_int4_npair_parity."""
     layers = dict(params["layers"])
-    npair_ok = int4_npair and tp_size == 1
+    npair_ok = int4_npair
 
     def budget(w):
         # int4 chunks unpack to 2× rows of i32/f32 intermediates in VMEM —

@@ -76,6 +76,43 @@ class TestQuantizedSharded:
         np.testing.assert_allclose(out, golden, atol=5e-3, rtol=5e-3)
 
 
+class TestNpairSharded:
+    def test_tp_int4_npair_parity(self):
+        """INT4 N-pair blocked layout under TP: the paired columns
+        (j, j + bn/2) are block-local and bn divides the shard-local output
+        dim, so NB-axis column shards and unpacked-K row shards are both
+        self-contained. Parity vs the single-device npair forward on the
+        SAME quantized values."""
+        cfg = tiny_llama(num_kv_heads=4, num_heads=8, head_dim=64,
+                         hidden_size=512, intermediate_size=512,
+                         vocab_size=512)
+        tp = 2
+        params = llama.init_params(cfg, jax.random.PRNGKey(7))
+        qcfg = QuantConfig(weights="int4", group_size=32)
+        qparams = llama.quantize_params(params, qcfg, row_shards=tp)
+
+        golden_p = llama.prepare_params(qparams, donate=False)
+        # the single-device layout must itself be npair for this to compare
+        # like against like
+        assert golden_p["layers"]["wqkv"].pack_axis == "n"
+
+        prep = llama.prepare_params(qparams, tp_size=tp, donate=False)
+        # TP layout keeps the npair packing (the ungated path under test)
+        assert prep["layers"]["wqkv"].pack_axis == "n"
+        assert prep["layers"]["w_gateup"].pack_axis == "n"
+        assert prep["layers"]["w_down"].pack_axis == "n"
+
+        rng = np.random.default_rng(8)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+        golden = run_single(cfg, golden_p, ids, pos)
+        out, _ = run_sharded(cfg, prep, ids, pos, 1, tp)
+        # tolerance: bf16 matmul-output rounding + psum reduction-order
+        # noise at hidden=512 measures ~7e-3 max for the PLAIN blocked
+        # layout too — this is not npair-specific
+        np.testing.assert_allclose(out, golden, atol=2e-2, rtol=2e-2)
+
+
 class TestDecodeSharded:
     def test_prefill_then_decode_sharded(self, cfg, params):
         """Sharded prefill + sharded decode step match the single-device
