@@ -78,9 +78,13 @@ class InferenceEngine:
             from llm_inference_tpu.parallel import sharding as _sh
             _sh.validate_tp(cfg, mesh.shape["tensor"])
             self.params = _sh.shard_params_for(cfg, params, mesh)
-            self._fwd = _sh.sharded_forward(cfg, mesh, self.params,
-                                            logits_mode="last", jit=False,
-                                            cache_bits=self._kv_bits)
+            raw = _sh.sharded_forward(cfg, mesh, self.params,
+                                      logits_mode="last", jit=False,
+                                      cache_bits=self._kv_bits)
+            if isinstance(params, dict) and "lora" in params:
+                self._fwd = self._with_default_adapter(raw)
+            else:
+                self._fwd = raw
             # MoE: KV replicates across the expert (tensor) axis
             kv_tensor = None if _sh.is_moe(cfg) else "tensor"
             self._shard_cache = lambda c: _sh.shard_cache(
@@ -104,9 +108,6 @@ class InferenceEngine:
         self.has_lora = isinstance(params, dict) and "lora" in params
         self.adapter_slots: Dict[str, int] = {}
         if self.has_lora:
-            if self._sharded:
-                raise NotImplementedError(
-                    "LoRA serving is single-device/DP for now")
             any_stack = next(iter(params["lora"].values()))["a"]
             n_slots = any_stack.shape[1]
             names = adapter_names or []
@@ -123,6 +124,18 @@ class InferenceEngine:
         self._score_jit: Optional[Callable] = None
         self._embed_jit: Optional[Callable] = None
 
+    @staticmethod
+    def _with_default_adapter(raw: Callable) -> Callable:
+        """Wrap a lora-aware sharded mapped fn (fixed 6-arity,
+        parallel/sharding.sharded_forward) so 5-arg callers get the base
+        model (adapter slot 0 for every row)."""
+        def _sfwd(params, ids, positions, cache, last_idx,
+                  adapter_idx=None):
+            if adapter_idx is None:
+                adapter_idx = jnp.zeros((ids.shape[0],), jnp.int32)
+            return raw(params, ids, positions, cache, last_idx, adapter_idx)
+        return _sfwd
+
     def paged_forward(self, history: bool = False) -> Callable:
         """Raw forward for a PAGED cache (mesh-mapped when sharded):
         f(params, ids, positions, cache, last_idx) -> (logits, cache).
@@ -135,6 +148,8 @@ class InferenceEngine:
                     self.cfg, self.mesh, self.params, logits_mode="last",
                     jit=False, cache_bits=self._kv_bits,
                     cache_kind="paged", paged_history=history)
+                if self.has_lora:
+                    fn = self._with_default_adapter(fn)
             else:
                 cfg = self.cfg
                 model = self._model
@@ -553,6 +568,8 @@ class InferenceEngine:
                 raw = _sh.sharded_forward(
                     self.cfg, self.mesh, self.params, logits_mode="all",
                     jit=False, cache_bits=self._kv_bits)
+                if self.has_lora:
+                    raw = self._with_default_adapter(raw)
 
                 def _fn(params, ids, positions, targets, cache):
                     logits, cache = raw(
@@ -617,24 +634,46 @@ class InferenceEngine:
         reference exposes generation only)."""
         if pooling not in ("last", "mean"):
             raise ValueError(f"pooling must be last|mean, got {pooling!r}")
-        if self._sharded:
-            raise NotImplementedError("embed() is single-device for now")
         token_lists = self._encode_prompts(prompts)
+        n_rows = len(token_lists)
+        dp = self.data_parallel
+        if n_rows % dp:                      # pad batch to the data axis
+            token_lists = token_lists + [token_lists[-1]] * (
+                dp - n_rows % dp)
         B = len(token_lists)
         lengths = [len(t) for t in token_lists]
-        if min(lengths) == 0:
+        if min(lengths[:n_rows]) == 0:
             raise ValueError("cannot embed an empty prompt")
         T = self._bucket(max(lengths))
         if T > self.engine_cfg.max_seq_len:
             raise ValueError(f"prompt needs {T} slots but max_seq_len is "
                              f"{self.engine_cfg.max_seq_len}")
         if self._embed_jit is None:
+            if self._sharded:
+                # hidden states come back replicated over the tensor axis
+                # (sharded over data only); the pooling/normalization below
+                # runs on the full [B, T, H] outside the shard_map
+                from llm_inference_tpu.parallel import sharding as _sh
+                raw = _sh.sharded_forward(
+                    self.cfg, self.mesh, self.params, logits_mode="hidden",
+                    jit=False, cache_bits=self._kv_bits)
+                if self.has_lora:
+                    raw = self._with_default_adapter(raw)
+
+                def hidden_fn(params, ids, positions, cache, last_idx):
+                    h, _ = raw(params, ids, positions, cache, last_idx)
+                    return h
+            else:
+                def hidden_fn(params, ids, positions, cache, last_idx):
+                    h, _ = self._model.forward(self.cfg, params, ids,
+                                               positions, cache,
+                                               logits_mode="hidden")
+                    return h
+
             def _fn(params, ids, positions, mask, last_idx, cache,
                     mean: bool):
-                h, _ = self._model.forward(self.cfg, params, ids,
-                                           positions, cache,
-                                           logits_mode="hidden")
-                h = h.astype(jnp.float32)
+                h = hidden_fn(params, ids, positions, cache,
+                              last_idx).astype(jnp.float32)
                 if mean:
                     m = mask[..., None].astype(jnp.float32)
                     v = (h * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
@@ -658,7 +697,8 @@ class InferenceEngine:
                               jnp.asarray(pos), jnp.asarray(mask),
                               jnp.asarray(last), cache,
                               mean=(pooling == "mean"))
-        return [[float(x) for x in row] for row in np.asarray(out)]
+        return [[float(x) for x in row]
+                for row in np.asarray(out)[:n_rows]]   # drop dp padding
 
     def generate(self,
                  prompts: Sequence[Union[str, Sequence[int]]],

@@ -815,9 +815,16 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.pt_host = np.zeros((self.B, self.nb), np.int32)
         self.slot_pages = [[] for _ in range(self.B)]
         self.pos_host = np.zeros((self.B,), np.int64)
-        cache = self._pk.init_paged_cache(
-            cfg.num_layers, pool, cfg.num_kv_heads, self.ps, cfg.head_dim,
-            self.B, self.nb, self.engine.cache_dtype)
+        # families with non-standard pools (deepseek's MLA latent pages)
+        # provide their own constructor — mirrors engine.new_cache
+        model_pc = getattr(self.engine._model, "new_paged_cache", None)
+        if model_pc is not None:
+            cache = model_pc(cfg, pool, self.ps, self.B, self.nb,
+                             self.engine.cache_dtype)
+        else:
+            cache = self._pk.init_paged_cache(
+                cfg.num_layers, pool, cfg.num_kv_heads, self.ps,
+                cfg.head_dim, self.B, self.nb, self.engine.cache_dtype)
         mesh = self.engine.mesh
         if mesh is not None and mesh.devices.size > 1:
             from llm_inference_tpu.parallel import sharding as _sh

@@ -25,8 +25,11 @@ latent into per-head K/V and caches THAT):
   batch axis); k and v simply have different widths. The fused Pallas
   attention kernels gate themselves off (D=576 ∉ {64,128,256}) — decode
   attention here is ONE [B·H, 576]×[576, S] MQA dot chain that XLA
-  already runs near bandwidth on the tiny latent cache. Paged/MLA is not
-  wired yet (guarded).
+  already runs near bandwidth on the tiny latent cache.
+- Paged serving reuses the pool machinery with k/v pages of different
+  widths (latent_dim vs kv_lora_rank, ONE kv head) via new_paged_cache;
+  reads gather the pool into the same dense MQA views (at MLA row sizes
+  the gather costs what one dense-head gather would).
 - MoE (V3 semantics): sigmoid router + e_score_correction bias,
   group-limited routing (top-2-sum group scores, topk_group groups kept),
   raw-sigmoid top-k weights (norm_topk_prob, routed_scaling_factor), one
@@ -49,7 +52,8 @@ import jax
 import jax.numpy as jnp
 
 from llm_inference_tpu.config import ModelConfig
-from llm_inference_tpu.ops import activations, attention, kvcache, norms, rope
+from llm_inference_tpu.ops import (activations, attention, kvcache, norms,
+                                   paged_kvcache, rope)
 from llm_inference_tpu.ops.linear import matmul
 from llm_inference_tpu.utils import debug
 
@@ -106,15 +110,43 @@ def new_cache(cfg: ModelConfig, batch: int, max_seq: int,
                            v=jnp.zeros(vshape, dtype))
 
 
+def new_paged_cache(cfg: ModelConfig, num_pages: int, page_size: int,
+                    batch: int, max_blocks: int,
+                    dtype=jnp.bfloat16) -> paged_kvcache.PagedKVCache:
+    """Paged MLA latent pool (PagedScheduler hook — engine dispatches here
+    instead of ops.paged_kvcache.init_paged_cache): ONE kv head, k pages
+    latent_dim wide ([c_kv ∥ k_rot]) and v pages kv_lora_rank wide — the
+    pool write/gather paths are D-agnostic, so the only MLA-specific part
+    is this constructor."""
+    L = cfg.num_layers
+    kshape = (L, num_pages, 1, page_size, latent_dim(cfg))
+    vshape = (L, num_pages, 1, page_size, cfg.kv_lora_rank)
+    pt = jnp.zeros((batch, max_blocks), jnp.int32)
+    if dtype == jnp.int8 or dtype == "int8":
+        sshape = (L, num_pages, page_size, 1)
+        return paged_kvcache.PagedKVCache(
+            k_pages=jnp.zeros(kshape, jnp.int8),
+            v_pages=jnp.zeros(vshape, jnp.int8), page_table=pt,
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32), bits=8)
+    if dtype == "int4":
+        raise NotImplementedError("int4 KV for MLA latents is not wired "
+                                  "(the latent is already ~40x smaller)")
+    return paged_kvcache.PagedKVCache(k_pages=jnp.zeros(kshape, dtype),
+                                      v_pages=jnp.zeros(vshape, dtype),
+                                      page_table=pt)
+
+
 # ---------------------------------------------------------------------------
 # layers
 # ---------------------------------------------------------------------------
 
 def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
-                   write_offsets, mask, cos, sin):
-    """Multi-head latent attention (absorbed form) over the latent cache.
-    `layer_idx` indexes the cache (absolute); `w_idx` indexes this stack's
-    QTensor weights (stack-relative)."""
+                   write_offsets, mask, cos, sin, paged_history=False):
+    """Multi-head latent attention (absorbed form) over the latent cache
+    (dense KVCache or paged pool). `layer_idx` indexes the cache
+    (absolute); `w_idx` indexes this stack's QTensor weights
+    (stack-relative)."""
     B, T, _ = h.shape
     Hh = cfg.num_heads
     nope, rdim = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
@@ -151,6 +183,33 @@ def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
     q_eff = jnp.concatenate([q_abs, q_rot], axis=-1)       # [B,T,Hh,kvr+r]
     k_eff = jnp.concatenate([c, k_rot[:, :, 0]], axis=-1)[:, :, None, :]
     v_eff = c[:, :, None, :]                               # [B,T,1,kvr]
+
+    if isinstance(cache, paged_kvcache.PagedKVCache):
+        # paged latent pool: ONE kv head makes every page row the whole
+        # token — write into the pool (decode slot / prompt blocks /
+        # prefix-suffix blocks), then attend over the gathered dense view.
+        # The gather streams ~S·latent_dim bytes per layer — at MLA's
+        # ~40x-smaller rows this costs what ONE dense-head gather would,
+        # so the llama-style in-pool Pallas kernel (D=576 unsupported)
+        # is not needed for parity-grade serving.
+        from llm_inference_tpu.models.llama import _gather_paged
+        if T == 1:
+            cache = paged_kvcache.write_token(cache, layer_idx, k_eff,
+                                              v_eff, positions[:, 0])
+        else:
+            start = (write_offsets // cache.page_size if paged_history
+                     else None)
+            cache = paged_kvcache.write_prompt_batch(
+                cache, layer_idx, k_eff, v_eff,
+                T // cache.page_size, start_blocks=start)
+        kd, vd, ksd, vsd = _gather_paged(cache, layer_idx, B)
+        out_lat = attention.attend(q_eff, kd, vd, mask,
+                                   scale=score_scale(cfg),
+                                   k_scale=ksd, v_scale=vsd)
+        out = jnp.einsum("bthr,hrv->bthv", out_lat, lp["w_uv"],
+                         preferred_element_type=jnp.float32).astype(h.dtype)
+        attn = mm("wo", out.reshape(B, T, Hh * cfg.v_head_dim))
+        return attn, cache
 
     cache = kvcache.update_cache_layer(cache, layer_idx, k_eff, v_eff,
                                        write_offsets)
@@ -239,9 +298,11 @@ def _v3_moe(cfg, x, lp, qw, w_idx, expert_axis=None):
 
 
 def _layer(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
-           write_offsets, mask, cos, sin, moe: bool, expert_axis=None):
+           write_offsets, mask, cos, sin, moe: bool, expert_axis=None,
+           paged_history=False):
     attn, cache = _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx,
-                                 positions, write_offsets, mask, cos, sin)
+                                 positions, write_offsets, mask, cos, sin,
+                                 paged_history=paged_history)
     h = h + attn
     normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
     if moe:
@@ -274,13 +335,13 @@ def forward(
     scans: the dense prefix (first_k_dense layers) then the MoE rest."""
     # tp_axis names the EXPERT axis (mixtral convention): expert stacks
     # shard over it, attention/latent-cache replicate across it
-    if not isinstance(cache, kvcache.KVCache):
-        raise NotImplementedError("deepseek serves the dense latent cache "
-                                  "only (no paged MLA yet)")
     B, T = ids.shape
     dtype = _act_dtype(cfg)
     h = jnp.take(params["embed"], ids, axis=0).astype(dtype)
-    S = cache.max_seq_len
+    if isinstance(cache, paged_kvcache.PagedKVCache):
+        S = cache.max_blocks * cache.page_size
+    else:
+        S = cache.max_seq_len
     mask = attention.make_attention_mask(positions, S)
     write_offsets = positions[:, 0]
     cos, sin = rope.make_rope_table(
@@ -297,7 +358,8 @@ def forward(
             h, cache, idx = carry
             h, cache = _layer(cfg, h, lp, qw, cache, idx, idx - idx0,
                               positions, write_offsets, mask, cos, sin,
-                              moe, expert_axis=tp_axis)
+                              moe, expert_axis=tp_axis,
+                              paged_history=paged_history)
             debug.tap("out", h, layer=idx)
             return (h, cache, idx + 1), None
 

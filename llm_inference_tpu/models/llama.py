@@ -701,9 +701,10 @@ def forward(
     lora_stacks = params.get("lora")
     if lora_stacks is not None and adapter_idx is None:
         adapter_idx = jnp.zeros((B,), jnp.int32)       # slot 0 = base
-    if lora_stacks is not None and tp_axis is not None:
-        raise NotImplementedError("LoRA serving is single-device/DP for "
-                                  "now (adapter B factors are unsharded)")
+    # under TP the adapter factors arrive shard-local (parallel/sharding
+    # lora spec rules): col-target b shards d_out, row-target a shards
+    # d_in — the deltas land on shard-local outputs and the row-target
+    # partials complete inside the layer's existing psum
 
     debug.tap("embed", h)
 

@@ -212,7 +212,7 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
     first block — non-zero for a prefix-cache suffix prefill, where the
     blocks below it are SHARED pages that must not be written
     (engine/prefix_cache.py)."""
-    B, T, H, D = k_new.shape
+    B, T, H = k_new.shape[:3]
     ps = cache.page_size
     k_sc, v_sc = cache.k_scale, cache.v_scale
     if cache.quantized:
@@ -221,11 +221,14 @@ def write_prompt_batch(cache: PagedKVCache, layer: jnp.ndarray,
         qfn = quantize_kv4 if cache.bits == 4 else quantize_kv
         k_new, ks = qfn(k_new)         # codes [B, T, H, D'], [B, T, H, 1]
         v_new, vs = qfn(v_new)
-        D = k_new.shape[-1]            # packed width for int4
         sb = ks[..., 0].reshape(B, num_blocks, ps, H)     # slot-major pages
         vb_s = vs[..., 0].reshape(B, num_blocks, ps, H)
-    kb = k_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
-    vb = v_new.reshape(B, num_blocks, ps, H, D).transpose(0, 1, 3, 2, 4)
+    # k/v widths may differ (deepseek MLA: latent_dim vs kv_lora_rank) —
+    # page the two pools independently
+    kb = k_new.reshape(B, num_blocks, ps, H,
+                       k_new.shape[-1]).transpose(0, 1, 3, 2, 4)
+    vb = v_new.reshape(B, num_blocks, ps, H,
+                       v_new.shape[-1]).transpose(0, 1, 3, 2, 4)
     if start_blocks is None:
         pages = cache.page_table[:, :num_blocks]              # [B, nb]
     else:

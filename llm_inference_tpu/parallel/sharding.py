@@ -68,6 +68,26 @@ def _spec_for_tp(path, leaf, tp: str, tp_size: int) -> P:
     # scale-shaped and shards identically
     is_scale = keys[-1] in ("scale", "zbias")
 
+    if "lora" in names:
+        # adapter stacks a [L, N, d_in, r] / b [L, N, r, d_out]
+        # (models/lora.py). The delta must land on the SAME shard-local
+        # columns/rows as the base matmul: column-sharded targets shard
+        # b's d_out (a replicated — d_in is the replicated activation);
+        # row-sharded targets shard a's d_in (the shard-local input slice;
+        # partial deltas complete inside the layer's existing psum).
+        # fuse_params' interleaved fusion keeps each shard's q/k/v columns
+        # contiguous slices of the ORIGINAL projections, so a plain last-
+        # axis shard of b lines up with the fused shard-local output.
+        if names & _ROW_SHARDED:
+            if keys[-1] == "a":
+                return P(None, None, tp, None)
+            return P(None, None, None, None)
+        if names & _COL_SHARDED:
+            if keys[-1] == "b":
+                return P(None, None, None, tp)
+            return P(None, None, None, None)
+        return P(*([None] * leaf.ndim))
+
     # blocked streaming layout (QTensor.block_n): layer weights are
     # [L, NB, K', bn] (q) / [L, NB, G, bn] (scale); lm_head drops the L.
     # The column dim is the NB axis, the contraction rows stay axis -2.
@@ -323,16 +343,33 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     from llm_inference_tpu.models import registry as _registry
     model = _registry.get_model(cfg.name)
 
-    def fn(params, ids, positions, cache, last_idx):
-        return model.forward(cfg, params, ids, positions, cache,
-                             logits_mode=logits_mode, last_idx=last_idx,
-                             tp_axis=tp_axis, paged_history=paged_history)
+    # LoRA adapter stacks in the params pytree add a per-row adapter-slot
+    # operand (sharded over data like ids); the factors themselves shard
+    # per the lora rules in _spec_for_tp
+    has_lora = isinstance(params, dict) and "lora" in params
+    if has_lora:
+        def fn(params, ids, positions, cache, last_idx, adapter_idx):
+            return model.forward(cfg, params, ids, positions, cache,
+                                 logits_mode=logits_mode, last_idx=last_idx,
+                                 tp_axis=tp_axis,
+                                 paged_history=paged_history,
+                                 adapter_idx=adapter_idx)
+        in_specs = (pspecs, P(data_axis, None), P(data_axis, None), cspec,
+                    dspec, dspec)
+    else:
+        def fn(params, ids, positions, cache, last_idx):
+            return model.forward(cfg, params, ids, positions, cache,
+                                 logits_mode=logits_mode, last_idx=last_idx,
+                                 tp_axis=tp_axis,
+                                 paged_history=paged_history)
+        in_specs = (pspecs, P(data_axis, None), P(data_axis, None), cspec,
+                    dspec)
 
     logits_spec = (None if logits_mode == "none"
                    else P(data_axis, *([None] * (1 if logits_mode == "last" else 2))))
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(pspecs, P(data_axis, None), P(data_axis, None), cspec, dspec),
+        in_specs=in_specs,
         out_specs=(logits_spec, cspec),
         check_vma=False,
     )

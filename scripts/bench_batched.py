@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--profile", action="store_true")
     args = ap.parse_args()
 
+    from llm_inference_tpu.utils import compile_cache
+    compile_cache.enable()
+
     import jax
     import jax.numpy as jnp
     from llm_inference_tpu.config import QuantConfig, llama2_7b
@@ -39,8 +42,11 @@ def main():
     cfg = llama2_7b()
     hbm_bw = 819e9
     gs = 128 if args.quant == "int4" else 0
+    # --quant none: the DENSE bf16 decode row (BASELINE config 1 — the
+    # reference's actual shipped path, llama.cpp:318-361). ~13.5 GB of
+    # weights; bs beyond 1-8 with long caches will not fit 16 GB HBM.
     qcfg = QuantConfig(weights=args.quant, group_size=gs,
-                       quantize_embedding=True)
+                       quantize_embedding=args.quant != "none")
     cache_dtype = args.kv if args.kv in ("int8", "int4") else jnp.bfloat16
 
     t0 = time.time()
