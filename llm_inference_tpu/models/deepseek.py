@@ -142,13 +142,22 @@ def new_paged_cache(cfg: ModelConfig, num_pages: int, page_size: int,
 # ---------------------------------------------------------------------------
 
 def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
-                   write_offsets, mask, cos, sin, paged_history=False):
+                   write_offsets, mask, cos, sin, paged_history=False,
+                   tp_axis=None):
     """Multi-head latent attention (absorbed form) over the latent cache
     (dense KVCache or paged pool). `layer_idx` indexes the cache
     (absolute); `w_idx` indexes this stack's QTensor weights
-    (stack-relative)."""
+    (stack-relative).
+
+    Head-sharded under a mesh axis (round 3): when the pspecs head-shard
+    the dense attention projections (sharding.deepseek_param_pspecs),
+    w_uk arrives [Hh_local, nope, kvr] — everything here is shape-driven
+    off that leading dim, the latent cache stays replicated (it is head-
+    free — the MLA win), and the row-sharded wo partials psum below."""
     B, T, _ = h.shape
-    Hh = cfg.num_heads
+    # LOCAL head count: w_uk is always dense and per-layer [Hh?, nope, kvr]
+    Hh = lp["w_uk"].shape[0]
+    attn_sharded = tp_axis is not None and Hh != cfg.num_heads
     nope, rdim = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     kvr = cfg.kv_lora_rank
     eps = cfg.rms_norm_eps
@@ -209,6 +218,8 @@ def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
         out = jnp.einsum("bthr,hrv->bthv", out_lat, lp["w_uv"],
                          preferred_element_type=jnp.float32).astype(h.dtype)
         attn = mm("wo", out.reshape(B, T, Hh * cfg.v_head_dim))
+        if attn_sharded:
+            attn = jax.lax.psum(attn, tp_axis)
         return attn, cache
 
     cache = kvcache.update_cache_layer(cache, layer_idx, k_eff, v_eff,
@@ -227,6 +238,8 @@ def _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
     out = jnp.einsum("bthr,hrv->bthv", out_lat, lp["w_uv"],
                      preferred_element_type=jnp.float32).astype(h.dtype)
     attn = mm("wo", out.reshape(B, T, Hh * cfg.v_head_dim))
+    if attn_sharded:
+        attn = jax.lax.psum(attn, tp_axis)
     return attn, cache
 
 
@@ -302,7 +315,8 @@ def _layer(cfg, h, lp, qw, cache, layer_idx, w_idx, positions,
            paged_history=False):
     attn, cache = _mla_attention(cfg, h, lp, qw, cache, layer_idx, w_idx,
                                  positions, write_offsets, mask, cos, sin,
-                                 paged_history=paged_history)
+                                 paged_history=paged_history,
+                                 tp_axis=expert_axis)
     h = h + attn
     normed = norms.rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
     if moe:

@@ -205,14 +205,19 @@ def block_params(params: Params, tp_size: int = 1,
     npair_ok = int4_npair
 
     def budget(w):
-        # int4 chunks unpack to 2× rows of i32/f32 intermediates in VMEM —
-        # keep the packed streaming block smaller so the whole working set
-        # stays within scoped vmem
+        # int4 split-half chunks unpack to 2× rows of i32/f32 intermediates
+        # in VMEM — keep the packed streaming block smaller so the whole
+        # working set stays within scoped vmem
         return target_bytes if w.bits == 8 else target_bytes // 2
 
     def blk(w, k_local, n_local):
         if w.bits == 4 and npair_ok:
-            bn = choose_block_n(k_local, n_local, budget(w), quantum=256)
+            # the npair kernel dequantizes per GROUP ([gsize, bn] f32
+            # intermediates), never the whole block — so it takes the FULL
+            # block budget. The halved int4 budget starved 13B's w_down
+            # (Kp=6912: no 256-quantum block fits 1.5 MB) into the ~10%-
+            # slower plain layout with 0.88 MB chunks.
+            bn = choose_block_n(k_local, n_local, target_bytes, quantum=256)
             if bn:
                 return to_blocked_npair(w, bn)
         bn = choose_block_n(k_local, n_local, budget(w))

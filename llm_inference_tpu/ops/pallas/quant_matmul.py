@@ -56,6 +56,23 @@ _PALLAS_MAX_M = 128
 _ROW_CHUNK = 2048
 
 
+def _npair_dot_dtype():
+    """MXU dot dtype for the npair difference-of-dots (exact either way —
+    the operands are small integers). LLMI_NPAIR_DOT=f32 reverts to the
+    round-2 f32-dot path for A/B."""
+    import os
+    return (jnp.float32 if os.environ.get("LLMI_NPAIR_DOT") == "f32"
+            else jnp.bfloat16)
+
+
+def _pad8_m():
+    """Whether to pad GEMV activations 1→8 rows outside the kernel
+    (round-2 behavior; LLMI_QMM_PAD8=1 restores it for A/B). Unpadded
+    M=1 removes ~4 jnp.pad + output-slice XLA ops per layer per step."""
+    import os
+    return os.environ.get("LLMI_QMM_PAD8") == "1"
+
+
 def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             block_rows: int, gsize: int, per_channel: bool,
             asym: bool, npair: bool):
@@ -75,8 +92,13 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         # that SHARE the x operand: d_hi = (dot(x, bytes) − dot(x,
         # bytes & 0xF))/16 — the floor/mul hi extraction leaves the VPU
         # entirely (2 converts + 1 AND per byte vs 3 converts + floor +
-        # mul for the split-half path). f32 nibbles feed the MXU's f32
-        # path as in the split-half variant below.
+        # mul for the split-half path). Dot dtype (_npair_dot_dtype): raw
+        # bytes are ints in [-128, 127] and lo-nibbles in [0, 15], both
+        # EXACT in bf16 as well as f32 — bf16 dots take the MXU's native
+        # single-pass path where f32 dots take several passes, and at
+        # GEMV widths the two back-to-back dots can make the MXU the
+        # bottleneck. LLMI_NPAIR_DOT=f32|bf16 picks (chip A/B).
+        dd = _npair_dot_dtype()
         acc_lo = jnp.zeros((M, bn), jnp.float32)
         acc_hi = jnp.zeros((M, bn), jnp.float32)
         # grouped: one chunk per scale group; per-channel: bound the f32
@@ -86,12 +108,12 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         xsum_all = jnp.zeros((M, 1), jnp.float32)
         for c0 in range(0, Kp, ch):
             wb = w[c0:c0 + ch]
-            bf = wb.astype(jnp.float32)
-            lo_u = (wb & 0xF).astype(jnp.float32)
-            xg = x[:, c0:c0 + ch].astype(jnp.float32)
+            bf = wb.astype(dd)
+            lo_u = (wb & 0xF).astype(dd)
+            xg = x[:, c0:c0 + ch].astype(dd)
             d1 = jnp.dot(xg, bf, preferred_element_type=jnp.float32)
             d2 = jnp.dot(xg, lo_u, preferred_element_type=jnp.float32)
-            xsum = jnp.sum(xg, -1, keepdims=True)
+            xsum = jnp.sum(xg.astype(jnp.float32), -1, keepdims=True)
             d_lo = d2 - 8.0 * xsum                  # undo the +8 offset
             d_hi = (d1 - d2) * 0.0625
             if per_channel:
@@ -306,7 +328,7 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
         return qmatmul_ref(x, qt2)
 
     x2 = x.reshape(M, K).astype(jnp.bfloat16)
-    m_pad = max(8, M)
+    m_pad = max(8, M) if _pad8_m() else M
     if m_pad != M:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
     z4 = None

@@ -138,14 +138,39 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh,
         params)
 
 
-def deepseek_param_pspecs(params, expert_axis: str = "expert"):
+def deepseek_param_pspecs(params, expert_axis: str = "expert",
+                          attn_shards: int = 1, num_heads: int = 0):
     """Expert-parallel PartitionSpecs for the deepseek two-stack pytree:
     expert stacks shard their expert axis (dense [Lm, E, K, N] → axis 1;
-    flattened expert-block-major QTensors → axis 0); everything else —
-    attention, shared experts, router, norms, embeddings — replicates
-    (models/deepseek._v3_moe completes the routed mixture with one psum
-    per MoE layer; the shared expert stays outside the psum)."""
+    flattened expert-block-major QTensors → axis 0); shared experts,
+    router, norms, embeddings replicate (models/deepseek._v3_moe completes
+    the routed mixture with one psum per MoE layer; the shared expert
+    stays outside the psum).
+
+    MLA attention additionally HEAD-shards over the SAME axis (round 3)
+    when `attn_shards` divides `num_heads` and the attention projections
+    are dense: wq/wq_b shard their head-major output columns, w_uk/w_uv
+    their head axis, wo its head-major contraction rows — the per-layer
+    psum completes attention exactly like the MoE mixture (deepseek.
+    _mla_attention detects locality from w_uk's leading dim). Quantized
+    attention stacks (QTensors) keep replicating — the blocked-layout
+    head slicing is not wired."""
     from llm_inference_tpu.ops.quantization import QTensor
+
+    attn_dense = not any(
+        isinstance(v, QTensor)
+        for sk in ("dense_layers", "moe_layers")
+        for kk, v in params.get(sk, {}).items()
+        if kk in ("wq", "wq_b", "wo"))
+    shard_attn = (attn_shards > 1 and num_heads
+                  and num_heads % attn_shards == 0 and attn_dense)
+    attn_specs = {
+        "wq": P(None, None, expert_axis),       # [L, H, Hh·qkdim] cols
+        "wq_b": P(None, None, expert_axis),     # [L, q_lora, Hh·qkdim]
+        "w_uk": P(None, expert_axis, None, None),   # [L, Hh, nope, kvr]
+        "w_uv": P(None, expert_axis, None, None),   # [L, Hh, kvr, vd]
+        "wo": P(None, expert_axis, None),       # [L, Hh·vd, H] rows
+    }
 
     def espec_for(name, v):
         if name in ("e_gate", "e_up", "e_down"):
@@ -156,6 +181,8 @@ def deepseek_param_pspecs(params, expert_axis: str = "expert"):
             return P(None, expert_axis, None, None)
         if isinstance(v, QTensor):
             return jax.tree.map(lambda leaf: P(), v)
+        if shard_attn and name in attn_specs:
+            return attn_specs[name]
         return P()
 
     espec = {}
@@ -286,7 +313,9 @@ def shard_params_for(cfg: ModelConfig, params, mesh: Mesh,
     the tensor axis (moe_param_pspecs / deepseek_param_pspecs); everything
     else Megatron TP."""
     if is_moe(cfg):
-        specs = (deepseek_param_pspecs(params, tensor_axis)
+        specs = (deepseek_param_pspecs(params, tensor_axis,
+                                       attn_shards=mesh.shape[tensor_axis],
+                                       num_heads=cfg.num_heads)
                  if cfg.kv_lora_rank > 0
                  else moe_param_pspecs(params, tensor_axis))
         shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
@@ -323,7 +352,9 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
     # attention weights/KV replicate across it (one psum/layer completes
     # the mixture; models/mixtral.moe_ffn)
     if moe and cfg.kv_lora_rank > 0:
-        pspecs = deepseek_param_pspecs(params, tensor_axis)
+        pspecs = deepseek_param_pspecs(params, tensor_axis,
+                                       attn_shards=tp_size,
+                                       num_heads=cfg.num_heads)
     elif moe:
         pspecs = moe_param_pspecs(params, tensor_axis)
     else:

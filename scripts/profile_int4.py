@@ -7,7 +7,9 @@ roofline gap (>85% of HBM speed-of-light; BENCH_r02: 75.7%).
 
 Usage (chip): PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_int4.py
 Env: PROF_STEPS (default 32), PROF_S (cache len, default 512),
-     PROF_WEIGHTS (int4|int8, default int4), PROF_B (batch, default 1).
+     PROF_WEIGHTS (int4|int8, default int4), PROF_B (batch, default 1),
+     PROF_MODEL (llama2-7b|llama2-13b, default 7b — 13B int4+scales is
+     ~7.4 GB, fits the 16 GB chip).
 """
 import os
 import sys
@@ -21,7 +23,7 @@ compile_cache.enable(verbose=True)
 import jax
 import jax.numpy as jnp
 
-from llm_inference_tpu.config import QuantConfig, llama2_7b
+from llm_inference_tpu.config import PRESETS, QuantConfig
 from llm_inference_tpu.models import llama
 from llm_inference_tpu.ops import kvcache
 from llm_inference_tpu.utils import profiling
@@ -37,7 +39,7 @@ B = int(os.environ.get("PROF_B", "1"))
 weights = os.environ.get("PROF_WEIGHTS", "int4")
 prompt_len = 128
 
-cfg = llama2_7b()
+cfg = PRESETS[os.environ.get("PROF_MODEL", "llama2-7b")]()
 if weights == "int4":
     qcfg = QuantConfig(weights="int4", group_size=128,
                        quantize_embedding=True)

@@ -284,3 +284,35 @@ class TestExpertParallel:
         lg, _ = fwd(sq, ids, pos, cache, jnp.full((2,), 5, jnp.int32))
         np.testing.assert_allclose(np.asarray(lg), np.asarray(g),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestAttentionTP:
+    """MLA attention head-sharding over the expert axis (round 3):
+    the EP parity tests above already RUN with sharded attention (tiny
+    config heads divide ep); these pin the spec rules so a regression
+    cannot silently fall back to replication."""
+
+    def test_specs_shard_dense_attention(self, cfg, params):
+        from llm_inference_tpu.parallel.sharding import deepseek_param_pspecs
+        sp = deepseek_param_pspecs(params, "expert", attn_shards=2,
+                                   num_heads=cfg.num_heads)
+        assert sp["moe_layers"]["w_uk"][1] == "expert"
+        assert sp["moe_layers"]["wq_b"][2] == "expert"
+        assert sp["moe_layers"]["wo"][1] == "expert"
+
+    def test_specs_replicate_quantized_attention(self, cfg, params):
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.parallel.sharding import deepseek_param_pspecs
+        qp = deepseek.quantize_params(
+            params, QuantConfig(weights="int8", group_size=16))
+        sp = deepseek_param_pspecs(qp, "expert", attn_shards=2,
+                                   num_heads=cfg.num_heads)
+        # quantized wq_b/wo → whole attention replicates (blocked-layout
+        # head slicing not wired); w_uk stays dense but must match
+        assert all(s is None for s in sp["moe_layers"]["w_uk"])
+
+    def test_specs_replicate_on_indivisible_heads(self, cfg, params):
+        from llm_inference_tpu.parallel.sharding import deepseek_param_pspecs
+        sp = deepseek_param_pspecs(params, "expert", attn_shards=3,
+                                   num_heads=cfg.num_heads)  # 4 % 3 != 0
+        assert all(s is None for s in sp["moe_layers"]["w_uk"])
