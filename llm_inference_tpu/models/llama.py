@@ -234,8 +234,35 @@ def block_params(params: Params, tp_size: int = 1,
     out["layers"] = layers
     lm = out.get("lm_head")
     if isinstance(lm, QTensor) and not lm.block_n:
+        if npair_ok and lm.bits == 4 and tp_size == 1:
+            # vocab rarely admits wide 256-quantum blocks (32000 → bn=256,
+            # 0.5 MB chunks); pad the columns to the next 512 multiple so a
+            # wide block engages (32000→32256: bn=1536, 3 MB chunks).
+            # Padded columns are EXACT zeros through the N-pair kernel
+            # (zero codes → lo_u=8, hi=0; d2 − 8·xsum cancels) and
+            # forward slices logits back to cfg.vocab_size.
+            Kp, N = lm.q.shape[-2], lm.q.shape[-1]
+            n_pad = _round_up(N, 512)
+            if (n_pad != N
+                    and choose_block_n(Kp, n_pad, target_bytes, quantum=256)
+                    > (choose_block_n(Kp, N, target_bytes, quantum=256)
+                       or 0)):
+                lm = _pad_qtensor_cols(lm, n_pad)
         out["lm_head"] = blk(lm, lm.q.shape[-2], lm.q.shape[-1] // tp_size)
     return out
+
+
+def _pad_qtensor_cols(qt: QTensor, n_pad: int) -> QTensor:
+    """Zero-pad a row-major QTensor's output columns (q codes 0, scale 1,
+    zbias 0 — all dequantize to exactly 0)."""
+    N = qt.q.shape[-1]
+    widths = [(0, 0)] * (qt.q.ndim - 1) + [(0, n_pad - N)]
+    return QTensor(
+        q=jnp.pad(qt.q, widths),
+        scale=jnp.pad(qt.scale, widths, constant_values=1.0),
+        bits=qt.bits, group_size=qt.group_size, orig_dtype=qt.orig_dtype,
+        block_rows=qt.block_rows, block_n=qt.block_n,
+        zbias=None if qt.zbias is None else jnp.pad(qt.zbias, widths))
 
 
 def _round_up(n: int, m: int) -> int:

@@ -277,3 +277,32 @@ class TestAsymmetricForward:
         assert w1.zbias is not None
         np.testing.assert_array_equal(np.asarray(w0.zbias),
                                       np.asarray(w1.zbias))
+
+
+class TestLmHeadVocabPad:
+    def test_npair_lm_head_pads_vocab_for_wide_blocks(self):
+        """block_params pads the quantized lm_head's vocab columns to the
+        next 512 multiple when that admits a wider npair streaming block;
+        padded columns are exact zeros and forward slices logits back."""
+        cfg = tiny_llama(num_kv_heads=2, vocab_size=320)   # 320 % 256 != 0
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        qp = llama.quantize_params(
+            params, QuantConfig(weights="int4", group_size=32,
+                                quantize_embedding=True))
+        plain = llama.prepare_params(qp, donate=False, int4_npair=False)
+        npair = llama.prepare_params(qp, donate=False)
+        assert npair["lm_head"].pack_axis == "n"
+        assert npair["lm_head"].out_features == 512        # padded
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, 320, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+
+        def run(p):
+            c = kvcache.init_cache(cfg.num_layers, 2, cfg.num_kv_heads, 32,
+                                   cfg.head_dim, jnp.float32)
+            logits, _ = llama.forward(cfg, p, ids, pos, c)
+            return np.asarray(logits)
+
+        a, b = run(plain), run(npair)
+        assert a.shape == b.shape == (2, 320)
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3)
