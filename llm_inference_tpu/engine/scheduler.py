@@ -724,6 +724,22 @@ class ContinuousBatchingScheduler:
             pass
         return any(r is req for r in self.slot_req)
 
+    def adopt(self, requests: Sequence[Request]) -> None:
+        """Elastic-recovery hand-off: enqueue Request objects taken from a
+        FAILED worker's scheduler (drain_inflight + its remaining queue)
+        into this one. Request identity — req_id, scheduler-assigned seed,
+        sampling knobs, stream callback and stream_pos — is preserved, so
+        the replay is byte-identical under seeded sampling and clients
+        never see duplicate tokens. Guided-decoding DFAs re-register in
+        THIS scheduler's table (the compiled constraint rides the Request).
+        The host-loss drill: tests/test_elastic_recovery.py."""
+        for req in requests:
+            self._validate_capacity(len(req.prompt_ids), req.max_new_tokens)
+            if req.constraint is not None:
+                req._cidx = self._register_dfa(req.constraint)
+            req.reset_generation()
+            self.queue.append(req)
+
     def drain_inflight(self) -> List[Request]:
         """Failure/elastic-recovery hook (parallel/multihost.py): pull every
         in-flight request out of its slot and put it back at the FRONT of

@@ -18,7 +18,11 @@ Failure handling follows the JAX model the SURVEY §5 table prescribes:
 jax.distributed's health checking fails the process group on a lost host;
 recovery is a restart from loaded weights (weights are immutable at serving
 time, so there is no checkpoint-resume state beyond in-flight requests,
-which the scheduler re-queues).
+which the scheduler re-queues). The full host-loss sequence — interrupt →
+scheduler.drain_inflight → fresh worker loads the prepared checkpoint →
+scheduler.adopt → byte-identical seeded replay, streams deduplicated,
+guided-decoding DFAs re-registered, pages reclaimed — is drilled in
+tests/test_elastic_recovery.py.
 """
 
 from __future__ import annotations

@@ -41,6 +41,13 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0,
     cache_dir = cache_dir or env or _DEFAULT_DIR
     try:
         import jax
+        if jax.default_backend() == "cpu" and not env:
+            # TPU-only by default: CPU AOT cache entries record host
+            # machine features and replaying them across even slightly
+            # different feature sets spams loader warnings (and risks
+            # SIGILL); CPU compiles are cheap anyway. Set
+            # LLMI_COMPILE_CACHE=<dir> to force-enable on CPU.
+            return None
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache even quick compiles: the decode scan's sub-programs add up
