@@ -85,8 +85,15 @@ class InferenceEngine:
                 self._fwd = self._with_default_adapter(raw)
             else:
                 self._fwd = raw
-            # MoE: KV replicates across the expert (tensor) axis
-            kv_tensor = None if _sh.is_moe(cfg) else "tensor"
+            # MoE: KV replicates across the expert (tensor) axis — UNLESS
+            # mixtral's dense attention head-shards (then the per-head
+            # cache shards in lockstep; sharding.moe_attn_shards)
+            if _sh.is_moe(cfg):
+                kv_tensor = ("tensor" if _sh.moe_attn_shards(
+                    cfg, params, mesh.shape["tensor"]) else None)
+            else:
+                kv_tensor = "tensor"
+            self._kv_tensor = kv_tensor
             self._shard_cache = lambda c: _sh.shard_cache(
                 c, mesh, tensor_axis=kv_tensor)
         else:

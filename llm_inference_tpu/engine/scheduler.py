@@ -844,7 +844,16 @@ class PagedScheduler(ContinuousBatchingScheduler):
         mesh = self.engine.mesh
         if mesh is not None and mesh.devices.size > 1:
             from llm_inference_tpu.parallel import sharding as _sh
-            cache = _sh.shard_paged_cache(cache, mesh)
+            # family-consistent pool placement: MoE pools replicate kv
+            # heads unless attention head-shards (engine decided once)
+            kv_tensor = getattr(self.engine, "_kv_tensor", "tensor")
+            if kv_tensor is None:
+                from jax.sharding import (NamedSharding as _NS,
+                                          PartitionSpec as _PS)
+                cache = jax.device_put(cache, _NS(mesh, _PS()))
+            else:
+                cache = _sh.shard_paged_cache(cache, mesh,
+                                              tensor_axis=kv_tensor)
         return cache
 
     def _alloc_pages(self, n: int) -> List[int]:

@@ -250,7 +250,15 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     attn, cache = cached_attention(cfg, q, k, v, cache, layer_idx,
                                    positions, write_offsets, mask,
                                    paged_history)
-    h = h + mm("wo", attn.reshape(B, T, -1))
+    attn_out = mm("wo", attn.reshape(B, T, -1))
+    # head-sharded attention over the expert axis (sharding.moe_attn_
+    # shards): wo is row-sharded so its partials complete with a psum —
+    # shape-driven off the LOCAL wq column count, so quantized (replicated)
+    # attention stays psum-free
+    wq_cols = (qw["wq"].out_features if "wq" in qw else lp["wq"].shape[-1])
+    if expert_axis is not None and wq_cols != cfg.num_heads * D:
+        attn_out = jax.lax.psum(attn_out, expert_axis)
+    h = h + attn_out
 
     normed = norms.rms_norm(h, lp["ffn_norm"], eps)
     eg = qw.get("e_gate", lp.get("e_gate"))

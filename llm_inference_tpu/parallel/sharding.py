@@ -194,17 +194,47 @@ def deepseek_param_pspecs(params, expert_axis: str = "expert",
     return espec
 
 
-def moe_param_pspecs(params, expert_axis: str = "expert"):
+def moe_attn_shards(cfg, params, n: int) -> bool:
+    """Whether a mixtral-family forward head-shards its attention over the
+    expert axis: needs n > 1, head counts divisible, DENSE attention
+    projections (quantized attention stacks replicate — blocked-QTensor
+    head slicing is not wired), and a per-head KV cache (deepseek's latent
+    cache is head-free and replicates; its attention shards separately in
+    deepseek_param_pspecs). Callers use this to pick the KV-cache specs in
+    lockstep with the param specs."""
+    from llm_inference_tpu.ops.quantization import QTensor
+    if not is_moe(cfg) or cfg.kv_lora_rank > 0 or n <= 1:
+        return False
+    if cfg.num_heads % n or cfg.num_kv_heads % n:
+        return False
+    layers = params.get("layers", {})
+    return not any(isinstance(layers.get(k), QTensor)
+                   for k in ("wq", "wk", "wv", "wo"))
+
+
+def moe_param_pspecs(params, expert_axis: str = "expert",
+                     attn_shards: bool = False):
     """PartitionSpecs for expert parallelism over a mixtral params pytree:
-    stacked expert weights shard their EXPERT axis; router, attention,
-    norms, and embeddings replicate (models/mixtral.moe_ffn completes the
-    mixture with one psum per layer).
+    stacked expert weights shard their EXPERT axis; router, norms, and
+    embeddings replicate (models/mixtral.moe_ffn completes the mixture
+    with one psum per layer).
 
     Dense expert weights are [L, E, H, I] (shard axis 1). Quantized ones
     are flattened [L·E, ...] QTensors in mixtral.quantize_params'
     ep_shards (expert-block-major) order, so axis 0 chunks ARE the
-    shard-local per-expert stacks — q and scale both shard axis 0."""
+    shard-local per-expert stacks — q and scale both shard axis 0.
+
+    attn_shards=True (gate with moe_attn_shards — the KV-cache specs must
+    agree) head-shards dense attention over the SAME axis: wq/wk/wv
+    output columns, wo contraction rows; mixtral._layer psums the wo
+    partials."""
     from llm_inference_tpu.ops.quantization import QTensor
+    attn_specs = {
+        "wq": P(None, None, expert_axis),
+        "wk": P(None, None, expert_axis),
+        "wv": P(None, None, expert_axis),
+        "wo": P(None, expert_axis, None),
+    }
 
     def espec_for(name, v):
         if name in ("e_gate", "e_up", "e_down"):
@@ -215,6 +245,8 @@ def moe_param_pspecs(params, expert_axis: str = "expert"):
             return P(None, expert_axis, None, None)
         if isinstance(v, QTensor):        # quantized attention: replicate
             return jax.tree.map(lambda leaf: P(), v)
+        if attn_shards and name in attn_specs:
+            return attn_specs[name]
         return P()
 
     espec = {"layers": {k: espec_for(k, v)
@@ -317,7 +349,10 @@ def shard_params_for(cfg: ModelConfig, params, mesh: Mesh,
                                        attn_shards=mesh.shape[tensor_axis],
                                        num_heads=cfg.num_heads)
                  if cfg.kv_lora_rank > 0
-                 else moe_param_pspecs(params, tensor_axis))
+                 else moe_param_pspecs(
+                     params, tensor_axis,
+                     attn_shards=moe_attn_shards(
+                         cfg, params, mesh.shape[tensor_axis])))
         shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                                  is_leaf=lambda x: isinstance(x, P))
         return jax.device_put(params, shardings)
@@ -355,11 +390,17 @@ def sharded_forward(cfg: ModelConfig, mesh: Mesh, params,
         pspecs = deepseek_param_pspecs(params, tensor_axis,
                                        attn_shards=tp_size,
                                        num_heads=cfg.num_heads)
+        kv_tensor_axis = None       # latent cache is head-free: replicate
     elif moe:
-        pspecs = moe_param_pspecs(params, tensor_axis)
+        attn_sh = moe_attn_shards(cfg, params, tp_size)
+        pspecs = moe_param_pspecs(params, tensor_axis, attn_shards=attn_sh)
+        # dense-attention mixtral head-shards attention AND its per-head
+        # KV cache over the expert axis; quantized attention replicates
+        # both (moe_attn_shards)
+        kv_tensor_axis = tensor_axis if attn_sh else None
     else:
         pspecs = param_pspecs(params, mesh, tensor_axis)
-    kv_tensor_axis = None if moe else tensor_axis
+        kv_tensor_axis = tensor_axis
     if cache_kind == "paged":
         if mesh.shape[data_axis] != 1:
             raise ValueError(

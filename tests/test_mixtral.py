@@ -365,3 +365,52 @@ class TestMixtralEngineSharded:
         got = [r.token_ids for r in sharded.generate(
             [list(p) for p in prompts], gen)]
         assert got == want
+
+
+class TestAttentionTP:
+    """Dense mixtral attention head-shards over the expert axis (round 3):
+    wq/wk/wv columns + wo rows + the per-head KV cache shard; the per-layer
+    psum completes attention. Quantized attention keeps replicating."""
+
+    def test_attn_sharded_matches_single_device(self):
+        from llm_inference_tpu.config import ShardingConfig
+        from llm_inference_tpu.parallel import make_mesh
+        from llm_inference_tpu.parallel.sharding import (moe_attn_shards,
+                                                         shard_cache,
+                                                         shard_params_for,
+                                                         sharded_forward)
+        cfg = tiny_mixtral()          # 4 q heads, 2 kv heads → ep=2 divides
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        assert moe_attn_shards(cfg, params, 2)
+        rng = np.random.default_rng(7)
+        B, T = 2, 6
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+        pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+
+        def new_cache():
+            return kvcache.init_cache(cfg.num_layers, B, cfg.num_kv_heads,
+                                      16, cfg.head_dim, jnp.float32)
+        golden, _ = mixtral.forward(cfg, params, ids, pos, new_cache())
+
+        mesh = make_mesh(ShardingConfig(data=1, tensor=2))
+        sp = shard_params_for(cfg, params, mesh)
+        cache = shard_cache(new_cache(), mesh)    # kv heads over tensor
+        fwd = sharded_forward(cfg, mesh, sp)
+        out, _ = fwd(sp, ids, pos, cache, jnp.full((B,), T - 1, jnp.int32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_quantized_attention_replicates(self):
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.parallel.sharding import moe_attn_shards
+        cfg = tiny_mixtral()
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        qp = mixtral.quantize_params(params,
+                                     QuantConfig(weights="int8"))
+        assert not moe_attn_shards(cfg, qp, 2)
+
+    def test_indivisible_heads_replicate(self):
+        from llm_inference_tpu.parallel.sharding import moe_attn_shards
+        cfg = tiny_mixtral()          # 2 kv heads: ep=4 does not divide
+        params = mixtral.init_params(cfg, jax.random.PRNGKey(0))
+        assert not moe_attn_shards(cfg, params, 4)
