@@ -66,6 +66,27 @@ def main():
             ok &= check(f"quant_matmul npair gs={gs} M={M} asym={asym}",
                         got, want)
 
+    # ---- round-3 npair layouts: wide blocks (wo's bn=1024 default) and
+    #      the padded-vocab lm_head (block_params pads N to a 512 multiple
+    #      so a wide block engages; padded cols must be exact zeros) ----
+    w = jax.random.normal(key, (4096, 4096), jnp.float32) * 0.02
+    qt = Q.to_blocked_npair(Q.quantize(w, 4, 128), 1024)
+    for M in (1, 8):
+        x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
+        ok &= check(f"quant_matmul npair bn=1024 M={M}",
+                    QM.quant_matmul(x, qt), Q.qmatmul_ref(x, qt))
+    from llm_inference_tpu.models.llama import _pad_qtensor_cols
+    w = jax.random.normal(key, (4096, 4000), jnp.float32) * 0.02
+    lm = _pad_qtensor_cols(Q.quantize(w, 4, 128), 4096)
+    lm = Q.to_blocked_npair(lm, 1024)
+    x = jax.random.normal(key, (1, 4096), jnp.bfloat16)
+    got = QM.quant_matmul(x, lm)
+    ok &= check("npair padded lm_head cols are zero",
+                got[:, 4000:], jnp.zeros((1, 96)), tol=1e-6)
+    ok &= check("npair padded lm_head live cols",
+                got[:, :4000],
+                Q.qmatmul_ref(x, lm)[:, :4000])
+
     # ---- decode attention: MHA / GQA / int8 KV ----
     for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
         ks = jax.random.split(key, 3)
