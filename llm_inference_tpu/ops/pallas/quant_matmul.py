@@ -73,6 +73,23 @@ def _pad8_m():
     return os.environ.get("LLMI_QMM_PAD8") == "1"
 
 
+def _prefill_kernel_on():
+    """Whether M > _PALLAS_MAX_M (prefill-sized) matmuls use the m-tiled
+    Pallas path instead of the XLA einsum fallback. Off until chip-A/B'd
+    (LLMI_QMM_PREFILL=1 enables): the tiled kernel streams the weight
+    ONCE (n-blocks outer, m-tiles inner — Mosaic skips re-DMA of the
+    unchanged W block) and runs the same exact output-side-scaled
+    raw-code bf16 dots as the GEMV, where the XLA fallback's batched
+    einsum converts/dequantizes weight material per call."""
+    import os
+    return os.environ.get("LLMI_QMM_PREFILL") == "1"
+
+
+# m-tile rows for the prefill-sized kernel path: 2 MXU row-passes per dot,
+# x tile [bm, K] ≤ 2 MB at K=4096.
+_PREFILL_BM = 256
+
+
 def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             block_rows: int, gsize: int, per_channel: bool,
             asym: bool, npair: bool):
@@ -224,6 +241,57 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
 @functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
                                              "per_channel", "npair",
                                              "interpret"))
+def _quant_matmul_tiled(x, q4, s4, lyr, z4=None, *, bits, block_rows,
+                        gsize, per_channel, npair=False, interpret):
+    """Prefill-sized (M > _PALLAS_MAX_M) variant: grid (NB, M/bm) with the
+    m-tiles INNER, so each weight block is DMA'd once (its index map is
+    constant across the inner dim) and re-used against every x tile —
+    total traffic = weights once + x·NB + out once, with the same exact
+    per-group output-side-scaled raw-code dots as the GEMV kernel. The
+    XLA fallback this replaces pays weight-convert/dequant material per
+    call, which is pure overhead in the MXU-bound prefill regime.
+    M must be a multiple of _PREFILL_BM (caller pads)."""
+    M, K = x.shape
+    L, NB, Kp, bn = q4.shape
+    out_bn = 2 * bn if npair else bn
+    G = s4.shape[2]
+    asym = z4 is not None
+    bm = _PREFILL_BM
+    kernel = functools.partial(_kernel, bits=bits, block_rows=block_rows,
+                               gsize=gsize, per_channel=per_channel,
+                               asym=asym, npair=npair)
+    sspec = pl.BlockSpec((1, 1, G, out_bn),
+                         lambda n, m, lyr: (lyr[0], n, 0, 0))
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda n, m, lyr: (m, 0)),
+        pl.BlockSpec((1, 1, Kp, bn), lambda n, m, lyr: (lyr[0], n, 0, 0)),
+        sspec,
+    ] + ([sspec] if asym else [])
+    operands = (lyr, x, q4, s4) + ((z4,) if asym else ())
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB, M // bm),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, out_bn), lambda n, m, lyr: (m, n)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, NB * out_bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * NB * out_bn,
+            bytes_accessed=q4.size // L + s4.size * 4 // L
+            + M * K * 2 * NB + M * NB * out_bn * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
+                                             "per_channel", "npair",
+                                             "interpret"))
 def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
                           gsize, per_channel, npair=False, interpret):
     """q4/s4 are STACKED over a leading layer axis ([L, NB, Kp, bn] /
@@ -296,7 +364,9 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     for d in lead:
         M *= d
     stacked = qt.q.ndim == (4 if qt.block_n else 3)
-    if M > _PALLAS_MAX_M or qt.block_n == 0:
+    tiled = (M > _PALLAS_MAX_M and qt.block_n != 0
+             and _prefill_kernel_on())
+    if (M > _PALLAS_MAX_M and not tiled) or qt.block_n == 0:
         if stacked:
             qt = _index_layer(qt, layer if layer is not None else 0)
         return qmatmul_ref(x, qt)
@@ -328,15 +398,24 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
         return qmatmul_ref(x, qt2)
 
     x2 = x.reshape(M, K).astype(jnp.bfloat16)
-    m_pad = max(8, M) if _pad8_m() else M
-    if m_pad != M:
-        x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
     z4 = None
     if qt.zbias is not None:
         z4 = qt.zbias if stacked else qt.zbias[None]
-    out = _quant_matmul_blocked(x2, q4, s4, lyr, z4, bits=qt.bits,
-                                block_rows=block_rows, gsize=gsize,
-                                per_channel=per_channel, npair=npair,
-                                interpret=use_interpret())
+    if tiled:
+        m_pad = -(-M // _PREFILL_BM) * _PREFILL_BM
+        if m_pad != M:
+            x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+        out = _quant_matmul_tiled(x2, q4, s4, lyr, z4, bits=qt.bits,
+                                  block_rows=block_rows, gsize=gsize,
+                                  per_channel=per_channel, npair=npair,
+                                  interpret=use_interpret())
+    else:
+        m_pad = max(8, M) if _pad8_m() else M
+        if m_pad != M:
+            x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+        out = _quant_matmul_blocked(x2, q4, s4, lyr, z4, bits=qt.bits,
+                                    block_rows=block_rows, gsize=gsize,
+                                    per_channel=per_channel, npair=npair,
+                                    interpret=use_interpret())
     return out[:M].reshape(*lead, NB * bn * (2 if npair else 1)
                            ).astype(x.dtype)

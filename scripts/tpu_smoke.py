@@ -87,6 +87,23 @@ def main():
                 got[:, :4000],
                 Q.qmatmul_ref(x, lm)[:, :4000])
 
+    # ---- m-tiled prefill kernel (LLMI_QMM_PREFILL=1; round 3) ----
+    import os as _os
+    _os.environ["LLMI_QMM_PREFILL"] = "1"
+    w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
+    try:
+        for name, qt in [
+            ("int8 gs=0", Q.to_blocked(Q.quantize(w, 8, 0), 768)),
+            ("int4 gs=128", Q.to_blocked(Q.quantize(w, 4, 128), 768)),
+            ("npair gs=128", Q.to_blocked_npair(Q.quantize(w, 4, 128),
+                                                512)),
+        ]:
+            x = jax.random.normal(key, (512, 4096), jnp.bfloat16)
+            ok &= check(f"quant_matmul TILED M=512 {name}",
+                        QM.quant_matmul(x, qt), Q.qmatmul_ref(x, qt))
+    finally:
+        del _os.environ["LLMI_QMM_PREFILL"]
+
     # ---- decode attention: MHA / GQA / int8 KV ----
     for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
         ks = jax.random.split(key, 3)

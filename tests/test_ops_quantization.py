@@ -328,3 +328,56 @@ class TestNPairPacking:
         golden = np.asarray(x) @ np.asarray(Q.dequantize(qt, jnp.float32))
         out = QM.quant_matmul(jnp.asarray(x), qt)
         assert rel_err(out, golden) < 2e-2
+
+
+class TestPrefillTiledKernel:
+    """m-tiled prefill path (LLMI_QMM_PREFILL=1): grid (NB, M/bm) with
+    weight blocks reused across the inner m-tiles. Exact same math as the
+    GEMV kernel — parity vs the XLA reference at M > 128."""
+
+    @pytest.mark.parametrize("mode,gs,asym", [
+        ("int8", 0, False), ("int8", 64, True),
+        ("int4", 64, False), ("npair", 128, False), ("npair", 128, True)])
+    def test_tiled_matches_ref(self, monkeypatch, mode, gs, asym):
+        monkeypatch.setenv("LLMI_QMM_PREFILL", "1")
+        rng = np.random.default_rng(31)
+        M, K, N = 300, 512, 1024          # M > _PALLAS_MAX_M, non-multiple
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        w = (rng.standard_normal((K, N)) * 0.1 + 0.02).astype(np.float32)
+        if mode == "npair":
+            qt = Q.to_blocked_npair(
+                Q.quantize(jnp.asarray(w), 4, gs, asymmetric=asym), 256)
+        else:
+            bits = 8 if mode == "int8" else 4
+            qt = Q.to_blocked(
+                Q.quantize(jnp.asarray(w), bits, gs, asymmetric=asym), 256)
+        golden = np.asarray(Q.qmatmul_ref(jnp.asarray(x), qt))
+        out = QM.quant_matmul(jnp.asarray(x), qt)
+        assert out.shape == (M, N)
+        assert rel_err(out, golden) < 2e-2
+
+    def test_tiled_stacked_layers(self, monkeypatch):
+        monkeypatch.setenv("LLMI_QMM_PREFILL", "1")
+        rng = np.random.default_rng(32)
+        L, M, K, N = 2, 256, 256, 512
+        ws = (rng.standard_normal((L, K, N)) * 0.1).astype(np.float32)
+        qt = jax.vmap(lambda m: Q.quantize(m, 4, 128))(jnp.asarray(ws))
+        qt = Q.to_blocked_npair(qt, 256)
+        x = rng.standard_normal((M, K)).astype(np.float32) * 0.1
+        for layer in range(L):
+            one = Q.to_blocked_npair(
+                Q.quantize(jnp.asarray(ws[layer]), 4, 128), 256)
+            golden = np.asarray(Q.qmatmul_ref(jnp.asarray(x), one))
+            out = QM.quant_matmul(jnp.asarray(x), qt, layer=layer)
+            assert rel_err(out, golden) < 2e-2, layer
+
+    def test_off_by_default(self):
+        rng = np.random.default_rng(33)
+        x = jnp.asarray(rng.standard_normal((300, 256)).astype(np.float32))
+        qt = Q.to_blocked(Q.quantize(
+            jnp.asarray(rng.standard_normal((256, 512)).astype(np.float32)),
+            8, 0), 256)
+        # default: the XLA ref path serves M>128 (exact same numbers)
+        np.testing.assert_allclose(np.asarray(QM.quant_matmul(x, qt)),
+                                   np.asarray(Q.qmatmul_ref(x, qt)),
+                                   rtol=2e-2, atol=2e-2)
