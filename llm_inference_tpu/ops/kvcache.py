@@ -73,6 +73,14 @@ class KVCache:
         return self.k_scale is not None
 
 
+def _fused_kvq() -> bool:
+    """Fused int8 quantize+write decode kernel (kv_write.
+    quantize_write_token). LLMI_FUSED_KVQ=0 reverts to the two-step
+    quantize_kv → write path for A/B."""
+    import os
+    return os.environ.get("LLMI_FUSED_KVQ") != "0"
+
+
 def init_cache(
     num_layers: int,
     batch: int,
@@ -134,8 +142,21 @@ def update_cache_layer(
     slices are [B, T, H, D/2].
     """
     if cache.quantized:
+        from llm_inference_tpu.ops.pallas import kv_write
         from llm_inference_tpu.ops.quantization import (quantize_kv,
                                                         quantize_kv4)
+        T = k_new.shape[1]
+        if (cache.bits == 8 and T == 1
+                and cache.k.shape[3] % kv_write._SLOT_BLK == 0
+                and _fused_kvq()):
+            # decode int8: quantize INSIDE the write kernel — one call
+            # replaces quantize_kv's fusions + both write kernels
+            k_all, v_all, ks_all, vs_all = kv_write.quantize_write_token(
+                cache.k, cache.v, cache.k_scale, cache.v_scale, layer,
+                k_new.transpose(0, 2, 1, 3), v_new.transpose(0, 2, 1, 3),
+                offsets)
+            return cache.replace(k=k_all, v=v_all, k_scale=ks_all,
+                                 v_scale=vs_all)
         qfn = quantize_kv4 if cache.bits == 4 else quantize_kv
         kq, ks = qfn(k_new)             # int8 codes, f32 [B,T,H,1]
         vq, vs = qfn(v_new)

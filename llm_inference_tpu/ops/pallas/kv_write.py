@@ -106,6 +106,87 @@ def write_token(k_all, v_all, layer, k_new, v_new, offsets):
     )(off, lyr, k_new, v_new, k_all, v_all)
 
 
+def _qkernel(off_ref, layer_ref, kn_ref, vn_ref, ki_ref, vi_ref,
+             ksi_ref, vsi_ref, ko_ref, vo_ref, kso_ref, vso_ref):
+    """INT8 quantize + RMW write, fused: per-(head, token) symmetric
+    scales over D (quantization.quantize_kv semantics), codes and
+    slot-major scale rows blended into their aliased blocks — one kernel
+    call replaces quantize_kv's clamp/round/reduce fusions plus the two
+    write kernels (~0.09 ms/step of XLA small-ops at 7B bs=1)."""
+    b = pl.program_id(0)
+    s = off_ref[b] % _SLOT_BLK
+    Hkv = kn_ref.shape[1]
+
+    def quant(rows):                                   # [Hkv, 1, D] bf16
+        r = rows.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-8)      # [Hkv, 1, 1]
+        codes = jnp.clip(jnp.round(r / scale), -128, 127).astype(jnp.int8)
+        # scale column [Hkv, 1] → lane row [1, Hkv] on the MXU (a
+        # sublane↔lane reshape is not a VPU op on v5e)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+               ).astype(jnp.float32)
+        srow = jax.lax.dot_general(scale[:, 0], eye,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return codes, srow                             # [Hkv,1,D], [1,Hkv]
+
+    kq, ks = quant(kn_ref[0])
+    vq, vs = quant(vn_ref[0])
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, _SLOT_BLK, 1), 1)
+           == s)                                       # codes blend
+    ko_ref[0, 0] = jnp.where(sel, kq, ki_ref[0, 0])
+    vo_ref[0, 0] = jnp.where(sel, vq, vi_ref[0, 0])
+    sel8 = (jax.lax.broadcasted_iota(jnp.int32, (_SLOT_BLK, 1), 0)
+            == s)                                      # scale-row blend
+    kso_ref[0, 0] = jnp.where(sel8, ks, ksi_ref[0, 0])
+    vso_ref[0, 0] = jnp.where(sel8, vs, vsi_ref[0, 0])
+
+
+@jax.jit
+def quantize_write_token(k_all, v_all, ks_all, vs_all, layer,
+                         k_new, v_new, offsets):
+    """Fused INT8 quantize + decode write for codes AND slot-major scales.
+
+    k_new/v_new: [B, Hkv, 1, D] bf16/f32 (UNquantized rows); caches:
+    codes [L, B, Hkv, S, D] int8 + scales [L, B, S, Hkv] f32, all four
+    aliased in place. Same math as quantize_kv → write_token →
+    write_token_scales, in one kernel call per layer."""
+    B, Hkv, _, D = k_new.shape
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    off = jnp.minimum(offsets.reshape(B), k_all.shape[3] - 1).astype(jnp.int32)
+
+    def cache_map(b, off, lyr):
+        return (lyr[0], b, 0, off[b] // _SLOT_BLK, 0)
+
+    def scale_map(b, off, lyr):
+        return (lyr[0], b, off[b] // _SLOT_BLK, 0)
+
+    cache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, D), cache_map)
+    sspec = pl.BlockSpec((1, 1, _SLOT_BLK, Hkv), scale_map)
+    new_spec = pl.BlockSpec((1, Hkv, 1, D), lambda b, off, lyr: (b, 0, 0, 0))
+    return pl.pallas_call(
+        _qkernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec,
+                      sspec, sspec],
+            out_specs=[cache_spec, cache_spec, sspec, sspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                   jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+                   jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+                   jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype)],
+        # operands: (off, lyr, k_new, v_new, k_all, v_all, ks_all, vs_all)
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=use_interpret(),
+    )(off, lyr, k_new, v_new, k_all, v_all, ks_all, vs_all)
+
+
 @jax.jit
 def write_token_scales(ks_all, vs_all, layer, ks_new, vs_new, offsets):
     """Write ONE token's per-head scales into slot-major [L, B, S, Hkv]."""

@@ -104,6 +104,25 @@ def main():
     finally:
         del _os.environ["LLMI_QMM_PREFILL"]
 
+    # ---- fused int8 quantize+write (round 3) vs two-step ----
+    from llm_inference_tpu.ops.pallas import kv_write as KW
+    ks3 = jax.random.split(key, 2)
+    kc = jnp.zeros((4, 2, 8, 512, 128), jnp.int8)
+    sc = jnp.zeros((4, 2, 512, 8), jnp.float32)
+    knew = jax.random.normal(ks3[0], (2, 8, 1, 128), jnp.bfloat16) * 3
+    vnew = jax.random.normal(ks3[1], (2, 8, 1, 128), jnp.bfloat16)
+    offs = jnp.array([37, 501], jnp.int32)
+    fused = KW.quantize_write_token(kc, kc, sc, sc, 2, knew, vnew, offs)
+    kq, ksc = Q.quantize_kv(knew)
+    vq, vsc = Q.quantize_kv(vnew)
+    wk, wv = KW.write_token(kc, kc, 2, kq, vq, offs)
+    wks, wvs = KW.write_token_scales(sc, sc, 2,
+                                     ksc[:, :, 0].transpose(0, 2, 1),
+                                     vsc[:, :, 0].transpose(0, 2, 1), offs)
+    ok &= check("fused quantize_write_token codes", fused[0], wk, tol=1e-6)
+    ok &= check("fused quantize_write_token scales", fused[2], wks,
+                tol=1e-5)
+
     # ---- decode attention: MHA / GQA / int8 KV ----
     for Hq, Hkv, S in [(32, 32, 512), (32, 8, 1024)]:
         ks = jax.random.split(key, 3)

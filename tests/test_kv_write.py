@@ -79,3 +79,40 @@ def test_update_cache_layer_decode_step_int8():
     assert np.all(k[0] == 0)
     # untouched slots stay zero
     assert np.all(k[1, 0, :, :4] == 0) and np.all(k[1, 0, :, 5:] == 0)
+
+
+class TestFusedQuantizeWrite:
+    """kv_write.quantize_write_token == quantize_kv → write_token →
+    write_token_scales, bit-exactly (same f32 round/clip math)."""
+
+    @pytest.mark.parametrize("B,Hkv,S,D", [(1, 8, 64, 128), (4, 2, 32, 64)])
+    def test_matches_two_step(self, B, Hkv, S, D):
+        from llm_inference_tpu.ops.quantization import quantize_kv
+        rng = np.random.default_rng(17)
+        L = 3
+        k_all = jnp.zeros((L, B, Hkv, S, D), jnp.int8)
+        v_all = jnp.zeros((L, B, Hkv, S, D), jnp.int8)
+        ks_all = jnp.zeros((L, B, S, Hkv), jnp.float32)
+        vs_all = jnp.zeros((L, B, S, Hkv), jnp.float32)
+        k_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)),
+                            jnp.float32) * 3.0
+        v_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)),
+                            jnp.float32)
+        offsets = jnp.asarray(rng.integers(0, S, B), jnp.int32)
+        layer = jnp.int32(1)
+
+        got = kv_write.quantize_write_token(k_all, v_all, ks_all, vs_all,
+                                            layer, k_new, v_new, offsets)
+
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        wk, wv = kv_write.write_token(k_all, v_all, layer, kq, vq, offsets)
+        wks, wvs = kv_write.write_token_scales(
+            ks_all, vs_all, layer, ks[:, :, 0].transpose(0, 2, 1),
+            vs[:, :, 0].transpose(0, 2, 1), offsets)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(wk))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(wv))
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(wks),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[3]), np.asarray(wvs),
+                                   rtol=1e-6)
