@@ -127,9 +127,13 @@ def _qkernel(off_ref, layer_ref, kn_ref, vn_ref, ki_ref, vi_ref,
         eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
                jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
                ).astype(jnp.float32)
+        # HIGHEST precision: the default MXU path truncates f32 operands
+        # to bf16 — a lossy scale would mismatch the codes it quantized
+        # (measured rel 6.7e-4 on chip)
         srow = jax.lax.dot_general(scale[:, 0], eye,
                                    (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
         return codes, srow                             # [Hkv,1,D], [1,Hkv]
 
     kq, ks = quant(kn_ref[0])
