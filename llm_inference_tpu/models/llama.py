@@ -212,12 +212,20 @@ def block_params(params: Params, tp_size: int = 1,
 
     def blk(w, k_local, n_local):
         if w.bits == 4 and npair_ok:
-            # the npair kernel dequantizes per GROUP ([gsize, bn] f32
-            # intermediates), never the whole block — so it takes the FULL
-            # block budget. The halved int4 budget starved 13B's w_down
-            # (Kp=6912: no 256-quantum block fits 1.5 MB) into the ~10%-
-            # slower plain layout with 0.88 MB chunks.
-            bn = choose_block_n(k_local, n_local, target_bytes, quantum=256)
+            # halved budget ON PURPOSE (chip-measured, round 3): smaller
+            # blocks = more grid steps = better DMA pipelining — qkv
+            # bn768 beats 1536 (33.5 vs 37.9 µs), down bn256 beats 512
+            # (20.7 vs 31.8), wo bn512 beats 1024 (5.6 vs 6.3). A full-
+            # budget 13B w_down fallback is avoided by the 128-quantum
+            # retry below, and the once-per-step lm_head gets its wide
+            # block via the vocab pad instead (scripts/proto_npair_dots).
+            bn = choose_block_n(k_local, n_local, budget(w), quantum=256)
+            if bn:
+                return to_blocked_npair(w, bn)
+            # no 256-quantum block fits the halved budget (13B's w_down,
+            # Kp=6912): take the FULL budget rather than fall off npair
+            bn = choose_block_n(k_local, n_local, target_bytes,
+                                quantum=256)
             if bn:
                 return to_blocked_npair(w, bn)
         bn = choose_block_n(k_local, n_local, budget(w))
@@ -236,16 +244,18 @@ def block_params(params: Params, tp_size: int = 1,
     if isinstance(lm, QTensor) and not lm.block_n:
         if npair_ok and lm.bits == 4 and tp_size == 1:
             # vocab rarely admits wide 256-quantum blocks (32000 → bn=256,
-            # 0.5 MB chunks); pad the columns to the next 512 multiple so a
-            # wide block engages (32000→32256: bn=1536, 3 MB chunks).
-            # Padded columns are EXACT zeros through the N-pair kernel
-            # (zero codes → lo_u=8, hi=0; d2 − 8·xsum cancels) and
-            # forward slices logits back to cfg.vocab_size.
+            # 0.5 MB chunks); pad the columns to the next 512 multiple so
+            # a mid-size block engages (32000→32256: bn=768 under the
+            # halved budget — the chip-measured lm_head sweet spot, 81.4
+            # µs vs 118 at bn=256 and 91.3 at bn=1536). Padded columns
+            # are EXACT zeros through the N-pair kernel (zero codes →
+            # lo_u=8, hi=0; d2 − 8·xsum cancels) and forward slices
+            # logits back to cfg.vocab_size.
             Kp, N = lm.q.shape[-2], lm.q.shape[-1]
             n_pad = _round_up(N, 512)
             if (n_pad != N
-                    and choose_block_n(Kp, n_pad, target_bytes, quantum=256)
-                    > (choose_block_n(Kp, N, target_bytes, quantum=256)
+                    and choose_block_n(Kp, n_pad, budget(lm), quantum=256)
+                    > (choose_block_n(Kp, N, budget(lm), quantum=256)
                        or 0)):
                 lm = _pad_qtensor_cols(lm, n_pad)
         out["lm_head"] = blk(lm, lm.q.shape[-2], lm.q.shape[-1] // tp_size)

@@ -58,11 +58,14 @@ _ROW_CHUNK = 2048
 
 def _npair_dot_dtype():
     """MXU dot dtype for the npair difference-of-dots (exact either way —
-    the operands are small integers). LLMI_NPAIR_DOT=f32 reverts to the
-    round-2 f32-dot path for A/B."""
+    the operands are small integers). f32 is the measured default: the
+    i8→f32 convert is one VPU op where i8→bf16 costs extra, and the GEMV
+    is DMA-bound so the MXU's slower f32 path rides free (round-3 chip
+    A/B: f32 5.82 ms/step vs bf16 6.08 end-to-end; 53.7 vs 69.8 µs on the
+    standalone gate_up block). LLMI_NPAIR_DOT=bf16 re-runs that A/B."""
     import os
-    return (jnp.float32 if os.environ.get("LLMI_NPAIR_DOT") == "f32"
-            else jnp.bfloat16)
+    return (jnp.bfloat16 if os.environ.get("LLMI_NPAIR_DOT") == "bf16"
+            else jnp.float32)
 
 
 def _pad8_m():

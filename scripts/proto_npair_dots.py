@@ -120,16 +120,27 @@ def bench(name, K, N, bn_out, M, dot_dtype, calls_a=400, calls_b=80):
     return dt
 
 
+# (shape, K, N, [bn variants]) — r2 default first, r3 full-budget second
+MATRIX = [
+    ("gate_up", 4096, 22016, [512]),
+    ("qkv", 4096, 12288, [768, 1536]),
+    ("down", 11008, 4096, [256, 512]),
+    ("wo", 4096, 4096, [512, 1024]),
+    ("lm_head", 4096, 32000, [256, 1280]),
+    ("lm_pad", 4096, 32256, [768, 1536]),
+]
+
 if __name__ == "__main__":
     log(f"devices: {jax.devices()}")
     results = {}
-    for name, K, N, bn_out in SHAPES:
-        for M in (8, 1):
-            for dt_name, dd in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-                results[(name, M, dt_name)] = bench(name, K, N, bn_out, M, dd)
-    log("\nsummary (us):")
-    for name, K, N, bn_out in SHAPES:
-        row = [f"{results[(name, M, d)]*1e6:7.1f}"
-               for M in (8, 1) for d in ("f32", "bf16")]
-        log(f"{name:8s} m8f32={row[0]} m8bf16={row[1]} "
-            f"m1f32={row[2]} m1bf16={row[3]}")
+    for name, K, N, bns in MATRIX:
+        for bn_out in bns:
+            results[(name, bn_out)] = bench(f"{name}/bn{bn_out}", K, N,
+                                            bn_out, 1, jnp.float32)
+    # dot-dtype sanity on the largest shape
+    bench("gate_up/bn512/bf16", 4096, 22016, 512, 1, jnp.bfloat16)
+    log("\nsummary (us, M=1 f32 dots):")
+    for name, K, N, bns in MATRIX:
+        row = " ".join(f"bn{bn}={results[(name, bn)]*1e6:7.1f}"
+                       for bn in bns)
+        log(f"{name:8s} {row}")
