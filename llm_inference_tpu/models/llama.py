@@ -56,7 +56,7 @@ from llm_inference_tpu.models import lora
 from llm_inference_tpu.ops import (activations, attention, embedding,
                                    kvcache, norms, paged_kvcache, rope)
 from llm_inference_tpu.utils import debug
-from llm_inference_tpu.ops.linear import matmul
+from llm_inference_tpu.ops.linear import matmul, norm_matmul
 from llm_inference_tpu.ops.pallas import decode_attention as pallas_decode
 from llm_inference_tpu.ops.pallas import flash_attention as pallas_flash
 from llm_inference_tpu.ops.pallas import paged_attention as pallas_paged
@@ -648,11 +648,24 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         # matmul (models/lora.py — no-op when no adapter stacks ride)
         return lora.apply_delta(name, lora_lp, x, out, adapter_idx)
 
+    # fused layer-entry path: the RMSNorm (and the attention residual add)
+    # run INSIDE the quantized GEMV kernels (ops/linear.norm_matmul) —
+    # drops ~6 small XLA ops per layer from the decode step. Requires the
+    # fused quantized projections and no LoRA (adapter deltas consume the
+    # materialized `normed`).
+    fused_entry = ("wqkv" in qw and "w_gateup" in qw and lora_lp is None)
+
     # --- attention block ---
-    normed = norms.rms_norm(h, lp["attn_norm"], eps)
+    if fused_entry:
+        qkv = norm_matmul(h, qw["wqkv"], lp["attn_norm"], eps,
+                          bias=lp.get("bqkv"), layer=layer_idx)
+        normed = None
+    else:
+        normed = norms.rms_norm(h, lp["attn_norm"], eps)
     if "wqkv" in qw or "wqkv" in lp:
         # load-time fused projection (fuse_params); split is shard-local
-        qkv = mm("wqkv", normed, bias=lp.get("bqkv"))
+        if not fused_entry:
+            qkv = mm("wqkv", normed, bias=lp.get("bqkv"))
         n_local = qkv.shape[-1]
         nq = n_local * cfg.num_heads // (cfg.num_heads + 2 * cfg.num_kv_heads)
         nkv = (n_local - nq) // 2
@@ -661,9 +674,10 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         q = mm("wq", normed, bias=lp.get("bq"))
         k = mm("wk", normed, bias=lp.get("bk"))
         v = mm("wv", normed, bias=lp.get("bv"))
-    q = ld("wq", normed, q)
-    k = ld("wk", normed, k)
-    v = ld("wv", normed, v)
+    if not fused_entry:
+        q = ld("wq", normed, q)
+        k = ld("wk", normed, k)
+        v = ld("wv", normed, v)
     q = q.reshape(B, T, -1, D)       # [B, T, Hq_local, D]
     k = k.reshape(B, T, -1, D)
     v = v.reshape(B, T, -1, D)
@@ -679,6 +693,18 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                    positions, write_offsets, mask,
                                    paged_history)
     attn2d = attn.reshape(B, T, -1)
+    if fused_entry:
+        attn_out = _psum(mm("wo", attn2d), tp_axis)
+        # FFN entry: norm(h + attn_out) fused into the gate-up GEMV; the
+        # kernel also returns h2 = h + attn_out (the residual stream)
+        gateup, h2 = norm_matmul(h, qw["w_gateup"], lp["ffn_norm"], eps,
+                                 residual=attn_out, layer=layer_idx,
+                                 want_x_out=True)
+        gate, up = jnp.split(gateup, 2, axis=-1)
+        act = activations.swiglu_split(gate, up)
+        h = h2 + _psum(mm("w_down", act), tp_axis)
+        return h, cache
+
     attn_out = ld("wo", attn2d, mm("wo", attn2d))
     h = h + _psum(attn_out, tp_axis)
 

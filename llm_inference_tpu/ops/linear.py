@@ -44,3 +44,30 @@ def matmul(x: jnp.ndarray, w: ArrayOrQ, bias: Optional[jnp.ndarray] = None,
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
+
+
+def norm_matmul(x: jnp.ndarray, w: ArrayOrQ, gamma: jnp.ndarray,
+                eps: float, *, residual: Optional[jnp.ndarray] = None,
+                bias: Optional[jnp.ndarray] = None, layer=None,
+                want_x_out: bool = False):
+    """y = rms_norm(x (+ residual), gamma, eps) @ W (+ bias) with the
+    norm/residual fused INTO the quantized GEMV kernel (QTensor path) —
+    the decode step drops the separate reduce/apply/add XLA ops and their
+    dispatch gaps. want_x_out also returns x + residual (the updated
+    residual stream). Dense weights use the plain jnp chain."""
+    if isinstance(w, QTensor):
+        from llm_inference_tpu.ops.pallas import quant_matmul as qm
+        out = qm.quant_matmul(x, w, layer=layer, norm_gamma=gamma,
+                              norm_eps=eps, residual=residual,
+                              want_x_out=want_x_out)
+        y, x_full = out if want_x_out else (out, None)
+    else:
+        from llm_inference_tpu.ops import norms
+        x_full = x
+        if residual is not None:
+            x_full = (x.astype(jnp.float32)
+                      + residual.astype(jnp.float32)).astype(x.dtype)
+        y = matmul(norms.rms_norm(x_full, gamma, eps), w, layer=layer)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return (y, x_full) if want_x_out else y

@@ -56,6 +56,18 @@ _PALLAS_MAX_M = 128
 _ROW_CHUNK = 2048
 
 
+def _npair_unpack_floor():
+    """npair hi-nibble extraction strategy. floor (default candidate):
+    f = bytes→f32 (1 op), hi = floor(f·1/16) (2 ops) and the lo dot falls
+    out ALGEBRAICALLY (d_lo = d1 − 16·d_hi − 8·xsum) — 3 VPU ops/byte.
+    The AND path (LLMI_NPAIR_UNPACK=and) needs i8→i32, AND, i32→f32 for
+    the lo operand plus i8→f32 for the raw bytes — 4 ops/byte. The GEMV
+    measured marginally VPU-bound at decode widths, so the 25% VPU cut
+    is the lever (chip A/B)."""
+    import os
+    return os.environ.get("LLMI_NPAIR_UNPACK", "floor") == "floor"
+
+
 def _npair_dot_dtype():
     """MXU dot dtype for the npair difference-of-dots (exact either way —
     the operands are small integers). f32 is the measured default: the
@@ -95,12 +107,40 @@ _PREFILL_BM = 256
 
 def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             block_rows: int, gsize: int, per_channel: bool,
-            asym: bool, npair: bool):
-    if asym:
-        z_ref, o_ref = rest            # zbias rides as one more operand
-    else:
-        (o_ref,) = rest
+            asym: bool, npair: bool, norm_eps: float = 0.0,
+            has_res: bool = False, want_x_out: bool = False):
+    """rest order: [z_ref if asym][g_ref if norm_eps][res_ref if has_res]
+    then o_ref [, xout_ref if want_x_out].
+
+    norm_eps > 0 fuses the layer-entry RMSNorm (and optional residual
+    add) into the GEMV: x ← rms_norm(x (+ res)) · gamma computed in f32
+    in VMEM — the separate XLA reduce/apply/add fusions (and their
+    per-op dispatch gaps) disappear from the decode step. want_x_out
+    additionally writes the PRE-norm sum (the new residual stream) once,
+    at grid step 0."""
+    rest = list(rest)
+    z_ref = rest.pop(0) if asym else None
+    g_ref = rest.pop(0) if norm_eps > 0.0 else None
+    res_ref = rest.pop(0) if has_res else None
+    o_ref = rest.pop(0)
+    xout_ref = rest.pop(0) if want_x_out else None
+    xn_ref = rest.pop(0) if (has_res or norm_eps > 0.0) else None
     x = x_ref[:]                       # [M, K] bf16
+    if has_res or norm_eps > 0.0:
+        # fused prologue ONCE, into VMEM scratch — later grid steps reuse
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            x32 = x.astype(jnp.float32)
+            if has_res:
+                x32 = x32 + res_ref[:].astype(jnp.float32)
+            if want_x_out:
+                xout_ref[:] = x32.astype(xout_ref.dtype)
+            if norm_eps > 0.0:
+                var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                x32 = x32 * jax.lax.rsqrt(var + norm_eps)
+                x32 = x32 * g_ref[:].astype(jnp.float32)  # [1, K] bcast
+            xn_ref[:] = x32
+        x = xn_ref[:]                  # f32; branches cast per chunk
     w = w_ref[0, 0]                    # [Kp, bn] int8 (packed rows for int4)
     Kp, bn = w.shape
     M = x.shape[0]
@@ -119,6 +159,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         # GEMV widths the two back-to-back dots can make the MXU the
         # bottleneck. LLMI_NPAIR_DOT=f32|bf16 picks (chip A/B).
         dd = _npair_dot_dtype()
+        floor_unpack = _npair_unpack_floor()
         acc_lo = jnp.zeros((M, bn), jnp.float32)
         acc_hi = jnp.zeros((M, bn), jnp.float32)
         # grouped: one chunk per scale group; per-channel: bound the f32
@@ -128,14 +169,26 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         xsum_all = jnp.zeros((M, 1), jnp.float32)
         for c0 in range(0, Kp, ch):
             wb = w[c0:c0 + ch]
-            bf = wb.astype(dd)
-            lo_u = (wb & 0xF).astype(dd)
             xg = x[:, c0:c0 + ch].astype(dd)
-            d1 = jnp.dot(xg, bf, preferred_element_type=jnp.float32)
-            d2 = jnp.dot(xg, lo_u, preferred_element_type=jnp.float32)
             xsum = jnp.sum(xg.astype(jnp.float32), -1, keepdims=True)
-            d_lo = d2 - 8.0 * xsum                  # undo the +8 offset
-            d_hi = (d1 - d2) * 0.0625
+            if floor_unpack:
+                # byte = 16·hi_s + lo_u exactly; d_lo falls out of the
+                # raw-byte dot algebraically — one convert+mul+floor per
+                # byte, no integer ALU (see _npair_unpack_floor)
+                f = wb.astype(jnp.float32)
+                hi_s = jnp.floor(f * 0.0625)
+                d1 = jnp.dot(xg, f.astype(dd),
+                             preferred_element_type=jnp.float32)
+                d_hi = jnp.dot(xg, hi_s.astype(dd),
+                               preferred_element_type=jnp.float32)
+                d_lo = d1 - 16.0 * d_hi - 8.0 * xsum
+            else:
+                bf = wb.astype(dd)
+                lo_u = (wb & 0xF).astype(dd)
+                d1 = jnp.dot(xg, bf, preferred_element_type=jnp.float32)
+                d2 = jnp.dot(xg, lo_u, preferred_element_type=jnp.float32)
+                d_lo = d2 - 8.0 * xsum              # undo the +8 offset
+                d_hi = (d1 - d2) * 0.0625
             if per_channel:
                 acc_lo += d_lo
                 acc_hi += d_hi
@@ -172,7 +225,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
     # never a dequantized weight in VMEM.
     if bits == 8:
         if per_channel:
-            acc = jnp.dot(x, w.astype(jnp.bfloat16),
+            acc = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
             if asym:
                 acc = acc * s_ref[0, 0][0][None, :]
@@ -181,7 +234,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         else:
             for g in range(Kp // gsize):
                 r0 = g * gsize
-                xg = x[:, r0:r0 + gsize]
+                xg = x[:, r0:r0 + gsize].astype(jnp.bfloat16)
                 d = jnp.dot(xg, w[r0:r0 + gsize].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
                 acc += d * s_ref[0, 0][g][None, :]
@@ -294,9 +347,12 @@ def _quant_matmul_tiled(x, q4, s4, lyr, z4=None, *, bits, block_rows,
 
 @functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
                                              "per_channel", "npair",
+                                             "norm_eps", "want_x_out",
                                              "interpret"))
-def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
-                          gsize, per_channel, npair=False, interpret):
+def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, gamma=None, res=None, *,
+                          bits, block_rows, gsize, per_channel,
+                          npair=False, norm_eps=0.0, want_x_out=False,
+                          interpret):
     """q4/s4 are STACKED over a leading layer axis ([L, NB, Kp, bn] /
     [L, NB, G, bn]) and `lyr` (shape [1], scalar-prefetched) picks the layer
     inside the kernel's index maps. This matters: when the layer scan slices
@@ -305,7 +361,9 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
     doubles decode weight traffic (measured ~350 ms of a 557 ms 32-step
     trace). Indexing inside the kernel makes the DMA read the original.
     z4 (asymmetric zero-point bias, scale-shaped) rides as one more
-    scale-sized operand when present."""
+    scale-sized operand when present. gamma [1, K] + norm_eps fuse the
+    layer-entry RMSNorm; res [M, K] a preceding residual add; want_x_out
+    returns (y, x + res) — see _kernel."""
     M, K = x.shape
     L, NB, Kp, bn = q4.shape
     out_bn = 2 * bn if npair else bn    # npair blocks pack two columns/byte
@@ -313,23 +371,40 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, *, bits, block_rows,
     asym = z4 is not None
     kernel = functools.partial(_kernel, bits=bits, block_rows=block_rows,
                                gsize=gsize, per_channel=per_channel,
-                               asym=asym, npair=npair)
+                               asym=asym, npair=npair, norm_eps=norm_eps,
+                               has_res=res is not None,
+                               want_x_out=want_x_out)
     sspec = pl.BlockSpec((1, 1, G, out_bn), lambda n, lyr: (lyr[0], n, 0, 0))
+    xspec = pl.BlockSpec((M, K), lambda n, lyr: (0, 0))
     in_specs = [
-        pl.BlockSpec((M, K), lambda n, lyr: (0, 0)),
+        xspec,
         pl.BlockSpec((1, 1, Kp, bn), lambda n, lyr: (lyr[0], n, 0, 0)),
         sspec,
     ] + ([sspec] if asym else [])
-    operands = (lyr, x, q4, s4) + ((z4,) if asym else ())
+    operands = [lyr, x, q4, s4] + ([z4] if asym else [])
+    if norm_eps > 0.0:
+        in_specs.append(pl.BlockSpec((1, K), lambda n, lyr: (0, 0)))
+        operands.append(gamma)
+    if res is not None:
+        in_specs.append(xspec)
+        operands.append(res)
+    out_specs = pl.BlockSpec((M, out_bn), lambda n, lyr: (0, n))
+    out_shape = jax.ShapeDtypeStruct((M, NB * out_bn), x.dtype)
+    if want_x_out:
+        out_specs = [out_specs, xspec]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((M, K), x.dtype)]
+    scratch = ([pltpu.VMEM((M, K), jnp.float32)]
+               if (norm_eps > 0.0 or res is not None) else [])
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(NB,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((M, out_bn), lambda n, lyr: (0, n)),
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((M, NB * out_bn), x.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -353,7 +428,9 @@ def _index_layer(qt: QTensor, layer) -> QTensor:
             qt.zbias, layer, 0, keepdims=False))
 
 
-def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
+def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None, *,
+                 norm_gamma=None, norm_eps: float = 1e-5,
+                 residual=None, want_x_out: bool = False):
     """y = x @ dequant(qt). x: [..., K]; returns [..., N] in x.dtype.
 
     qt may be a single weight ([NB, Kp, bn] blocked / [Kp, N] row-major) or
@@ -361,7 +438,31 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     slice — the fast path streams directly out of the stacked array.
     Fast path requires the blocked layout (qt.block_n > 0, set at weight
     load); everything else falls back to the XLA reference path.
-    """
+
+    norm_gamma [..., K] fuses the layer-entry RMSNorm into the kernel:
+    y = rms_norm(x (+ residual), norm_gamma, norm_eps) @ W — computed in
+    f32 in VMEM (strictly tighter than the bf16-cast jnp chain it
+    replaces). want_x_out returns (y, x + residual) — the updated
+    residual stream, written once by the kernel. Fallback paths apply
+    the same math in jnp before the reference matmul."""
+    fused = norm_gamma is not None or residual is not None
+
+    def jnp_prologue():
+        # same math as the kernel's fused prologue (all-f32), for the
+        # fallback/tiled paths
+        x32 = x.astype(jnp.float32)
+        if residual is not None:
+            x32 = x32 + residual.astype(jnp.float32)
+        x_full = x32.astype(x.dtype)
+        if norm_gamma is not None:
+            var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+            x32 = x32 * jax.lax.rsqrt(var + norm_eps)
+            x32 = x32 * norm_gamma.astype(jnp.float32)
+        return x32.astype(x.dtype), x_full
+
+    def ret(y, x_full=None):
+        return (y, x_full) if want_x_out else y
+
     *lead, K = x.shape
     M = 1
     for d in lead:
@@ -372,7 +473,10 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     if (M > _PALLAS_MAX_M and not tiled) or qt.block_n == 0:
         if stacked:
             qt = _index_layer(qt, layer if layer is not None else 0)
-        return qmatmul_ref(x, qt)
+        if fused:
+            xn, x_full = jnp_prologue()
+            return ret(qmatmul_ref(xn, qt), x_full)
+        return ret(qmatmul_ref(x, qt))
 
     q4 = qt.q if stacked else qt.q[None]
     s4 = qt.scale if stacked else qt.scale[None]
@@ -398,13 +502,19 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
     if not ok:
         qt2 = (_index_layer(qt, layer if layer is not None else 0)
                if stacked else qt)
-        return qmatmul_ref(x, qt2)
+        if fused:
+            xn, x_full = jnp_prologue()
+            return ret(qmatmul_ref(xn, qt2), x_full)
+        return ret(qmatmul_ref(x, qt2))
 
-    x2 = x.reshape(M, K).astype(jnp.bfloat16)
-    z4 = None
-    if qt.zbias is not None:
-        z4 = qt.zbias if stacked else qt.zbias[None]
+    x_full = None
     if tiled:
+        if fused:                        # tiled grid has no fused prologue
+            x, x_full = jnp_prologue()
+        x2 = x.reshape(M, K).astype(jnp.bfloat16)
+        z4 = None
+        if qt.zbias is not None:
+            z4 = qt.zbias if stacked else qt.zbias[None]
         m_pad = -(-M // _PREFILL_BM) * _PREFILL_BM
         if m_pad != M:
             x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
@@ -413,12 +523,37 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None) -> jnp.ndarray:
                                   per_channel=per_channel, npair=npair,
                                   interpret=use_interpret())
     else:
+        x2 = x.reshape(M, K).astype(jnp.bfloat16)
+        z4 = None
+        if qt.zbias is not None:
+            z4 = qt.zbias if stacked else qt.zbias[None]
         m_pad = max(8, M) if _pad8_m() else M
         if m_pad != M:
             x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
-        out = _quant_matmul_blocked(x2, q4, s4, lyr, z4, bits=qt.bits,
-                                    block_rows=block_rows, gsize=gsize,
-                                    per_channel=per_channel, npair=npair,
-                                    interpret=use_interpret())
-    return out[:M].reshape(*lead, NB * bn * (2 if npair else 1)
-                           ).astype(x.dtype)
+            if fused:                    # fused prologue needs exact rows
+                x, x_full = jnp_prologue()
+                x2 = jnp.pad(x.reshape(M, K).astype(jnp.bfloat16),
+                             ((0, m_pad - M), (0, 0)))
+        gam = res2 = None
+        krn_fused = fused and m_pad == M
+        if krn_fused:
+            # gamma rides in its native dtype (the kernel converts once in
+            # VMEM — an outside astype materialized per-layer f32 slices)
+            gam = (norm_gamma.reshape(1, K)
+                   if norm_gamma is not None else None)
+            res2 = (residual.reshape(M, K) if residual is not None
+                    else None)
+        out = _quant_matmul_blocked(
+            x2, q4, s4, lyr, z4,
+            gamma=gam, res=res2,
+            bits=qt.bits, block_rows=block_rows, gsize=gsize,
+            per_channel=per_channel, npair=npair,
+            norm_eps=(norm_eps if (krn_fused and norm_gamma is not None)
+                      else 0.0),
+            want_x_out=krn_fused and want_x_out,
+            interpret=use_interpret())
+        if krn_fused and want_x_out:
+            out, x_full = out
+            x_full = x_full.reshape(*lead, K)
+    y = out[:M].reshape(*lead, NB * bn * (2 if npair else 1)).astype(x.dtype)
+    return ret(y, x_full)
