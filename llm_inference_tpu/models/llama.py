@@ -258,6 +258,11 @@ def block_params(params: Params, tp_size: int = 1,
                     > (choose_block_n(Kp, N, budget(lm), quantum=256)
                        or 0)):
                 lm = _pad_qtensor_cols(lm, n_pad)
+            import os
+            force_bn = int(os.environ.get("LLMI_LMHEAD_BN", "0"))
+            if force_bn and lm.q.shape[-1] % force_bn == 0:
+                # perf-experiment knob: force the lm_head streaming width
+                return dict(out, lm_head=to_blocked_npair(lm, force_bn))
         out["lm_head"] = blk(lm, lm.q.shape[-2], lm.q.shape[-1] // tp_size)
     return out
 
@@ -423,11 +428,20 @@ def init_params_quantized(cfg: ModelConfig, key: jax.Array,
     }
     if not cfg.tie_word_embeddings:
         if qcfg.quantize_embedding:
+            # match the REAL checkpoint path (quantize_params quantizes
+            # lm_head at the CONFIG bits) — the dummy used to pin int8,
+            # so the bench streamed 131 MB of lm_head where a real int4
+            # deployment streams 66 MB
+            rows = H // 2 if bits == 4 else H
+            gs = qcfg.group_size
+            lm_groups = H // gs if (0 < gs < H) else 1
             params["lm_head"] = QTensor(
-                q=jax.random.randint(next(ks), (H, V), -128, 128, jnp.int32
-                                     ).astype(jnp.int8),
-                scale=jnp.full((1, V), scale_val, jnp.float32),
-                bits=8, group_size=0, orig_dtype=str(dtype))
+                q=jax.random.randint(next(ks), (rows, V), -128, 128,
+                                     jnp.int32).astype(jnp.int8),
+                scale=jnp.full((lm_groups, V), scale_val, jnp.float32),
+                bits=bits, group_size=qcfg.group_size,
+                orig_dtype=str(dtype),
+                block_rows=(rows if bits == 4 else 0))
         else:
             params["lm_head"] = rnd(next(ks), (H, V))
     return params
@@ -695,7 +709,19 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     attn2d = attn.reshape(B, T, -1)
     if fused_entry:
         attn_out = _psum(mm("wo", attn2d), tp_axis)
-        # FFN entry: norm(h + attn_out) fused into the gate-up GEMV; the
+        # FFN megakernel: norm(h + attn_out) → gate-up → SwiGLU → down in
+        # ONE pallas call (ops/pallas/quant_matmul.ffn_fused) — Mosaic
+        # prefetches down blocks behind the gate-up tail instead of
+        # paying a fresh DMA ramp per GEMV
+        if "w_down" in qw:
+            from llm_inference_tpu.ops.pallas import quant_matmul as _qm
+            ffn = _qm.ffn_fused(h, attn_out, lp["ffn_norm"], eps,
+                                qw["w_gateup"], qw["w_down"], layer_idx)
+            if ffn is not None:
+                down_out, h2 = ffn
+                h = h2 + _psum(down_out, tp_axis)
+                return h, cache
+        # fallback: norm(h + attn_out) fused into the gate-up GEMV; the
         # kernel also returns h2 = h + attn_out (the residual stream)
         gateup, h2 = norm_matmul(h, qw["w_gateup"], lp["ffn_norm"], eps,
                                  residual=attn_out, layer=layer_idx,

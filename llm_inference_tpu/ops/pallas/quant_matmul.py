@@ -417,6 +417,171 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, gamma=None, res=None, *,
     )(*operands)
 
 
+def _group_dots_npair(x_f32, w, s_blk, gsize, floor_unpack):
+    """Shared npair group loop (symmetric): x_f32 [M, K] f32, w [K, bnp]
+    packed bytes, s_blk [G, 2·bnp] scales. Returns [M, 2·bnp] f32."""
+    Kp, bnp = w.shape
+    M = x_f32.shape[0]
+    acc_lo = jnp.zeros((M, bnp), jnp.float32)
+    acc_hi = jnp.zeros((M, bnp), jnp.float32)
+    for c0 in range(0, Kp, gsize):
+        wb = w[c0:c0 + gsize]
+        xg = x_f32[:, c0:c0 + gsize]
+        xsum = jnp.sum(xg, -1, keepdims=True)
+        if floor_unpack:
+            f = wb.astype(jnp.float32)
+            hi_s = jnp.floor(f * 0.0625)
+            d1 = jnp.dot(xg, f, preferred_element_type=jnp.float32)
+            d_hi = jnp.dot(xg, hi_s, preferred_element_type=jnp.float32)
+            d_lo = d1 - 16.0 * d_hi - 8.0 * xsum
+        else:
+            d1 = jnp.dot(xg, wb.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            d2 = jnp.dot(xg, (wb & 0xF).astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            d_lo = d2 - 8.0 * xsum
+            d_hi = (d1 - d2) * 0.0625
+        g = c0 // gsize
+        s = s_blk[g:g + 1]
+        acc_lo += d_lo * s[:, :bnp]
+        acc_hi += d_hi * s[:, bnp:]
+    return jnp.concatenate([acc_lo, acc_hi], axis=1)
+
+
+def _ffn_kernel(lyr_ref, x_ref, g_ref, res_ref, wg_ref, sg_ref,
+                wd_ref, sd_ref, o_ref, h2_ref, xn_ref, gu_ref, act_ref, *,
+                gsize_g: int, gsize_d: int, NBg: int, outg: int,
+                I_half: int, norm_eps: float, floor_unpack: bool):
+    """FFN megakernel (npair symmetric): norm(x + res) → gate-up GEMV →
+    in-VMEM SwiGLU → down GEMV, ONE pallas_call. The single grid
+    (NBg + NBd) lets Mosaic's pipeline prefetch down-projection blocks
+    while the last gate-up blocks compute — the separate-kernel chain
+    paid a cold DMA ramp per GEMV per layer (~5 µs × 32 layers of the 7B
+    decode step). Scratch: xn (normed input), gu (f32 gate∥up — never
+    rounds to bf16 between the projections), act (f32 swiglu)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+        h2_ref[:] = x32.astype(h2_ref.dtype)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        xn_ref[:] = (x32 * jax.lax.rsqrt(var + norm_eps)
+                     * g_ref[:].astype(jnp.float32))
+
+    @pl.when(j < NBg)
+    def _():
+        acc = _group_dots_npair(xn_ref[:], wg_ref[0, 0], sg_ref[0, 0],
+                                gsize_g, floor_unpack)
+        gu_ref[:, pl.dslice(j * outg, outg)] = acc
+
+    @pl.when(j == NBg)
+    def _():
+        gate = gu_ref[:, :I_half]
+        up = gu_ref[:, I_half:]
+        act_ref[:] = gate * jax.lax.logistic(gate) * up    # SwiGLU, f32
+
+    @pl.when(j >= NBg)
+    def _():
+        acc = _group_dots_npair(act_ref[:], wd_ref[0, 0], sd_ref[0, 0],
+                                gsize_d, floor_unpack)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def ffn_fused(x, residual, gamma, eps: float, gu_qt: QTensor,
+              dn_qt: QTensor, layer):
+    """Fused FFN block for the decode path: returns (down_out, h2) or
+    None when this case is unsupported (caller falls back to the
+    separate norm_matmul/matmul chain). Supported: stacked blocked npair
+    SYMMETRIC gate-up AND down, grouped scales, M ≤ 32."""
+    *lead, K = x.shape
+    M = 1
+    for d in lead:
+        M *= d
+    if M > 32:
+        return None
+    for qt in (gu_qt, dn_qt):
+        if (not isinstance(qt, QTensor) or qt.block_n == 0
+                or qt.pack_axis != "n" or qt.zbias is not None
+                or qt.q.ndim != 4 or qt.scale.shape[-2] <= 1):
+            return None
+    L, NBg, Kg, bng = gu_qt.q.shape
+    _, NBd, Kd, bnd = dn_qt.q.shape
+    gsize_g = K // gu_qt.scale.shape[-2]
+    I2 = NBg * 2 * bng                    # gate∥up width (shard-local)
+    I_half = I2 // 2
+    gsize_d = I_half // dn_qt.scale.shape[-2]
+    if Kg != K or Kd != I_half or gsize_g < 8 or gsize_d < 8:
+        return None
+    if K % gsize_g or I_half % gsize_d:
+        return None
+
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    res2 = residual.reshape(M, K)
+    gam = gamma.reshape(1, K)
+    outg = 2 * bng
+    outd = 2 * bnd
+    H_out = NBd * outd
+
+    kernel = functools.partial(
+        _ffn_kernel, gsize_g=gsize_g, gsize_d=gsize_d, NBg=NBg, outg=outg,
+        I_half=I_half, norm_eps=eps, floor_unpack=_npair_unpack_floor())
+
+    xspec = pl.BlockSpec((M, K), lambda j, lyr: (0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NBg + NBd,),
+            in_specs=[
+                xspec,
+                pl.BlockSpec((1, K), lambda j, lyr: (0, 0)),
+                xspec,
+                pl.BlockSpec((1, 1, Kg, bng),
+                             lambda j, lyr: (lyr[0], jnp.minimum(j, NBg - 1),
+                                             0, 0)),
+                pl.BlockSpec((1, 1, gu_qt.scale.shape[-2], outg),
+                             lambda j, lyr: (lyr[0], jnp.minimum(j, NBg - 1),
+                                             0, 0)),
+                pl.BlockSpec((1, 1, Kd, bnd),
+                             lambda j, lyr: (lyr[0],
+                                             jnp.clip(j - NBg, 0, NBd - 1),
+                                             0, 0)),
+                pl.BlockSpec((1, 1, dn_qt.scale.shape[-2], outd),
+                             lambda j, lyr: (lyr[0],
+                                             jnp.clip(j - NBg, 0, NBd - 1),
+                                             0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((M, outd),
+                             lambda j, lyr: (0, jnp.clip(j - NBg, 0,
+                                                         NBd - 1))),
+                xspec,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((M, K), jnp.float32),       # xn (normed)
+                pltpu.VMEM((M, I2), jnp.float32),      # gate∥up
+                pltpu.VMEM((M, I_half), jnp.float32),  # swiglu act
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((M, H_out), x.dtype),
+                   jax.ShapeDtypeStruct((M, K), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (K * I2 + I_half * H_out),
+            bytes_accessed=(gu_qt.q.size + dn_qt.q.size) // L
+            + (gu_qt.scale.size + dn_qt.scale.size) * 4 // L,
+            transcendentals=M * I_half),
+        interpret=use_interpret(),
+    )(lyr, x2, gam, res2, gu_qt.q, gu_qt.scale, dn_qt.q, dn_qt.scale)
+    y, h2 = out
+    return (y.reshape(*lead, H_out).astype(x.dtype),
+            h2.reshape(*lead, K).astype(x.dtype))
+
+
 def _index_layer(qt: QTensor, layer) -> QTensor:
     """Slice one layer out of a stacked QTensor (XLA fallback paths)."""
     return QTensor(

@@ -381,3 +381,46 @@ class TestPrefillTiledKernel:
         np.testing.assert_allclose(np.asarray(QM.quant_matmul(x, qt)),
                                    np.asarray(Q.qmatmul_ref(x, qt)),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestFFNMegakernel:
+    """ffn_fused (norm → gate-up → SwiGLU → down, one pallas call) vs the
+    separate norm_matmul + swiglu + matmul chain."""
+
+    def test_matches_separate_chain(self):
+        from llm_inference_tpu.ops.linear import matmul, norm_matmul
+        rng = np.random.default_rng(41)
+        M, K, I = 2, 512, 512           # npair engages (bn 256 | 2I=1024)
+        wg = (rng.standard_normal((2, K, 2 * I)) * 0.05).astype(np.float32)
+        wd = (rng.standard_normal((2, I, K)) * 0.05).astype(np.float32)
+        gu = Q.to_blocked_npair(
+            jax.vmap(lambda m: Q.quantize(m, 4, 64))(jnp.asarray(wg)), 512)
+        dn = Q.to_blocked_npair(
+            jax.vmap(lambda m: Q.quantize(m, 4, 64))(jnp.asarray(wd)), 256)
+        x = jnp.asarray(rng.standard_normal((1, M, K)), jnp.float32) * 0.3
+        res = jnp.asarray(rng.standard_normal((1, M, K)), jnp.float32) * 0.3
+        gamma = jnp.ones((K,), jnp.float32)
+        for layer in range(2):
+            out = QM.ffn_fused(x, res, gamma, 1e-5, gu, dn, layer)
+            assert out is not None, "megakernel must engage at these dims"
+            y, h2 = out
+            gateup, h2_ref = norm_matmul(x, gu, gamma, 1e-5, residual=res,
+                                         layer=layer, want_x_out=True)
+            gate, up = jnp.split(gateup, 2, axis=-1)
+            act = jax.nn.silu(gate.astype(jnp.float32)) * up.astype(
+                jnp.float32)
+            y_ref = matmul(act.astype(x.dtype), dn, layer=layer)
+            # both paths bf16-round the x operand at different points;
+            # each is within one bf16 ulp of the exact x + res
+            np.testing.assert_allclose(np.asarray(h2), np.asarray(h2_ref),
+                                       atol=5e-3, rtol=5e-3)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       atol=3e-2, rtol=3e-2)
+
+    def test_falls_back_unsupported(self):
+        rng = np.random.default_rng(42)
+        wg = (rng.standard_normal((2, 128, 256)) * 0.05).astype(np.float32)
+        qt8 = Q.to_blocked(jax.vmap(lambda m: Q.quantize(m, 8, 32))(
+            jnp.asarray(wg)), 128)
+        x = jnp.ones((1, 1, 128), jnp.float32)
+        assert QM.ffn_fused(x, x, jnp.ones((128,)), 1e-5, qt8, qt8, 0) is None
