@@ -708,6 +708,18 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                    paged_history)
     attn2d = attn.reshape(B, T, -1)
     if fused_entry:
+        # single-chip: the whole layer tail (wo → +h/norm → gate-up →
+        # SwiGLU → down) is ONE pallas call — three kernel boundaries
+        # removed per layer. Under TP the wo partials must psum before
+        # the residual, so the tail splits after wo (ffn_fused).
+        if tp_axis is None and "wo" in qw and "w_down" in qw:
+            from llm_inference_tpu.ops.pallas import quant_matmul as _qm
+            tail = _qm.layer_tail_fused(h, attn2d, qw["wo"],
+                                        qw["w_gateup"], qw["w_down"],
+                                        lp["ffn_norm"], eps, layer_idx)
+            if tail is not None:
+                down_out, h2 = tail
+                return h2 + down_out, cache
         attn_out = _psum(mm("wo", attn2d), tp_axis)
         # FFN megakernel: norm(h + attn_out) → gate-up → SwiGLU → down in
         # ONE pallas call (ops/pallas/quant_matmul.ffn_fused) — Mosaic

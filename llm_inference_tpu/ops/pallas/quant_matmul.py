@@ -488,6 +488,157 @@ def _ffn_kernel(lyr_ref, x_ref, g_ref, res_ref, wg_ref, sg_ref,
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
+def _layer_tail_kernel(lyr_ref, h_ref, g_ref, attn_ref, wo_ref, so_ref,
+                       wg_ref, sg_ref, wd_ref, sd_ref, o_ref, h2_ref,
+                       wout_ref, xn_ref, gu_ref, act_ref, *,
+                       gsize_o: int, gsize_g: int, gsize_d: int,
+                       NBo: int, NBg: int, outw: int, outg: int,
+                       I_half: int, norm_eps: float, floor_unpack: bool):
+    """Single-chip layer tail: wo GEMV → (+h, RMSNorm) → gate-up GEMV →
+    SwiGLU → down GEMV as ONE pallas call — three kernel boundaries (and
+    their DMA ramps) removed per layer. TP cannot use this (wo partials
+    must psum before the residual/norm); ffn_fused covers that case."""
+    j = pl.program_id(0)
+
+    @pl.when(j < NBo)
+    def _():
+        acc = _group_dots_npair(attn_ref[:].astype(jnp.float32),
+                                wo_ref[0, 0], so_ref[0, 0], gsize_o,
+                                floor_unpack)
+        wout_ref[:, pl.dslice(j * outw, outw)] = acc
+
+    @pl.when(j == NBo)
+    def _():
+        x32 = h_ref[:].astype(jnp.float32) + wout_ref[:]
+        h2_ref[:] = x32.astype(h2_ref.dtype)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        xn_ref[:] = (x32 * jax.lax.rsqrt(var + norm_eps)
+                     * g_ref[:].astype(jnp.float32))
+
+    @pl.when((j >= NBo) & (j < NBo + NBg))
+    def _():
+        acc = _group_dots_npair(xn_ref[:], wg_ref[0, 0], sg_ref[0, 0],
+                                gsize_g, floor_unpack)
+        gu_ref[:, pl.dslice((j - NBo) * outg, outg)] = acc
+
+    @pl.when(j == NBo + NBg)
+    def _():
+        gate = gu_ref[:, :I_half]
+        up = gu_ref[:, I_half:]
+        act_ref[:] = gate * jax.lax.logistic(gate) * up
+
+    @pl.when(j >= NBo + NBg)
+    def _():
+        acc = _group_dots_npair(act_ref[:], wd_ref[0, 0], sd_ref[0, 0],
+                                gsize_d, floor_unpack)
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _npair_ok_for_fuse(qt, rows):
+    return (isinstance(qt, QTensor) and qt.block_n != 0
+            and qt.pack_axis == "n" and qt.zbias is None
+            and qt.q.ndim == 4 and qt.scale.shape[-2] > 1
+            and qt.q.shape[-2] == rows)
+
+
+def layer_tail_fused(h, attn2d, wo_qt: QTensor, gu_qt: QTensor,
+                     dn_qt: QTensor, gamma, eps: float, layer):
+    """wo → residual+norm → gate-up → SwiGLU → down, one pallas call.
+    Returns (down_out, h2 = h + wo_out) or None when unsupported
+    (caller falls back; see _layer_tail_kernel). SINGLE-CHIP ONLY — the
+    caller must not be inside a sharded forward."""
+    *lead, K = h.shape
+    Ko = attn2d.shape[-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if M > 32:
+        return None
+    if not (_npair_ok_for_fuse(wo_qt, Ko) and _npair_ok_for_fuse(gu_qt, K)):
+        return None
+    L, NBo, _, bno = wo_qt.q.shape
+    _, NBg, _, bng = gu_qt.q.shape
+    if NBo * 2 * bno != K:
+        return None
+    I2 = NBg * 2 * bng
+    I_half = I2 // 2
+    if not _npair_ok_for_fuse(dn_qt, I_half):
+        return None
+    _, NBd, _, bnd = dn_qt.q.shape
+    gsize_o = Ko // wo_qt.scale.shape[-2]
+    gsize_g = K // gu_qt.scale.shape[-2]
+    gsize_d = I_half // dn_qt.scale.shape[-2]
+    if min(gsize_o, gsize_g, gsize_d) < 8:
+        return None
+    if Ko % gsize_o or K % gsize_g or I_half % gsize_d:
+        return None
+
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    h2d = h.reshape(M, K).astype(jnp.bfloat16)
+    a2d = attn2d.reshape(M, Ko).astype(jnp.bfloat16)
+    gam = gamma.reshape(1, K)
+    outw, outg, outd = 2 * bno, 2 * bng, 2 * bnd
+    H_out = NBd * outd
+
+    kernel = functools.partial(
+        _layer_tail_kernel, gsize_o=gsize_o, gsize_g=gsize_g,
+        gsize_d=gsize_d, NBo=NBo, NBg=NBg, outw=outw, outg=outg,
+        I_half=I_half, norm_eps=eps, floor_unpack=_npair_unpack_floor())
+
+    def wmap(nb, off):
+        return lambda j, lyr: (lyr[0], jnp.clip(j - off, 0, nb - 1), 0, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NBo + NBg + NBd,),
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j, lyr: (0, 0)),
+                pl.BlockSpec((1, K), lambda j, lyr: (0, 0)),
+                pl.BlockSpec((M, Ko), lambda j, lyr: (0, 0)),
+                pl.BlockSpec((1, 1, Ko, bno), wmap(NBo, 0)),
+                pl.BlockSpec((1, 1, wo_qt.scale.shape[-2], outw),
+                             wmap(NBo, 0)),
+                pl.BlockSpec((1, 1, K, bng), wmap(NBg, NBo)),
+                pl.BlockSpec((1, 1, gu_qt.scale.shape[-2], outg),
+                             wmap(NBg, NBo)),
+                pl.BlockSpec((1, 1, I_half, bnd), wmap(NBd, NBo + NBg)),
+                pl.BlockSpec((1, 1, dn_qt.scale.shape[-2], outd),
+                             wmap(NBd, NBo + NBg)),
+            ],
+            out_specs=[
+                pl.BlockSpec((M, outd),
+                             lambda j, lyr: (0, jnp.clip(j - NBo - NBg, 0,
+                                                         NBd - 1))),
+                pl.BlockSpec((M, K), lambda j, lyr: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((M, K), jnp.float32),       # wo_out
+                pltpu.VMEM((M, K), jnp.float32),       # xn (normed)
+                pltpu.VMEM((M, I2), jnp.float32),      # gate∥up
+                pltpu.VMEM((M, I_half), jnp.float32),  # swiglu act
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((M, H_out), h.dtype),
+                   jax.ShapeDtypeStruct((M, K), h.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * (Ko * K + K * I2 + I_half * H_out),
+            bytes_accessed=(wo_qt.q.size + gu_qt.q.size + dn_qt.q.size) // L
+            + (wo_qt.scale.size + gu_qt.scale.size
+               + dn_qt.scale.size) * 4 // L,
+            transcendentals=M * I_half),
+        interpret=use_interpret(),
+    )(lyr, h2d, gam, a2d, wo_qt.q, wo_qt.scale, gu_qt.q, gu_qt.scale,
+      dn_qt.q, dn_qt.scale)
+    y, h2 = out
+    return (y.reshape(*lead, H_out).astype(h.dtype),
+            h2.reshape(*lead, K).astype(h.dtype))
+
+
 def ffn_fused(x, residual, gamma, eps: float, gu_qt: QTensor,
               dn_qt: QTensor, layer):
     """Fused FFN block for the decode path: returns (down_out, h2) or

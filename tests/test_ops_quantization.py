@@ -424,3 +424,41 @@ class TestFFNMegakernel:
             jnp.asarray(wg)), 128)
         x = jnp.ones((1, 1, 128), jnp.float32)
         assert QM.ffn_fused(x, x, jnp.ones((128,)), 1e-5, qt8, qt8, 0) is None
+
+
+class TestLayerTailMegakernel:
+    def test_matches_separate_chain(self):
+        from llm_inference_tpu.ops.linear import matmul, norm_matmul
+        rng = np.random.default_rng(43)
+        M, K, I = 2, 512, 512
+        Ko = K
+        wo = (rng.standard_normal((2, Ko, K)) * 0.05).astype(np.float32)
+        wg = (rng.standard_normal((2, K, 2 * I)) * 0.05).astype(np.float32)
+        wd = (rng.standard_normal((2, I, K)) * 0.05).astype(np.float32)
+        woq = Q.to_blocked_npair(
+            jax.vmap(lambda m: Q.quantize(m, 4, 64))(jnp.asarray(wo)), 256)
+        gu = Q.to_blocked_npair(
+            jax.vmap(lambda m: Q.quantize(m, 4, 64))(jnp.asarray(wg)), 512)
+        dn = Q.to_blocked_npair(
+            jax.vmap(lambda m: Q.quantize(m, 4, 64))(jnp.asarray(wd)), 256)
+        h = jnp.asarray(rng.standard_normal((1, M, K)), jnp.float32) * 0.3
+        attn = jnp.asarray(rng.standard_normal((1, M, Ko)),
+                           jnp.float32) * 0.3
+        gamma = jnp.asarray(rng.standard_normal((K,)), jnp.float32)
+        for layer in range(2):
+            out = QM.layer_tail_fused(h, attn, woq, gu, dn, gamma, 1e-5,
+                                      layer)
+            assert out is not None
+            y, h2 = out
+            wo_out = matmul(attn, woq, layer=layer)
+            gateup, h2_ref = norm_matmul(h, gu, gamma, 1e-5,
+                                         residual=wo_out, layer=layer,
+                                         want_x_out=True)
+            gate, up = jnp.split(gateup, 2, axis=-1)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32))
+            y_ref = matmul(act.astype(h.dtype), dn, layer=layer)
+            np.testing.assert_allclose(np.asarray(h2), np.asarray(h2_ref),
+                                       atol=5e-3, rtol=5e-3)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       atol=3e-2, rtol=3e-2)
