@@ -634,7 +634,8 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
 
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str],
-           paged_history: bool = False, lora_lp=None, adapter_idx=None):
+           paged_history: bool = False, lora_lp=None, adapter_idx=None,
+           stacked_norms=None):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
     Layer-varying state is split three ways:
@@ -666,12 +667,16 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     # run INSIDE the quantized GEMV kernels (ops/linear.norm_matmul) —
     # drops ~6 small XLA ops per layer from the decode step. Requires the
     # fused quantized projections and no LoRA (adapter deltas consume the
-    # materialized `normed`).
+    # materialized `normed`). Stacked norms (when provided) index by the
+    # prefetched layer INSIDE the kernels — no per-layer gamma slice ops.
     fused_entry = ("wqkv" in qw and "w_gateup" in qw and lora_lp is None)
+    sn = stacked_norms or {}
+    attn_gamma = sn.get("attn_norm", lp["attn_norm"])
+    ffn_gamma = sn.get("ffn_norm", lp["ffn_norm"])
 
     # --- attention block ---
     if fused_entry:
-        qkv = norm_matmul(h, qw["wqkv"], lp["attn_norm"], eps,
+        qkv = norm_matmul(h, qw["wqkv"], attn_gamma, eps,
                           bias=lp.get("bqkv"), layer=layer_idx)
         normed = None
     else:
@@ -716,7 +721,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
             from llm_inference_tpu.ops.pallas import quant_matmul as _qm
             tail = _qm.layer_tail_fused(h, attn2d, qw["wo"],
                                         qw["w_gateup"], qw["w_down"],
-                                        lp["ffn_norm"], eps, layer_idx)
+                                        ffn_gamma, eps, layer_idx)
             if tail is not None:
                 down_out, h2 = tail
                 return h2 + down_out, cache
@@ -727,7 +732,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         # paying a fresh DMA ramp per GEMV
         if "w_down" in qw:
             from llm_inference_tpu.ops.pallas import quant_matmul as _qm
-            ffn = _qm.ffn_fused(h, attn_out, lp["ffn_norm"], eps,
+            ffn = _qm.ffn_fused(h, attn_out, ffn_gamma, eps,
                                 qw["w_gateup"], qw["w_down"], layer_idx)
             if ffn is not None:
                 down_out, h2 = ffn
@@ -735,7 +740,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                 return h, cache
         # fallback: norm(h + attn_out) fused into the gate-up GEMV; the
         # kernel also returns h2 = h + attn_out (the residual stream)
-        gateup, h2 = norm_matmul(h, qw["w_gateup"], lp["ffn_norm"], eps,
+        gateup, h2 = norm_matmul(h, qw["w_gateup"], ffn_gamma, eps,
                                  residual=attn_out, layer=layer_idx,
                                  want_x_out=True)
         gate, up = jnp.split(gateup, 2, axis=-1)
@@ -814,13 +819,27 @@ def forward(
 
     debug.tap("embed", h)
 
+    # Scan-sliced gammas are the measured DEFAULT: feeding the kernels
+    # the STACKED [L, 1, K] norms (indexed by the prefetched layer) costs
+    # ~0.1 ms/step MORE at 7B — the unit sublane dim pads to a full tile
+    # so every per-call gamma DMA reads ~16x the row (A/B'd 2x2
+    # interleaved: 5.44 vs 5.34 ms/step). LLMI_STACKED_GAMMA=1 re-runs
+    # that A/B.
+    import os as _os
+    stacked_norms = None
+    if (lora_stacks is None and "wqkv" in qw and "w_gateup" in qw
+            and _os.environ.get("LLMI_STACKED_GAMMA") == "1"):
+        stacked_norms = {"attn_norm": params["layers"]["attn_norm"],
+                         "ffn_norm": params["layers"]["ffn_norm"]}
+
     def body(carry, xs_t):
         lp, lora_lp = xs_t
         h, cache, idx = carry
         h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
                           write_offsets, mask, cos, sin, tp_axis,
                           paged_history=paged_history, lora_lp=lora_lp,
-                          adapter_idx=adapter_idx)
+                          adapter_idx=adapter_idx,
+                          stacked_norms=stacked_norms)
         debug.tap("out", h, layer=idx)   # SAVE_DATA-style per-layer dump
         return (h, cache, idx + 1), None
 

@@ -138,7 +138,7 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
             if norm_eps > 0.0:
                 var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
                 x32 = x32 * jax.lax.rsqrt(var + norm_eps)
-                x32 = x32 * g_ref[:].astype(jnp.float32)  # [1, K] bcast
+                x32 = x32 * g_ref[0].astype(jnp.float32)  # [1, K] bcast
             xn_ref[:] = x32
         x = xn_ref[:]                  # f32; branches cast per chunk
     w = w_ref[0, 0]                    # [Kp, bn] int8 (packed rows for int4)
@@ -383,7 +383,18 @@ def _quant_matmul_blocked(x, q4, s4, lyr, z4=None, gamma=None, res=None, *,
     ] + ([sspec] if asym else [])
     operands = [lyr, x, q4, s4] + ([z4] if asym else [])
     if norm_eps > 0.0:
-        in_specs.append(pl.BlockSpec((1, K), lambda n, lyr: (0, 0)))
+        if gamma.ndim == 2 and gamma.shape[0] == L and L > 1:
+            # STACKED per-layer gammas [L, 1, K], indexed by the prefetched
+            # layer like the weights — no per-layer XLA slice op. The unit
+            # middle dim satisfies Mosaic's sublane block rule (a [1, K]
+            # block of an [L, K] array does not).
+            gamma = gamma[:, None, :]
+            in_specs.append(pl.BlockSpec((1, 1, K),
+                                         lambda n, lyr: (lyr[0], 0, 0)))
+        else:
+            gamma = gamma.reshape(1, 1, K)
+            in_specs.append(pl.BlockSpec((1, 1, K),
+                                         lambda n, lyr: (0, 0, 0)))
         operands.append(gamma)
     if res is not None:
         in_specs.append(xspec)
@@ -467,7 +478,7 @@ def _ffn_kernel(lyr_ref, x_ref, g_ref, res_ref, wg_ref, sg_ref,
         h2_ref[:] = x32.astype(h2_ref.dtype)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         xn_ref[:] = (x32 * jax.lax.rsqrt(var + norm_eps)
-                     * g_ref[:].astype(jnp.float32))
+                     * g_ref[0].astype(jnp.float32))
 
     @pl.when(j < NBg)
     def _():
@@ -513,7 +524,7 @@ def _layer_tail_kernel(lyr_ref, h_ref, g_ref, attn_ref, wo_ref, so_ref,
         h2_ref[:] = x32.astype(h2_ref.dtype)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         xn_ref[:] = (x32 * jax.lax.rsqrt(var + norm_eps)
-                     * g_ref[:].astype(jnp.float32))
+                     * g_ref[0].astype(jnp.float32))
 
     @pl.when((j >= NBo) & (j < NBo + NBg))
     def _():
@@ -576,7 +587,10 @@ def layer_tail_fused(h, attn2d, wo_qt: QTensor, gu_qt: QTensor,
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     h2d = h.reshape(M, K).astype(jnp.bfloat16)
     a2d = attn2d.reshape(M, Ko).astype(jnp.bfloat16)
-    gam = gamma.reshape(1, K)
+    g_stacked = gamma.ndim == 2 and gamma.shape[0] == L and L > 1
+    gam = gamma[:, None, :] if g_stacked else gamma.reshape(1, 1, K)
+    gmap = ((lambda j, lyr: (lyr[0], 0, 0)) if g_stacked
+            else (lambda j, lyr: (0, 0, 0)))
     outw, outg, outd = 2 * bno, 2 * bng, 2 * bnd
     H_out = NBd * outd
 
@@ -595,7 +609,7 @@ def layer_tail_fused(h, attn2d, wo_qt: QTensor, gu_qt: QTensor,
             grid=(NBo + NBg + NBd,),
             in_specs=[
                 pl.BlockSpec((M, K), lambda j, lyr: (0, 0)),
-                pl.BlockSpec((1, K), lambda j, lyr: (0, 0)),
+                pl.BlockSpec((1, 1, K), gmap),
                 pl.BlockSpec((M, Ko), lambda j, lyr: (0, 0)),
                 pl.BlockSpec((1, 1, Ko, bno), wmap(NBo, 0)),
                 pl.BlockSpec((1, 1, wo_qt.scale.shape[-2], outw),
@@ -670,7 +684,10 @@ def ffn_fused(x, residual, gamma, eps: float, gu_qt: QTensor,
     lyr = jnp.asarray(layer, jnp.int32).reshape(1)
     x2 = x.reshape(M, K).astype(jnp.bfloat16)
     res2 = residual.reshape(M, K)
-    gam = gamma.reshape(1, K)
+    g_stacked = gamma.ndim == 2 and gamma.shape[0] == L and L > 1
+    gam = gamma[:, None, :] if g_stacked else gamma.reshape(1, 1, K)
+    gmap = ((lambda j, lyr: (lyr[0], 0, 0)) if g_stacked
+            else (lambda j, lyr: (0, 0, 0)))
     outg = 2 * bng
     outd = 2 * bnd
     H_out = NBd * outd
@@ -687,7 +704,7 @@ def ffn_fused(x, residual, gamma, eps: float, gu_qt: QTensor,
             grid=(NBg + NBd,),
             in_specs=[
                 xspec,
-                pl.BlockSpec((1, K), lambda j, lyr: (0, 0)),
+                pl.BlockSpec((1, 1, K), gmap),
                 xspec,
                 pl.BlockSpec((1, 1, Kg, bng),
                              lambda j, lyr: (lyr[0], jnp.minimum(j, NBg - 1),
@@ -771,9 +788,13 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None, *,
             x32 = x32 + residual.astype(jnp.float32)
         x_full = x32.astype(x.dtype)
         if norm_gamma is not None:
+            g = norm_gamma
+            if g.ndim == 2 and g.shape[0] != 1:     # stacked [L, K]
+                g = jax.lax.dynamic_index_in_dim(
+                    g, layer if layer is not None else 0, 0, keepdims=False)
             var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
             x32 = x32 * jax.lax.rsqrt(var + norm_eps)
-            x32 = x32 * norm_gamma.astype(jnp.float32)
+            x32 = x32 * g.astype(jnp.float32)
         return x32.astype(x.dtype), x_full
 
     def ret(y, x_full=None):
@@ -854,9 +875,9 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None, *,
         krn_fused = fused and m_pad == M
         if krn_fused:
             # gamma rides in its native dtype (the kernel converts once in
-            # VMEM — an outside astype materialized per-layer f32 slices)
-            gam = (norm_gamma.reshape(1, K)
-                   if norm_gamma is not None else None)
+            # VMEM); stacked [L, K] gammas pass through whole and index by
+            # the prefetched layer inside the kernel
+            gam = norm_gamma
             res2 = (residual.reshape(M, K) if residual is not None
                     else None)
         out = _quant_matmul_blocked(
