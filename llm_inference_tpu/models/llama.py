@@ -635,7 +635,7 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str],
            paged_history: bool = False, lora_lp=None, adapter_idx=None,
-           stacked_norms=None):
+           stacked_norms=None, residual_in=None, want_pair: bool = False):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
     Layer-varying state is split three ways:
@@ -676,10 +676,20 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
 
     # --- attention block ---
     if fused_entry:
-        qkv = norm_matmul(h, qw["wqkv"], attn_gamma, eps,
-                          bias=lp.get("bqkv"), layer=layer_idx)
+        if residual_in is not None:
+            # pair-carry protocol (forward's fused scan): the previous
+            # layer's down-projection delta folds into THIS kernel's
+            # prologue — the per-layer h2 + down XLA add disappears
+            qkv, h = norm_matmul(h, qw["wqkv"], attn_gamma, eps,
+                                 bias=lp.get("bqkv"), layer=layer_idx,
+                                 residual=residual_in, want_x_out=True)
+        else:
+            qkv = norm_matmul(h, qw["wqkv"], attn_gamma, eps,
+                              bias=lp.get("bqkv"), layer=layer_idx)
         normed = None
     else:
+        if residual_in is not None:
+            h = h + residual_in
         normed = norms.rms_norm(h, lp["attn_norm"], eps)
     if "wqkv" in qw or "wqkv" in lp:
         # load-time fused projection (fuse_params); split is shard-local
@@ -724,6 +734,8 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                         ffn_gamma, eps, layer_idx)
             if tail is not None:
                 down_out, h2 = tail
+                if want_pair:
+                    return h2, cache, down_out
                 return h2 + down_out, cache
         attn_out = _psum(mm("wo", attn2d), tp_axis)
         # FFN megakernel: norm(h + attn_out) → gate-up → SwiGLU → down in
@@ -736,8 +748,10 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                 qw["w_gateup"], qw["w_down"], layer_idx)
             if ffn is not None:
                 down_out, h2 = ffn
-                h = h2 + _psum(down_out, tp_axis)
-                return h, cache
+                down_out = _psum(down_out, tp_axis)
+                if want_pair:
+                    return h2, cache, down_out
+                return h2 + down_out, cache
         # fallback: norm(h + attn_out) fused into the gate-up GEMV; the
         # kernel also returns h2 = h + attn_out (the residual stream)
         gateup, h2 = norm_matmul(h, qw["w_gateup"], ffn_gamma, eps,
@@ -745,8 +759,10 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
                                  want_x_out=True)
         gate, up = jnp.split(gateup, 2, axis=-1)
         act = activations.swiglu_split(gate, up)
-        h = h2 + _psum(mm("w_down", act), tp_axis)
-        return h, cache
+        down_out = _psum(mm("w_down", act), tp_axis)
+        if want_pair:
+            return h2, cache, down_out
+        return h2 + down_out, cache
 
     attn_out = ld("wo", attn2d, mm("wo", attn2d))
     h = h + _psum(attn_out, tp_axis)
@@ -761,8 +777,10 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         act = activations.swiglu_split(
             ld("w_gate", normed, mm("w_gate", normed)),
             ld("w_up", normed, mm("w_up", normed)))
-    h = h + _psum(ld("w_down", act, mm("w_down", act)), tp_axis)
-    return h, cache
+    down_out = _psum(ld("w_down", act, mm("w_down", act)), tp_axis)
+    if want_pair:
+        return h, cache, down_out
+    return h + down_out, cache
 
 
 def forward(
@@ -832,19 +850,38 @@ def forward(
         stacked_norms = {"attn_norm": params["layers"]["attn_norm"],
                          "ffn_norm": params["layers"]["ffn_norm"]}
 
-    def body(carry, xs_t):
-        lp, lora_lp = xs_t
-        h, cache, idx = carry
-        h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
-                          write_offsets, mask, cos, sin, tp_axis,
-                          paged_history=paged_history, lora_lp=lora_lp,
-                          adapter_idx=adapter_idx,
-                          stacked_norms=stacked_norms)
-        debug.tap("out", h, layer=idx)   # SAVE_DATA-style per-layer dump
-        return (h, cache, idx + 1), None
+    use_pair = lora_stacks is None and "wqkv" in qw and "w_gateup" in qw
+    if use_pair:
+        # pair carry (h2, delta): each layer's down-projection delta folds
+        # into the NEXT layer's fused qkv prologue instead of a standalone
+        # XLA add per layer; the pair closes once after the scan
+        def body(carry, lp):
+            h2, d, cache, idx = carry
+            h2, cache, d2 = _layer(cfg, h2, lp, qw, cache, idx, positions,
+                                   write_offsets, mask, cos, sin, tp_axis,
+                                   paged_history=paged_history,
+                                   stacked_norms=stacked_norms,
+                                   residual_in=d, want_pair=True)
+            debug.tap("out", h2 + d2, layer=idx)
+            return (h2, d2, cache, idx + 1), None
 
-    (h, new_cache, _), _ = jax.lax.scan(
-        body, (h, cache, jnp.int32(0)), (xs, lora_stacks))
+        (h, d, new_cache, _), _ = jax.lax.scan(
+            body, (h, jnp.zeros_like(h), cache, jnp.int32(0)), xs)
+        h = h + d
+    else:
+        def body(carry, xs_t):
+            lp, lora_lp = xs_t
+            h, cache, idx = carry
+            h, cache = _layer(cfg, h, lp, qw, cache, idx, positions,
+                              write_offsets, mask, cos, sin, tp_axis,
+                              paged_history=paged_history, lora_lp=lora_lp,
+                              adapter_idx=adapter_idx,
+                              stacked_norms=stacked_norms)
+            debug.tap("out", h, layer=idx)   # SAVE_DATA per-layer dump
+            return (h, cache, idx + 1), None
+
+        (h, new_cache, _), _ = jax.lax.scan(
+            body, (h, cache, jnp.int32(0)), (xs, lora_stacks))
 
     if logits_mode == "none":
         return None, new_cache

@@ -891,6 +891,8 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None, *,
             interpret=use_interpret())
         if krn_fused and want_x_out:
             out, x_full = out
-            x_full = x_full.reshape(*lead, K)
+            # the kernel's x operand (and so this output) is bf16; give
+            # the caller back its own dtype
+            x_full = x_full.reshape(*lead, K).astype(x.dtype)
     y = out[:M].reshape(*lead, NB * bn * (2 if npair else 1)).astype(x.dtype)
     return ret(y, x_full)
