@@ -61,8 +61,13 @@ from jax.experimental.pallas import tpu as pltpu
 from llm_inference_tpu.ops.pallas import use_interpret
 
 NEG_INF = -1e30
-_DEF_BT = 256
-_DEF_BS = 512
+# Round-3 retune: the grid-step count, not FLOPs, dominated long-prefill
+# flash (T=4096 MHA: 2300+ steps/layer at 256x512 — per-step fixed cost
+# and mask VPU put the kernel at ~20% of its MXU SoL). 512x1024 quarters
+# the step count; the diagonal-only mask skip (_mask call sites) removes
+# the iota/compare/where VPU from interior blocks.
+_DEF_BT = 512
+_DEF_BS = 1024
 
 
 def _head_scale_row(s_block, head):
@@ -88,6 +93,18 @@ def _mask(scores, qpos, win, s, bs):
     ok = slot <= qpos[:, None]
     ok &= (win <= 0) | (slot > (qpos[:, None] - win))
     return jnp.where(ok, scores, NEG_INF)
+
+
+def _fully_visible(qpos, win, s, bs, bt):
+    """Whether slot block s is visible to EVERY row of this q block (so
+    the [bt, bs] iota/compare/where mask can be skipped — true for all
+    interior blocks; only the causal diagonal and the window's left edge
+    need the mask)."""
+    lo_pos = qpos[0]                       # monotonic rows
+    hi_pos = qpos[bt - 1]
+    vis = (s + 1) * bs - 1 <= lo_pos       # causally visible to the MIN row
+    vis &= (win <= 0) | (s * bs > hi_pos - win)   # inside the MAX row's win
+    return vis
 
 
 def _online_update(scores, m_ref, l_ref):
@@ -133,7 +150,9 @@ def _flash_body(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
-        scores = _mask(scores, qpos, win, s, bs)
+        scores = jax.lax.cond(
+            _fully_visible(qpos, win, s, bs, bt),
+            lambda sc: sc, lambda sc: _mask(sc, qpos, win, s, bs), scores)
         p, alpha = _online_update(scores, m_ref, l_ref)
         if quantized:
             p = p * _head_scale_row(vs_ref[0, 0], h // G)
@@ -195,7 +214,9 @@ def _flash_body4(qpos_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
         scores = scores * _head_scale_row(ks_ref[0, 0], h // G)
         if softcap > 0.0:
             scores = jnp.tanh(scores / softcap) * softcap
-        scores = _mask(scores, qpos, win, s, bs)
+        scores = jax.lax.cond(
+            _fully_visible(qpos, win, s, bs, bt),
+            lambda sc: sc, lambda sc: _mask(sc, qpos, win, s, bs), scores)
         p, alpha = _online_update(scores, m_ref, l_ref)
         p = p * _head_scale_row(vs_ref[0, 0], h // G)
         # i32 before the AND — Mosaic v5e has no i8 ALU

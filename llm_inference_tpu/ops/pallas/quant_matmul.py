@@ -90,14 +90,15 @@ def _pad8_m():
 
 def _prefill_kernel_on():
     """Whether M > _PALLAS_MAX_M (prefill-sized) matmuls use the m-tiled
-    Pallas path instead of the XLA einsum fallback. Off until chip-A/B'd
-    (LLMI_QMM_PREFILL=1 enables): the tiled kernel streams the weight
-    ONCE (n-blocks outer, m-tiles inner — Mosaic skips re-DMA of the
-    unchanged W block) and runs the same exact output-side-scaled
-    raw-code bf16 dots as the GEMV, where the XLA fallback's batched
-    einsum converts/dequantizes weight material per call."""
+    Pallas path instead of the XLA einsum fallback (LLMI_QMM_PREFILL=0
+    reverts). Chip-validated default: each packed weight block unpacks
+    ONCE into a raw-bf16-code VMEM scratch and serves every m-tile
+    (_tiled_kernel) — 7B T=4096 int8 runs the four GEMMs at ~89-90% of
+    the MXU SoL (302 ms vs the XLA einsum's 323), and int4 prefill stays
+    on kernels instead of the elementwise-unpack XLA path (int4 T=4096
+    TTFT 548 ms ≈ int8's)."""
     import os
-    return os.environ.get("LLMI_QMM_PREFILL") == "1"
+    return os.environ.get("LLMI_QMM_PREFILL") != "0"
 
 
 # m-tile rows for the prefill-sized kernel path: 2 MXU row-passes per dot,
@@ -313,9 +314,10 @@ def _quant_matmul_tiled(x, q4, s4, lyr, z4=None, *, bits, block_rows,
     G = s4.shape[2]
     asym = z4 is not None
     bm = _PREFILL_BM
-    kernel = functools.partial(_kernel, bits=bits, block_rows=block_rows,
-                               gsize=gsize, per_channel=per_channel,
-                               asym=asym, npair=npair)
+    kernel = functools.partial(_tiled_kernel, bits=bits,
+                               block_rows=block_rows, gsize=gsize,
+                               per_channel=per_channel, asym=asym,
+                               npair=npair, K=K)
     sspec = pl.BlockSpec((1, 1, G, out_bn),
                          lambda n, m, lyr: (lyr[0], n, 0, 0))
     in_specs = [
@@ -331,11 +333,16 @@ def _quant_matmul_tiled(x, q4, s4, lyr, z4=None, *, bits, block_rows,
             grid=(NB, M // bm),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, out_bn), lambda n, m, lyr: (m, n)),
+            # raw bf16 CODES of the current weight block, built once at
+            # m == 0 and re-used by every m-tile (the first tiled variant
+            # re-converted the block per tile — 16x the VPU work at
+            # T=4096, which kept TTFT near the XLA fallback's)
+            scratch_shapes=[pltpu.VMEM((K, out_bn), jnp.bfloat16)],
         ),
         out_shape=jax.ShapeDtypeStruct((M, NB * out_bn), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * NB * out_bn,
             bytes_accessed=q4.size // L + s4.size * 4 // L
@@ -343,6 +350,65 @@ def _quant_matmul_tiled(x, q4, s4, lyr, z4=None, *, bits, block_rows,
             transcendentals=0),
         interpret=interpret,
     )(*operands)
+
+
+def _tiled_kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
+                  block_rows: int, gsize: int, per_channel: bool,
+                  asym: bool, npair: bool, K: int):
+    """Prefill-tile body: at m == 0 the packed block unpacks ONCE into a
+    raw-bf16-code scratch [K, out_bn] in NATURAL row/column order (codes
+    are small ints — exact in bf16); every m-tile then runs plain
+    per-group dots with output-side scales, same math as the GEMV."""
+    if asym:
+        z_ref, o_ref, wdeq_ref = rest
+    else:
+        o_ref, wdeq_ref = rest
+    w = w_ref[0, 0]
+    Kp, bn = w.shape
+    out_bn = wdeq_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        if npair:
+            f = w.astype(jnp.float32)
+            hi = jnp.floor(f * 0.0625)
+            lo = f - 16.0 * hi - 8.0          # signed lo codes
+            wdeq_ref[:, :bn] = lo.astype(jnp.bfloat16)
+            wdeq_ref[:, bn:] = hi.astype(jnp.bfloat16)
+        elif bits == 4:
+            blocks = Kp // block_rows
+            for b in range(blocks):
+                base = b * block_rows
+                xbase = b * 2 * block_rows
+                p32 = w[base:base + block_rows].astype(jnp.int32)
+                lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+                hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+                wdeq_ref[xbase:xbase + block_rows] = lo.astype(jnp.bfloat16)
+                wdeq_ref[xbase + block_rows:xbase + 2 * block_rows] = (
+                    hi.astype(jnp.bfloat16))
+        else:
+            wdeq_ref[:] = w.astype(jnp.bfloat16)
+
+    x = x_ref[:]
+    M = x.shape[0]
+    acc = jnp.zeros((M, out_bn), jnp.float32)
+    if per_channel:
+        acc = jnp.dot(x, wdeq_ref[:], preferred_element_type=jnp.float32)
+        acc = acc * s_ref[0, 0][0][None, :]
+        if asym:
+            xsum = jnp.sum(x.astype(jnp.float32), -1, keepdims=True)
+            acc = acc + xsum * z_ref[0, 0][0][None, :]
+    else:
+        for g in range(K // gsize):
+            r0 = g * gsize
+            xg = x[:, r0:r0 + gsize]
+            d = jnp.dot(xg, wdeq_ref[r0:r0 + gsize],
+                        preferred_element_type=jnp.float32)
+            acc += d * s_ref[0, 0][g][None, :]
+            if asym:
+                xs = jnp.sum(xg.astype(jnp.float32), -1, keepdims=True)
+                acc += xs * z_ref[0, 0][g][None, :]
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "block_rows", "gsize",
