@@ -372,6 +372,36 @@ def quantize_params(params: Params, qcfg: QuantConfig,
     if qcfg.quantize_embedding and "lm_head" in params:
         out["lm_head"] = quantize(params["lm_head"], bits, qcfg.group_size,
                                   asymmetric=asym)
+    elif qcfg.quantize_embedding and "lm_head" not in params:
+        # TIED embeddings (gemma2/3, qwen small): derive a quantized
+        # lm_head QTensor from the table so the once-per-step logits
+        # matmul streams codes instead of the full bf16 table (gemma2-2b:
+        # 1.18 GB/token → 0.59 — the tied 256k-vocab head dominates its
+        # decode). The bf16 table stays for the input GATHER (reads one
+        # row — traffic-free); forward prefers "lm_head" when present.
+        # Chunked along the vocab: a whole-table f32 transpose transient
+        # next to the layer-quantization transients OOM'd a 16 GB chip
+        # (the failure surfaces LATER via async dispatch — at the first
+        # use of the poisoned arrays). Column chunks are exact: scales
+        # are per-(group, column).
+        emb = params["embed"]
+        V = emb.shape[0]
+        step = 32768
+        qs, ss, zs = [], [], []
+        for c in range(0, V, step):
+            part = quantize(emb[c:c + step].T.astype(jnp.float32), bits,
+                            qcfg.group_size, asymmetric=asym)
+            qs.append(part.q)
+            ss.append(part.scale)
+            if asym:
+                zs.append(part.zbias)
+        out["lm_head"] = QTensor(
+            q=jnp.concatenate(qs, axis=-1),
+            scale=jnp.concatenate(ss, axis=-1),
+            bits=bits, group_size=qcfg.group_size,
+            orig_dtype=str(emb.dtype),
+            block_rows=(emb.shape[1] // 2 if bits == 4 else 0),
+            zbias=jnp.concatenate(zs, axis=-1) if asym else None)
     return out
 
 

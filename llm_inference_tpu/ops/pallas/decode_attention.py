@@ -80,7 +80,11 @@ NEG_INF = -1e30
 
 # Per-grid-step KV bytes: small enough that the grid gives the pipeline
 # enough steps to hide DMA latency, big enough for efficient DMA.
-_KV_BYTES_PER_STEP = 1024 * 1024
+# (LLMI_ATTN_KVB overrides for A/B — at serving buckets S≈512 the int8
+# kernel otherwise runs ~1 grid step, i.e. zero DMA/compute overlap.)
+import os as _os
+_KV_BYTES_PER_STEP = int(_os.environ.get("LLMI_ATTN_KVB",
+                                         str(1024 * 1024)))
 # Above this cache length the XLA path is used (engine buckets keep S at or
 # below this).
 _MAX_S = 16384

@@ -609,3 +609,33 @@ class TestGemma2FlashPrefill:
         got = run()
         np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
         assert (np.argmax(got, -1) == np.argmax(want, -1)).mean() > 0.99
+
+
+class TestTiedQuantizedHead:
+    def test_tied_embed_quantized_lm_head_close(self):
+        """quantize_embedding on a TIED model derives a quantized lm_head
+        from the table; logits must stay near the bf16 tied path."""
+        import numpy as np
+        from llm_inference_tpu.config import QuantConfig
+        from llm_inference_tpu.models import llama as _llama
+        cfg = tiny_gemma2()
+        params = gemma2.init_params(cfg, jax.random.PRNGKey(0))
+        golden_c = kvcache.init_cache(cfg.num_layers, 2,
+                              cfg.num_kv_heads, 32,
+                              cfg.head_dim, jnp.float32)
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+        golden, _ = gemma2.forward(cfg, params, ids, pos, golden_c)
+
+        qp = _llama.quantize_params(
+            params, QuantConfig(weights="int8", quantize_embedding=True))
+        assert "lm_head" in qp            # derived from the tied table
+        qp = _llama.prepare_params(qp, fuse=False, donate=False)
+        c2 = kvcache.init_cache(cfg.num_layers, 2, cfg.num_kv_heads,
+                        32, cfg.head_dim, jnp.float32)
+        got, _ = gemma2.forward(cfg, qp, ids, pos, c2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                                   atol=0.15, rtol=0.15)
+        # argmax-stable on the tiny model
+        assert (jnp.argmax(got, -1) == jnp.argmax(golden, -1)).all()
