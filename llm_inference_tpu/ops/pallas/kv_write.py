@@ -157,8 +157,9 @@ def quantize_write_token(k_all, v_all, ks_all, vs_all, layer,
     codes [L, B, Hkv, S, D] int8 + scales [L, B, S, Hkv] f32, all four
     aliased in place. Same math as quantize_kv → write_token →
     write_token_scales, in one kernel call per layer."""
-    B, Hkv, _, D = k_new.shape
-    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    B, Hkv, _, kD = k_new.shape
+    vD = v_new.shape[3]            # k/v widths may DIFFER (deepseek MLA:
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)   # latent vs kv_lora)
     off = jnp.minimum(offsets.reshape(B), k_all.shape[3] - 1).astype(jnp.int32)
 
     def cache_map(b, off, lyr):
@@ -167,17 +168,21 @@ def quantize_write_token(k_all, v_all, ks_all, vs_all, layer,
     def scale_map(b, off, lyr):
         return (lyr[0], b, off[b] // _SLOT_BLK, 0)
 
-    cache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, D), cache_map)
+    kcache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, kD), cache_map)
+    vcache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, vD), cache_map)
     sspec = pl.BlockSpec((1, 1, _SLOT_BLK, Hkv), scale_map)
-    new_spec = pl.BlockSpec((1, Hkv, 1, D), lambda b, off, lyr: (b, 0, 0, 0))
+    knew_spec = pl.BlockSpec((1, Hkv, 1, kD),
+                             lambda b, off, lyr: (b, 0, 0, 0))
+    vnew_spec = pl.BlockSpec((1, Hkv, 1, vD),
+                             lambda b, off, lyr: (b, 0, 0, 0))
     return pl.pallas_call(
         _qkernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
-            in_specs=[new_spec, new_spec, cache_spec, cache_spec,
+            in_specs=[knew_spec, vnew_spec, kcache_spec, vcache_spec,
                       sspec, sspec],
-            out_specs=[cache_spec, cache_spec, sspec, sspec],
+            out_specs=[kcache_spec, vcache_spec, sspec, sspec],
         ),
         out_shape=[jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
                    jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),

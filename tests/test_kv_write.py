@@ -116,3 +116,28 @@ class TestFusedQuantizeWrite:
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got[3]), np.asarray(wvs),
                                    rtol=1e-6)
+
+    def test_mixed_kv_widths_mla(self):
+        """deepseek MLA: k pages latent-wide, v pages kv_lora-wide — the
+        fused kernel must spec each pool by ITS width (regression: k's
+        width was used for both, corrupting v writes → NaN logits)."""
+        from llm_inference_tpu.ops.quantization import quantize_kv
+        rng = np.random.default_rng(23)
+        L, B, S, kD, vD = 2, 2, 32, 48, 32
+        k_all = jnp.zeros((L, B, 1, S, kD), jnp.int8)
+        v_all = jnp.zeros((L, B, 1, S, vD), jnp.int8)
+        ks_all = jnp.zeros((L, B, S, 1), jnp.float32)
+        vs_all = jnp.zeros((L, B, S, 1), jnp.float32)
+        k_new = jnp.asarray(rng.standard_normal((B, 1, 1, kD)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, 1, 1, vD)), jnp.float32)
+        offs = jnp.asarray([3, 17], jnp.int32)
+        got = kv_write.quantize_write_token(k_all, v_all, ks_all, vs_all,
+                                            jnp.int32(1), k_new, v_new,
+                                            offs)
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(got[0][1, b, 0, offs[b]]), np.asarray(kq[b, 0, 0]))
+            np.testing.assert_array_equal(
+                np.asarray(got[1][1, b, 0, offs[b]]), np.asarray(vq[b, 0, 0]))
