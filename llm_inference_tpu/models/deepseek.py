@@ -104,8 +104,20 @@ def new_cache(cfg: ModelConfig, batch: int, max_seq: int,
                                v_scale=jnp.zeros(sshape, jnp.float32),
                                bits=8)
     if dtype == "int4":
-        raise NotImplementedError("int4 KV for MLA latents is not wired "
-                                  "(the latent is already ~40x smaller)")
+        # INT4 latents: split-half packed codes (quantization.quantize_kv4)
+        # halve the resident bytes AGAIN on top of MLA's head-free rows —
+        # the one int4-KV deployment with no speed-downside argument: the
+        # latent path attends via attention.attend (one kv head, D=576),
+        # where the unpack is one XLA fusion, not a per-block VPU tax.
+        # k rows pack latent_dim/2 bytes, v rows kv_lora_rank/2; scales
+        # stay per-(slot, head=1) like int8.
+        sshape = (L, batch, max_seq, 1)
+        return kvcache.KVCache(
+            k=jnp.zeros(kshape[:-1] + (latent_dim(cfg) // 2,), jnp.int8),
+            v=jnp.zeros(vshape[:-1] + (cfg.kv_lora_rank // 2,), jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+            bits=4)
     return kvcache.KVCache(k=jnp.zeros(kshape, dtype),
                            v=jnp.zeros(vshape, dtype))
 
@@ -130,8 +142,17 @@ def new_paged_cache(cfg: ModelConfig, num_pages: int, page_size: int,
             k_scale=jnp.zeros(sshape, jnp.float32),
             v_scale=jnp.zeros(sshape, jnp.float32), bits=8)
     if dtype == "int4":
-        raise NotImplementedError("int4 KV for MLA latents is not wired "
-                                  "(the latent is already ~40x smaller)")
+        # packed-latent pool (see new_cache's int4 note): pool write /
+        # gather paths are code-width-agnostic, attend unpacks
+        sshape = (L, num_pages, page_size, 1)
+        return paged_kvcache.PagedKVCache(
+            k_pages=jnp.zeros(kshape[:-1] + (latent_dim(cfg) // 2,),
+                              jnp.int8),
+            v_pages=jnp.zeros(vshape[:-1] + (cfg.kv_lora_rank // 2,),
+                              jnp.int8),
+            page_table=pt,
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32), bits=4)
     return paged_kvcache.PagedKVCache(k_pages=jnp.zeros(kshape, dtype),
                                       v_pages=jnp.zeros(vshape, dtype),
                                       page_table=pt)

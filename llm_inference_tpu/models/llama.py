@@ -683,6 +683,23 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
     D = cfg.head_dim
     eps = cfg.rms_norm_eps
 
+    # whole-layer decode megakernel (qkv+rope+KV-write+attention+tail in
+    # ONE pallas call — ops/pallas/layer_fused.py). bs=1 single-chip npair
+    # decode only; every other case falls through to the split kernels.
+    import os as _os
+    if (B * T == 1 and tp_axis is None and want_pair
+            and residual_in is not None and lora_lp is None
+            and "wqkv" in qw and "wo" in qw and "w_gateup" in qw
+            and "w_down" in qw
+            and _os.environ.get("LLMI_LAYER_MEGA", "0") == "1"):
+        from llm_inference_tpu.ops.pallas import layer_fused
+        mega = layer_fused.layer_decode_fused(
+            cfg, h, residual_in, lp, qw, cache, layer_idx, positions,
+            cos, sin)
+        if mega is not None:
+            h2, down_out, cache = mega
+            return h2, cache, down_out
+
     def mm(name, x, bias=None):
         if name in qw:
             return matmul(x, qw[name], bias=bias, layer=layer_idx)

@@ -90,6 +90,22 @@ _KV_BYTES_PER_STEP = int(_os.environ.get("LLMI_ATTN_KVB",
 _MAX_S = 16384
 
 
+def _kv4_floor_unpack():
+    """INT4-KV nibble strategy (LLMI_KV4_UNPACK=shift reverts to the
+    shift/AND path for A/B). floor (candidate default, VERDICT r3 #7 —
+    the weight GEMV's floor-unpack win applied to the KV path):
+      K: hi = floor(f/16), scores = q_lo·f + (q_hi − 16·q_lo)·hi − 8·Σq_lo
+         — 3 VPU ops/byte (f32 convert, mul, floor) vs 5 for
+         i32-convert/shift/AND, and the dequantized-K lane concat
+         disappears (two half-D dots ride the idle MXU instead).
+      V: d_hi = p·floor(f/16), d_lo = p·f − 16·d_hi − 8·Σp — 3 ops/byte
+         vs 4 (drops the AND operand build).
+    The int4-vs-int8 KV speed loss (123.6 vs 127.0 tok/s @ S=4096) was
+    attributed to exactly this VPU unpack tax."""
+    import os
+    return os.environ.get("LLMI_KV4_UNPACK", "floor") == "floor"
+
+
 def _pick_blocks(Hkv: int, S: int, D: int, itemsize: int):
     """(hb, sb): one k block [hb, sb, D] ≈ _KV_BYTES_PER_STEP.
 
@@ -272,19 +288,34 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
     @pl.when((j * sb <= pos) & ((win <= 0) | ((j + 1) * sb > pos - win + 1)))
     def _():
         q = q_ref[0].reshape(HG, D).astype(jnp.float32)
-        kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
-        k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)  # exact: lo_u≥0
-        k_lo = (kp & 0xF).astype(jnp.float32)
-        kfull = jnp.concatenate([k_lo, k_hi], axis=1)      # [HS, D]
         # the −8 offset applies to the lo half's q dims only
         lane = jax.lax.broadcasted_iota(jnp.int32, (HG, D), 1)
         q_losum = jnp.sum(jnp.where(lane < D2, q, 0.0), axis=1,
                           keepdims=True)
-        # ONE NT dot contracting the full D; f32 nibbles on the MXU
-        scores = (jax.lax.dot_general(
-            q, kfull, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            - 8.0 * q_losum) * scale
+        if _kv4_floor_unpack():
+            # byte = 16·hi + lo_u ⇒ q_lo·lo_u + q_hi·hi =
+            # q_lo·byte + (q_hi − 16·q_lo)·hi — 3 VPU ops/byte, no
+            # dequantized-K concat (two half-D dots on the idle MXU)
+            f = k_ref[0, 0].reshape(HS, D2).astype(jnp.float32)
+            k_hi = jnp.floor(f * 0.0625)
+            q_lo, q_hi = q[:, :D2], q[:, D2:]
+            scores = (jax.lax.dot_general(
+                q_lo, f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    q_hi - 16.0 * q_lo, k_hi, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                - 8.0 * q_losum) * scale
+        else:
+            kp = k_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
+            k_hi = jnp.right_shift(kp, 4).astype(jnp.float32)  # lo_u≥0
+            k_lo = (kp & 0xF).astype(jnp.float32)
+            kfull = jnp.concatenate([k_lo, k_hi], axis=1)      # [HS, D]
+            # ONE NT dot contracting the full D; f32 nibbles on the MXU
+            scores = (jax.lax.dot_general(
+                q, kfull, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                - 8.0 * q_losum) * scale
         # per-(slot, head) scale fold — identical to the int8 kernel
         eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0) ==
                jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1)
@@ -318,16 +349,26 @@ def _kernel4(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref,
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
         p = scale_strips(p, vs_t)                         # fold V scales
-        # i32 before the AND — Mosaic v5e has no i8 ALU (same reason the
-        # K path converts before its shift)
-        vp = v_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
-        d1 = jnp.dot(p, vp.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)  # p·bytes
-        d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
-                     preferred_element_type=jnp.float32)  # p·lo_u
         psum = jnp.sum(p, axis=1, keepdims=True)          # scaled-p rowsum
-        acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
-            [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
+        if _kv4_floor_unpack():
+            # d_hi = p·floor(f/16); d_lo = p·f − 16·d_hi − 8·psum —
+            # 3 VPU ops/byte, no AND operand build
+            fv = v_ref[0, 0].reshape(HS, D2).astype(jnp.float32)
+            d1 = jnp.dot(p, fv, preferred_element_type=jnp.float32)
+            dh = jnp.dot(p, jnp.floor(fv * 0.0625),
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
+                [d1 - 16.0 * dh - 8.0 * psum, dh], axis=1)
+        else:
+            # i32 before the AND — Mosaic v5e has no i8 ALU (same reason
+            # the K path converts before its shift)
+            vp = v_ref[0, 0].reshape(HS, D2).astype(jnp.int32)
+            d1 = jnp.dot(p, vp.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)  # p·bytes
+            d2 = jnp.dot(p, (vp & 0xF).astype(jnp.float32),
+                         preferred_element_type=jnp.float32)  # p·lo_u
+            acc_ref[:] = acc_ref[:] * alpha + jnp.concatenate(
+                [d2 - 8.0 * psum, (d1 - d2) * 0.0625], axis=1)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():

@@ -1,0 +1,537 @@
+"""Whole-decoder-layer decode megakernel — ONE Pallas call per layer.
+
+Reference analogue: the complete per-layer decode chain of
+`LlamaSelfDecoder::forward` (reference: src/layers/decoder/
+self_decoder.cpp:53-83): qkv_linear → RoPE → concat-KV → fused masked
+self-attention → o_linear → add-residual-norm → FFN — each a separate CUDA
+launch there. Round-3 already fused the tail (wo → +h/norm → gate-up →
+SwiGLU → down, ops/pallas/quant_matmul.layer_tail_fused); this kernel folds
+the REST of the layer in front of it: the fused-norm qkv GEMV, in-kernel
+RoPE, the int8-KV quantize+write (cache aliased in place), and the online-
+softmax attention over the streamed cache — so a decode layer is ONE kernel
+invocation instead of four. The measured motivation (round 3): ~5 µs fixed
+cost per kernel invocation × 4 invocations × 32 layers ≈ the whole
+remaining gap to the INT4 roofline target; a single grid also lets Mosaic
+prefetch each phase's first weight block behind the previous phase's tail
+compute instead of paying a cold DMA ramp per kernel.
+
+Single-sequence decode only (B = 1, T = 1) — the bs=1 latency path this
+framework's headline bench measures. Batched decode keeps the split
+kernels (their grids parallelize over B).
+
+Phase layout on ONE 1-D grid whose attention extent is TRACED
+(nS = ceil(pos / sb) slot blocks — the same dynamic-grid trick as
+ops/pallas/decode_attention):
+
+  j ∈ [0, NBq)            qkv GEMV blocks (j==0 runs the fused
+                          residual+RMSNorm prologue; output accumulates
+                          into a flat [1, Nqkv] f32 scratch)
+  j == NBq                head assembly (static vreg moves from the flat
+                          scratch), RoPE, int8 quantize of the new k/v,
+                          one-hot blend into the aliased cache RMW blocks,
+                          online-softmax INIT from the new token itself
+  j ∈ (NBq, attn_end)     attention slot blocks over the CACHE (slots
+                          strictly < pos — slot pos is stale in HBM during
+                          this call; its contribution was seeded in-VMEM
+                          at j==NBq, which also makes the write/read
+                          ordering hazard moot)
+  j ∈ [attn_end, +NBo)    wo GEMV (x = attention rows; groups are row
+                          slices since gso | D — no lanes↔sublanes
+                          reshape anywhere)
+  j == attn_end+NBo       residual add + FFN RMSNorm (h2 output written)
+  next NBg                gate-up GEMV
+  one step                SwiGLU
+  last NBd                down GEMV (down_out blocks written)
+
+All weight operands are stacked npair QTensors indexed by the scalar-
+prefetched layer (the repo invariant: never scan-slice an operand into a
+custom call). The cache k/v/scale arrays each appear TWICE as operands —
+a streaming view for attention and a small RMW view ([Hkv, 8, D] codes /
+[8, Hkv] scales around the write slot) aliased to the outputs — all uses
+live inside the one custom call, so XLA inserts no copies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llm_inference_tpu.ops.pallas import use_interpret
+from llm_inference_tpu.ops.pallas.quant_matmul import (_group_dots_npair,
+                                                       _npair_unpack_floor)
+from llm_inference_tpu.ops.quantization import QTensor
+
+NEG_INF = -1e30
+
+
+def _group_dots_npair_rows(x_ref, w, s_blk, gsize, floor_unpack, D):
+    """npair group loop with x stored as HEAD ROWS [Hq, D] (the attention
+    accumulator) instead of one flat [1, K] row: group g's slice is
+    x[c0 // D, c0 % D : c0 % D + gsize] — static sublane/lane slices, so
+    the wo GEMV consumes the attention output without any lanes↔sublanes
+    relayout. Requires D % gsize == 0."""
+    Kp, bnp = w.shape
+    acc_lo = jnp.zeros((1, bnp), jnp.float32)
+    acc_hi = jnp.zeros((1, bnp), jnp.float32)
+    for c0 in range(0, Kp, gsize):
+        h, off = c0 // D, c0 % D
+        xg = x_ref[h:h + 1, off:off + gsize]
+        wb = w[c0:c0 + gsize]
+        xsum = jnp.sum(xg, -1, keepdims=True)
+        if floor_unpack:
+            f = wb.astype(jnp.float32)
+            hi_s = jnp.floor(f * 0.0625)
+            d1 = jnp.dot(xg, f, preferred_element_type=jnp.float32)
+            d_hi = jnp.dot(xg, hi_s, preferred_element_type=jnp.float32)
+            d_lo = d1 - 16.0 * d_hi - 8.0 * xsum
+        else:
+            d1 = jnp.dot(xg, wb.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            d2 = jnp.dot(xg, (wb & 0xF).astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            d_lo = d2 - 8.0 * xsum
+            d_hi = (d1 - d2) * 0.0625
+        g = c0 // gsize
+        s = s_blk[g:g + 1]
+        acc_lo += d_lo * s[:, :bnp]
+        acc_hi += d_hi * s[:, bnp:]
+    return jnp.concatenate([acc_lo, acc_hi], axis=1)
+
+
+def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
+            wq_ref, sq_ref, k_ref, v_ref, ks_ref, vs_ref,
+            kr_ref, vr_ref, ksr_ref, vsr_ref,
+            wo_ref, so_ref, wg_ref, sg_ref, wd_ref, sd_ref,
+            dn_ref, h2_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+            qkv_ref, hsum_ref, xn_ref, q_sref, m_ref, l_ref, acc_ref,
+            wout_ref, gu_ref, act_ref, *,
+            NBq: int, NBo: int, NBg: int, NBd: int,
+            gsq: int, gso: int, gsg: int, gsd: int,
+            Hq: int, Hkv: int, G: int, D: int, sb: int,
+            eps: float, scale: float, I_half: int,
+            outq: int, outo: int, outg: int, floor_unpack: bool):
+    j = pl.program_id(0)
+    pos = meta_ref[1]
+    attn_end = meta_ref[2]
+
+    # ---- phase A: fused-norm qkv GEMV into the flat scratch ----
+    @pl.when(j == 0)
+    def _():
+        x32 = h_ref[:].astype(jnp.float32) + res_ref[:].astype(jnp.float32)
+        hsum_ref[:] = x32
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        xn_ref[:] = (x32 * jax.lax.rsqrt(var + eps)
+                     * ga_ref[:].astype(jnp.float32))
+
+    @pl.when(j < NBq)
+    def _():
+        acc = _group_dots_npair(xn_ref[:], wq_ref[0, 0], sq_ref[0, 0],
+                                gsq, floor_unpack)
+        qkv_ref[:, pl.dslice(j * outq, outq)] = acc
+
+    # ---- phase B: heads, RoPE, quantize+write, self-term seed ----
+    @pl.when(j == NBq)
+    def _():
+        qf = qkv_ref[:]
+        # [1, Nqkv] → head rows: each [1, 128] slice is one whole vreg at
+        # lane offset 0, so the sublane concat is plain vreg moves — never
+        # the (unsupported) flat lanes→sublanes reshape
+        q = jnp.concatenate([qf[:, i * D:(i + 1) * D]
+                             for i in range(Hq)], axis=0)
+        k = jnp.concatenate([qf[:, (Hq + i) * D:(Hq + i + 1) * D]
+                             for i in range(Hkv)], axis=0)
+        v = jnp.concatenate([qf[:, (Hq + Hkv + i) * D:(Hq + Hkv + i + 1) * D]
+                             for i in range(Hkv)], axis=0)
+        cos = cos_ref[:].astype(jnp.float32)           # [1, D]
+        sin = sin_ref[:].astype(jnp.float32)
+
+        def rope(x):
+            x1, x2 = x[:, :D // 2], x[:, D // 2:]
+            rot = jnp.concatenate([-x2, x1], axis=1)   # lane concat (64∥64)
+            return x * cos + rot * sin
+
+        q = rope(q)
+        k = rope(k)
+        q_sref[:] = q * scale          # attention scale folded in once
+
+        # int8 quantize (quantization.quantize_kv semantics), scale column
+        # → lane row on the MXU at HIGHEST precision (kv_write._qkernel)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+               ).astype(jnp.float32)
+
+        def quant(rows):                               # [Hkv, D] f32
+            absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+            s = jnp.maximum(absmax / 127.0, 1e-8)      # [Hkv, 1]
+            codes = jnp.clip(jnp.round(rows / s), -128, 127)
+            srow = jax.lax.dot_general(
+                s, eye, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # [1, Hkv]
+            return codes, s, srow
+
+        kq, ks_col, ks_row = quant(k)
+        vq, vs_col, vs_row = quant(v)
+
+        # one-hot blend into the aliased RMW blocks. The per-head code row
+        # is replicated onto its 8 slot-sublanes with a 0/1 MXU dot (codes
+        # ≤ 127 are exact in bf16) — no [Hkv, D] → [Hkv, 1, D] relayout.
+        s_in = pos % 8
+        rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 0) // 8 ==
+               jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 1)
+               ).astype(jnp.float32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, 1), 0) % 8
+               == s_in)
+        kq_rep = jnp.dot(rep, kq, preferred_element_type=jnp.float32)
+        vq_rep = jnp.dot(rep, vq, preferred_element_type=jnp.float32)
+        ki = kr_ref[0, 0].reshape(Hkv * 8, D)
+        vi = vr_ref[0, 0].reshape(Hkv * 8, D)
+        ko_ref[0, 0] = jnp.where(sel, kq_rep.astype(jnp.int8), ki
+                                 ).reshape(Hkv, 8, D)
+        vo_ref[0, 0] = jnp.where(sel, vq_rep.astype(jnp.int8), vi
+                                 ).reshape(Hkv, 8, D)
+        sel8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s_in)
+        kso_ref[0, 0] = jnp.where(sel8, ks_row, ksr_ref[0, 0])
+        vso_ref[0, 0] = jnp.where(sel8, vs_row, vsr_ref[0, 0])
+
+        # online-softmax seed from the NEW token (its cache slot is stale
+        # in HBM until this call's writeback; phase C masks it out). Uses
+        # the dequantized codes so the math matches the split-kernel path.
+        kdq = (kq * ks_col).astype(jnp.bfloat16)
+        vdq = (vq * vs_col).astype(jnp.bfloat16)
+        selhk = (jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 1) ==
+                 jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 0) // G
+                 ).astype(jnp.float32)
+        qk = jax.lax.dot_general(
+            q_sref[:].astype(jnp.bfloat16), kdq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [Hq, Hkv]
+        m_ref[:] = jnp.sum(jnp.where(selhk > 0, qk, 0.0), axis=-1,
+                           keepdims=True)              # s_self
+        l_ref[:] = jnp.ones_like(l_ref)
+        acc_ref[:] = jnp.dot(selhk.astype(jnp.bfloat16), vdq,
+                             preferred_element_type=jnp.float32)
+
+    # ---- phase C: attention over the cached history (slots < pos) ----
+    @pl.when((j > NBq) & (j < attn_end))
+    def _():
+        c = j - NBq - 1
+        HS = Hkv * sb
+        q = q_sref[:].astype(jnp.bfloat16)             # [Hq, D], scaled
+        kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+        vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
+               jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+               ).astype(jnp.float32)
+        ks_t = jax.lax.dot_general(                    # [Hkv, sb]
+            eye, ks_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vs_t = jax.lax.dot_general(
+            eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def scale_strips(x, s_t):
+            return jnp.concatenate(
+                [x[:, h * sb:(h + 1) * sb] * s_t[h:h + 1, :]
+                 for h in range(Hkv)], axis=1)
+
+        scores = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # scale already in q
+        scores = scale_strips(scores, ks_t)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Hq, HS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Hq, HS), 1)
+        slot = c * sb + col % sb
+        ok = ((col // sb) == (row // G)) & (slot < pos)   # STRICT: slot
+        scores = jnp.where(ok, scores, NEG_INF)          # pos seeds at B
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        p = scale_strips(p, vs_t)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
+
+    # ---- phase D: finalize attention, wo GEMV over attention rows ----
+    @pl.when(j == attn_end)
+    def _():
+        acc_ref[:] = acc_ref[:] / l_ref[:]
+
+    @pl.when((j >= attn_end) & (j < attn_end + NBo))
+    def _():
+        jo = j - attn_end
+        acc = _group_dots_npair_rows(acc_ref, wo_ref[0, 0], so_ref[0, 0],
+                                     gso, floor_unpack, D)
+        wout_ref[:, pl.dslice(jo * outo, outo)] = acc
+
+    # ---- phase E: residual + FFN norm (h2 written once) ----
+    @pl.when(j == attn_end + NBo)
+    def _():
+        x32 = hsum_ref[:] + wout_ref[:]
+        h2_ref[:] = x32.astype(h2_ref.dtype)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        xn_ref[:] = (x32 * jax.lax.rsqrt(var + eps)
+                     * gf_ref[:].astype(jnp.float32))
+
+    @pl.when((j > attn_end + NBo) & (j <= attn_end + NBo + NBg))
+    def _():
+        jg = j - attn_end - NBo - 1
+        acc = _group_dots_npair(xn_ref[:], wg_ref[0, 0], sg_ref[0, 0],
+                                gsg, floor_unpack)
+        gu_ref[:, pl.dslice(jg * outg, outg)] = acc
+
+    @pl.when(j == attn_end + NBo + NBg + 1)
+    def _():
+        gate = gu_ref[:, :I_half]
+        up = gu_ref[:, I_half:]
+        act_ref[:] = gate * jax.lax.logistic(gate) * up
+
+    @pl.when(j > attn_end + NBo + NBg + 1)
+    def _():
+        acc = _group_dots_npair(act_ref[:], wd_ref[0, 0], sd_ref[0, 0],
+                                gsd, floor_unpack)
+        dn_ref[:] = acc.astype(dn_ref.dtype)
+
+
+def _npair_ok(qt, rows):
+    return (isinstance(qt, QTensor) and qt.block_n != 0
+            and qt.pack_axis == "n" and qt.zbias is None
+            and qt.q.ndim == 4 and qt.scale.shape[-2] > 1
+            and qt.q.shape[-2] == rows)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "NBq", "NBo", "NBg", "NBd", "gsq", "gso", "gsg", "gsd",
+    "Hq", "Hkv", "G", "D", "sb", "eps", "scale", "I_half", "interpret"))
+def _call(h2d, res2d, ga, gf, cos_row, sin_row,
+          wq, sq, wo, so, wg, sg, wd, sd,
+          k_all, v_all, ks_all, vs_all, lyr, pos, *,
+          NBq, NBo, NBg, NBd, gsq, gso, gsg, gsd,
+          Hq, Hkv, G, D, sb, eps, scale, I_half, interpret):
+    L = wq.shape[0]
+    bnq, bno, bng, bnd = (wq.shape[3], wo.shape[3], wg.shape[3],
+                          wd.shape[3])
+    outq, outo, outg, outd = 2 * bnq, 2 * bno, 2 * bng, 2 * bnd
+    H = NBo * outo
+    S = k_all.shape[3]
+    nS = (pos + sb - 1) // sb            # history blocks (slots < pos)
+    attn_end = NBq + 1 + nS
+    total = attn_end + NBo + 1 + NBg + 1 + NBd
+    meta = jnp.stack([jnp.asarray(lyr, jnp.int32).reshape(()),
+                      jnp.asarray(pos, jnp.int32).reshape(()),
+                      attn_end.astype(jnp.int32)])
+
+    kernel = functools.partial(
+        _kernel, NBq=NBq, NBo=NBo, NBg=NBg, NBd=NBd,
+        gsq=gsq, gso=gso, gsg=gsg, gsd=gsd, Hq=Hq, Hkv=Hkv, G=G, D=D,
+        sb=sb, eps=eps, scale=scale, I_half=I_half,
+        outq=outq, outo=outo, outg=outg,
+        floor_unpack=_npair_unpack_floor())
+
+    def const(*shape):
+        return lambda j, meta: tuple(0 for _ in shape)
+
+    def wmap(nb):
+        return lambda j, meta: (meta[0], jnp.clip(j, 0, nb - 1), 0, 0)
+
+    def kvs_map(j, meta):
+        hi = jnp.maximum(meta[2] - NBq - 2, 0)   # nS - 1, floored at 0
+        return (meta[0], 0, 0, jnp.clip(j - NBq - 1, 0, hi), 0)
+
+    def ss_map(j, meta):
+        hi = jnp.maximum(meta[2] - NBq - 2, 0)
+        return (meta[0], 0, jnp.clip(j - NBq - 1, 0, hi), 0)
+
+    def krmw_map(j, meta):
+        return (meta[0], 0, 0, meta[1] // 8, 0)
+
+    def srmw_map(j, meta):
+        return (meta[0], 0, meta[1] // 8, 0)
+
+    def womap(j, meta):
+        return (meta[0], jnp.clip(j - meta[2], 0, NBo - 1), 0, 0)
+
+    def wgmap(j, meta):
+        return (meta[0], jnp.clip(j - meta[2] - NBo - 1, 0, NBg - 1), 0, 0)
+
+    def wdmap(j, meta):
+        return (meta[0], jnp.clip(j - meta[2] - NBo - NBg - 2, 0, NBd - 1),
+                0, 0)
+
+    Gq, Go, Gg, Gd = (sq.shape[2], so.shape[2], sg.shape[2], sd.shape[2])
+    Nqkv = NBq * outq
+    I2 = NBg * outg
+    in_specs = [
+        pl.BlockSpec((1, H), const(0, 0)),                    # h
+        pl.BlockSpec((1, H), const(0, 0)),                    # res
+        pl.BlockSpec((1, H), const(0, 0)),                    # ga
+        pl.BlockSpec((1, H), const(0, 0)),                    # gf
+        pl.BlockSpec((1, D), const(0, 0)),                    # cos
+        pl.BlockSpec((1, D), const(0, 0)),                    # sin
+        pl.BlockSpec((1, 1, H, bnq), wmap(NBq)),              # wq
+        pl.BlockSpec((1, 1, Gq, outq), wmap(NBq)),            # sq
+        pl.BlockSpec((1, 1, Hkv, sb, D), kvs_map),            # k stream
+        pl.BlockSpec((1, 1, Hkv, sb, D), kvs_map),            # v stream
+        pl.BlockSpec((1, 1, sb, Hkv), ss_map),                # ks stream
+        pl.BlockSpec((1, 1, sb, Hkv), ss_map),                # vs stream
+        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # k RMW
+        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # v RMW
+        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),               # ks RMW
+        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),               # vs RMW
+        pl.BlockSpec((1, 1, Hq * D, bno), womap),             # wo
+        pl.BlockSpec((1, 1, Go, outo), womap),                # so
+        pl.BlockSpec((1, 1, H, bng), wgmap),                  # wg
+        pl.BlockSpec((1, 1, Gg, outg), wgmap),                # sg
+        pl.BlockSpec((1, 1, I_half, bnd), wdmap),             # wd
+        pl.BlockSpec((1, 1, Gd, outd), wdmap),                # sd
+    ]
+    out_specs = [
+        pl.BlockSpec((1, outd),
+                     lambda j, meta: (0, jnp.clip(
+                         j - meta[2] - NBo - NBg - 2, 0, NBd - 1))),
+        pl.BlockSpec((1, H), const(0, 0)),                    # h2
+        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
+        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
+        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
+        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, NBd * outd), h2d.dtype),
+        jax.ShapeDtypeStruct((1, H), h2d.dtype),
+        jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+        jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+        jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
+    ]
+    wbytes = (wq.size + wo.size + wg.size + wd.size) // L
+    sbytes = (sq.size + so.size + sg.size + sd.size) * 4 // L
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(total,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((1, Nqkv), jnp.float32),     # qkv flat
+                pltpu.VMEM((1, H), jnp.float32),        # hsum (h + res)
+                pltpu.VMEM((1, H), jnp.float32),        # xn (normed x)
+                pltpu.VMEM((Hq, D), jnp.float32),       # q (roped, scaled)
+                pltpu.VMEM((Hq, 1), jnp.float32),       # m
+                pltpu.VMEM((Hq, 1), jnp.float32),       # l
+                pltpu.VMEM((Hq, D), jnp.float32),       # attention acc
+                pltpu.VMEM((1, H), jnp.float32),        # wo out
+                pltpu.VMEM((1, I2), jnp.float32),       # gate∥up
+                pltpu.VMEM((1, I_half), jnp.float32),   # swiglu act
+            ],
+        ),
+        out_shape=out_shape,
+        # operand numbering includes the scalar-prefetch arg: meta=0,
+        # h=1 … vs_rmw=16 (see in_specs order above)
+        input_output_aliases={13: 2, 14: 3, 15: 4, 16: 5},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (H * Nqkv + Hq * D * H + H * I2 + I_half * H)
+            + 4 * Hkv * G * S * D,
+            bytes_accessed=wbytes + sbytes
+            + 2 * Hkv * S * D + Nqkv * 4 + H * 8,
+            transcendentals=Hq * S + I_half),
+        interpret=interpret,
+    )(meta, h2d, res2d, ga, gf, cos_row, sin_row,
+      wq, sq, k_all, v_all, ks_all, vs_all,
+      k_all, v_all, ks_all, vs_all,
+      wo, so, wg, sg, wd, sd)
+
+
+def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
+                       positions, cos_tab, sin_tab):
+    """Try the whole-layer decode megakernel. Returns
+    (h2, down_out, new_cache) or None when this configuration is
+    unsupported (caller falls back to the split-kernel path).
+
+    Supported: B = T = 1, dense INT8-quantized KVCache (S % 8 == 0),
+    stacked npair symmetric wqkv/wo/w_gateup/w_down with grouped scales,
+    D = 128 with the wo group size dividing D, no sliding window, no
+    logit softcap, no qk-norm, no qkv bias, no LoRA (caller gates).
+    """
+    B, T, H = h.shape
+    if B != 1 or T != 1:
+        return None
+    if cfg.sliding_window or cfg.attn_logit_softcap or cfg.qk_norm:
+        return None
+    if "bqkv" in lp:
+        return None
+    D = cfg.head_dim
+    if D != 128:
+        return None
+    from llm_inference_tpu.ops import kvcache as kvc
+    if not isinstance(cache, kvc.KVCache) or cache.bits != 8:
+        return None
+    if cache.max_seq_len % 8 or cache.batch_size != 1:
+        return None
+    wq, wo = qw.get("wqkv"), qw.get("wo")
+    wg, wd = qw.get("w_gateup"), qw.get("w_down")
+    Hq, Hkv = cfg.num_heads, cfg.num_kv_heads
+    if not (_npair_ok(wq, H) and _npair_ok(wo, Hq * D)
+            and _npair_ok(wg, H)):
+        return None
+    L, NBq, _, bnq = wq.q.shape
+    _, NBo, _, bno = wo.q.shape
+    _, NBg, _, bng = wg.q.shape
+    if NBq * 2 * bnq != (Hq + 2 * Hkv) * D or NBo * 2 * bno != H:
+        return None
+    I_half = NBg * 2 * bng // 2
+    if not _npair_ok(wd, I_half):
+        return None
+    _, NBd, Kd, bnd = wd.q.shape
+    if Kd != I_half or NBd * 2 * bnd != H:
+        return None
+    gsq = H // wq.scale.shape[-2]
+    gso = Hq * D // wo.scale.shape[-2]
+    gsg = H // wg.scale.shape[-2]
+    gsd = I_half // wd.scale.shape[-2]
+    if min(gsq, gso, gsg, gsd) < 8 or D % gso:
+        return None
+    if H % gsq or (Hq * D) % gso or H % gsg or I_half % gsd:
+        return None
+    S = cache.max_seq_len
+    if S % 128:
+        return None
+    # attention slot-block size: ≥2 blocks, ~1 MB K block, divides S
+    sb = max(128, min(S // 2, (1 << 20) // (Hkv * D)))
+    sb -= sb % 128
+    while S % sb:
+        sb -= 128
+    if sb <= 0:
+        return None
+
+    pos = positions.reshape(-1)[-1].astype(jnp.int32)
+    cos_row = jax.lax.dynamic_index_in_dim(cos_tab, pos, 0)   # [1, D]
+    sin_row = jax.lax.dynamic_index_in_dim(sin_tab, pos, 0)
+    ga = lp["attn_norm"].reshape(1, H)
+    gf = lp["ffn_norm"].reshape(1, H)
+    h2d = h.reshape(1, H).astype(jnp.bfloat16)
+    res2d = residual_in.reshape(1, H).astype(jnp.bfloat16)
+
+    dn, h2, k_all, v_all, ks_all, vs_all = _call(
+        h2d, res2d, ga, gf, cos_row, sin_row,
+        wq.q, wq.scale, wo.q, wo.scale, wg.q, wg.scale, wd.q, wd.scale,
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        layer_idx, pos,
+        NBq=NBq, NBo=NBo, NBg=NBg, NBd=NBd,
+        gsq=gsq, gso=gso, gsg=gsg, gsd=gsd,
+        Hq=Hq, Hkv=Hkv, G=Hq // Hkv, D=D, sb=sb,
+        eps=float(cfg.rms_norm_eps), scale=float(D) ** -0.5,
+        I_half=I_half, interpret=use_interpret())
+    new_cache = cache.replace(k=k_all, v=v_all, k_scale=ks_all,
+                              v_scale=vs_all)
+    return (h2.reshape(B, T, H).astype(h.dtype),
+            dn.reshape(B, T, H).astype(h.dtype), new_cache)

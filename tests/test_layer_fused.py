@@ -1,0 +1,145 @@
+"""Whole-layer decode megakernel (ops/pallas/layer_fused.py) parity.
+
+The megakernel must reproduce the split-kernel decode path (fused-norm qkv
+GEMV → XLA rope → fused KV write → decode-attention kernel → layer-tail
+megakernel) bit-for-nearly-bit: same quantized weights, same int8 KV cache
+semantics, same pair-carry outputs. Runs in interpret mode on CPU like
+every Pallas kernel test (reference test strategy: SURVEY.md §4).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llm_inference_tpu.config import QuantConfig, tiny_llama
+from llm_inference_tpu.models import llama
+from llm_inference_tpu.ops import kvcache
+from llm_inference_tpu.ops.quantization import to_blocked_npair
+
+
+def _mega_cfg(**kw):
+    # D must be 128 for the megakernel; G = Hq/Hkv varies per test
+    defaults = dict(hidden_size=256, intermediate_size=512, num_layers=2,
+                    num_heads=4, num_kv_heads=2, head_dim=128,
+                    vocab_size=128, max_position_embeddings=512,
+                    dtype="bfloat16")
+    defaults.update(kw)
+    return tiny_llama(**defaults)
+
+
+def _npair_params(cfg, seed=0, gs=64):
+    params = llama.init_params(cfg, jax.random.PRNGKey(seed),
+                               dtype=jnp.float32)
+    q = llama.quantize_params(params, QuantConfig(weights="int4",
+                                                  group_size=gs))
+    q = llama.fuse_params(q)
+    layers = dict(q["layers"])
+    for name in ("wqkv", "wo", "w_gateup", "w_down"):
+        layers[name] = to_blocked_npair(layers[name], 256)
+    q["layers"] = layers
+    return q
+
+
+def _run_decode(cfg, params, cache, steps=3, mega=True):
+    os.environ["LLMI_LAYER_MEGA"] = "1" if mega else "0"
+    try:
+        ids = jnp.array([[3, 5, 7, 11]], jnp.int32)
+        pos = jnp.arange(4, dtype=jnp.int32)[None]
+        logits, cache = llama.forward(cfg, params, ids, pos, cache)
+        outs = [np.asarray(logits)]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        for t in range(steps):
+            p = jnp.full((1, 1), 4 + t, jnp.int32)
+            logits, cache = llama.forward(cfg, params, tok, p, cache)
+            outs.append(np.asarray(logits))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        return outs, cache
+    finally:
+        os.environ.pop("LLMI_LAYER_MEGA", None)
+
+
+@pytest.mark.parametrize("kv_heads", [2, 4])   # GQA (G=2) and MHA (G=1)
+def test_megakernel_matches_split_path(kv_heads):
+    cfg = _mega_cfg(num_kv_heads=kv_heads)
+    params = _npair_params(cfg)
+
+    def fresh():
+        return kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
+                                  256, cfg.head_dim, "int8")
+
+    ref, cache_ref = _run_decode(cfg, params, fresh(), mega=False)
+    out, cache_out = _run_decode(cfg, params, fresh(), mega=True)
+    for i, (a, b) in enumerate(zip(ref, out)):
+        np.testing.assert_allclose(a, b, atol=0.15, rtol=0.05,
+                                   err_msg=f"step {i}")
+    # cache contents must agree where written (codes within ±1 from
+    # bf16-dot rounding differences in the qkv GEMV)
+    kref = np.asarray(cache_ref.k, np.int32)
+    kout = np.asarray(cache_out.k, np.int32)
+    assert np.abs(kref - kout).max() <= 2
+    np.testing.assert_allclose(np.asarray(cache_ref.k_scale),
+                               np.asarray(cache_out.k_scale),
+                               atol=1e-3, rtol=0.05)
+
+
+def test_megakernel_multi_position_history():
+    """Longer history: several decode steps deep so the attention phase
+    streams multiple slot blocks (S=256 → sb=128, nS crosses 1→2)."""
+    cfg = _mega_cfg(num_kv_heads=2, num_layers=1)
+    params = _npair_params(cfg, seed=1)
+
+    def fresh():
+        return kvcache.init_cache(1, 1, 2, 256, 128, "int8")
+
+    # long prefill pushes pos past one sb block
+    ids = jnp.arange(20, dtype=jnp.int32)[None] % cfg.vocab_size
+    pos = jnp.arange(20, dtype=jnp.int32)[None]
+
+    def run(mega):
+        os.environ["LLMI_LAYER_MEGA"] = "1" if mega else "0"
+        try:
+            cache = fresh()
+            logits, cache = llama.forward(cfg, params, ids, pos, cache)
+            outs = []
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+            for t in range(130, 134):          # fake deep positions
+                p = jnp.full((1, 1), t, jnp.int32)
+                logits, cache = llama.forward(cfg, params, tok, p, cache)
+                outs.append(np.asarray(logits))
+                tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+            return outs
+        finally:
+            os.environ.pop("LLMI_LAYER_MEGA", None)
+
+    ref, out = run(False), run(True)
+    for i, (a, b) in enumerate(zip(ref, out)):
+        np.testing.assert_allclose(a, b, atol=0.15, rtol=0.05,
+                                   err_msg=f"step {i}")
+
+
+def test_megakernel_fallbacks():
+    """Unsupported configs must return None (split path used) and still
+    produce correct results: batch > 1, bf16 cache, D != 128."""
+    from llm_inference_tpu.ops.pallas import layer_fused
+    cfg = _mega_cfg()
+    params = _npair_params(cfg)
+    qw = {k: v for k, v in params["layers"].items()
+          if hasattr(v, "q")}
+    lp = {k: v for k, v in params["layers"].items()
+          if not hasattr(v, "q")}
+    lp1 = jax.tree.map(lambda a: a[0], lp)
+    cos, sin = (jnp.ones((64, 128), jnp.float32),) * 2
+    h = jnp.zeros((1, 1, 256), jnp.bfloat16)
+    posn = jnp.array([[5]], jnp.int32)
+
+    bf16 = kvcache.init_cache(2, 1, 2, 256, 128, jnp.bfloat16)
+    assert layer_fused.layer_decode_fused(
+        cfg, h, h, lp1, qw, bf16, 0, posn, cos, sin) is None
+
+    int8 = kvcache.init_cache(2, 2, 2, 256, 128, "int8")  # batch 2
+    h2 = jnp.zeros((2, 1, 256), jnp.bfloat16)
+    assert layer_fused.layer_decode_fused(
+        cfg, h2, h2, lp1, qw, int8, 0, posn, cos, sin) is None

@@ -307,3 +307,23 @@ class TestDeepseekPaged:
         sched = PagedScheduler(eng, GEN, slots=2)
         reqs = sched.run([[5, 6, 7], [9, 10, 11, 12]], max_new_tokens=5)
         assert all(len(r.output_ids) == 5 for r in reqs)
+
+    def test_paged_int4_latents_match_dense_int4(self):
+        """INT4 packed latent page pool (deepseek.new_paged_cache):
+        byte-identical tokens vs the dense int4 latent cache — the pool
+        write/gather path is code-width-agnostic."""
+        from llm_inference_tpu.config import tiny_deepseek
+        from llm_inference_tpu.models import deepseek
+        cfg = tiny_deepseek(dtype="float32")
+        params = deepseek.init_params(cfg, jax.random.PRNGKey(2))
+        eng = InferenceEngine(
+            cfg, params, cache_dtype="int4",
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2, prefill_buckets=(8,),
+                                    page_size=8))
+        prompts = [[5, 6, 7], [9, 10, 11, 12]]
+        dense = ContinuousBatchingScheduler(eng, GEN, slots=2)
+        want = [r.output_ids for r in dense.run([list(p) for p in prompts])]
+        paged = PagedScheduler(eng, GEN, slots=2)
+        got = [r.output_ids for r in paged.run([list(p) for p in prompts])]
+        assert got == want
