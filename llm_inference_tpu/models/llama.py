@@ -183,7 +183,8 @@ _ROW_KEYS = ("wo", "w_down")
 
 def block_params(params: Params, tp_size: int = 1,
                  target_bytes: int = 3 << 20,
-                 int4_npair: bool = True) -> Params:
+                 int4_npair: bool = True,
+                 dense_stream: bool = False) -> Params:
     """Re-lay every QTensor into the column-blocked streaming layout
     (quantization.to_blocked) so the Pallas decode GEMV DMAs contiguous
     chunks. The block width divides the TP-shard-local output dim so the
@@ -232,6 +233,22 @@ def block_params(params: Params, tp_size: int = 1,
         return to_blocked(w, bn) if bn else w
 
     for name, w in layers.items():
+        if (dense_stream and not isinstance(w, QTensor)
+                and name in _COL_KEYS + _ROW_KEYS):
+            # DENSE bf16 → bits-16 streaming QTensor (to_blocked_dense).
+            # NOTE: re-laying a full 7B bf16 stack doubles HBM transiently
+            # — on a 16 GB chip generate weights directly in the blocked
+            # layout instead (quantization.dense_blocked_qtensor,
+            # scripts/bench_dense.py); this path serves checkpoint loads
+            # (host-side) and small models.
+            from llm_inference_tpu.ops.quantization import to_blocked_dense
+            K, N = w.shape[-2], w.shape[-1]
+            n_local = N // tp_size if name in _COL_KEYS else N
+            k_local = K // tp_size if name in _ROW_KEYS else K
+            bn = choose_block_n(k_local, n_local, target_bytes, itemsize=2)
+            if bn:
+                layers[name] = to_blocked_dense(w, bn)
+            continue
         if not isinstance(w, QTensor) or w.block_n:
             continue
         Kp, N = w.q.shape[-2], w.q.shape[-1]
@@ -324,7 +341,8 @@ def pad_params_for_tp(params: Params, cfg: ModelConfig,
 
 def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
                    block: bool = True, donate: bool = True,
-                   int4_npair: bool = True) -> Params:
+                   int4_npair: bool = True,
+                   dense_stream: bool = False) -> Params:
     """Post-quantization layout passes: fuse qkv/gate-up, then re-lay
     QTensors for streaming. Call after quantize_params / checkpoint load.
 
@@ -337,7 +355,8 @@ def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
         if fuse:
             p = fuse_params(p, tp_size)
         if block:
-            p = block_params(p, tp_size, int4_npair=int4_npair)
+            p = block_params(p, tp_size, int4_npair=int4_npair,
+                             dense_stream=dense_stream)
         return p
 
     if donate:

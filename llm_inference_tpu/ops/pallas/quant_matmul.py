@@ -146,6 +146,12 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
     Kp, bn = w.shape
     M = x.shape[0]
 
+    if bits == 16:                     # DENSE bf16 streaming (no dequant):
+        acc = jnp.dot(x.astype(jnp.bfloat16), w,   # scale is ones, unused
+                      preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
+        return
+
     if npair:                          # int4, N-pair difference-of-dots
         # Byte (k, j) packs output columns j (lo, stored +8, unsigned) and
         # j + bn of this block at the SAME row k (quantization
@@ -871,8 +877,10 @@ def quant_matmul(x: jnp.ndarray, qt: QTensor, layer=None, *,
     for d in lead:
         M *= d
     stacked = qt.q.ndim == (4 if qt.block_n else 3)
+    # bits=16 (dense streaming) stays off the tiled prefill path: XLA's
+    # dense GEMM is already optimal at large M, no dequant to rescue
     tiled = (M > _PALLAS_MAX_M and qt.block_n != 0
-             and _prefill_kernel_on())
+             and _prefill_kernel_on() and qt.bits != 16)
     if (M > _PALLAS_MAX_M and not tiled) or qt.block_n == 0:
         if stacked:
             qt = _index_layer(qt, layer if layer is not None else 0)

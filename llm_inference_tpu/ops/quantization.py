@@ -204,6 +204,33 @@ def to_blocked(qt: QTensor, block_n: int) -> QTensor:
                                                             block_n))
 
 
+def to_blocked_dense(w: jnp.ndarray, block_n: int) -> QTensor:
+    """Wrap a DENSE [..., K, N] weight as a bits=16 column-blocked
+    streaming QTensor: q = bf16 codes [..., N/bn, K, bn] (each chunk
+    contiguous in HBM — the same ~87%-of-bandwidth streaming the int8
+    kernel gets), scale = ones (never applied by the kernel). This is the
+    dense-bf16 decode attack (VERDICT r3 #4): XLA's own [1,K]×[K,N] GEMV
+    reads the row-major weight at a fraction of bandwidth; the blocked
+    kernel path reuses the whole quantized dispatch (stacked layer
+    indexing, fused norm prologue, pair-carry) with dequant skipped."""
+    *lead, K, N = w.shape
+    assert N % block_n == 0, (N, block_n)
+    q = _blk(w.astype(jnp.bfloat16), block_n)
+    scale = jnp.ones((*lead, N // block_n, 1, block_n), jnp.float32)
+    return QTensor(q=q, scale=scale, bits=16, group_size=0,
+                   orig_dtype=str(w.dtype), block_n=block_n)
+
+
+def dense_blocked_qtensor(q: jnp.ndarray) -> QTensor:
+    """Wrap an ALREADY-blocked bf16 array [..., NB, K, bn] as a bits=16
+    QTensor (bench path: random weights are generated straight into the
+    blocked layout — no 2x-HBM re-layout transient on a 16 GB chip)."""
+    *lead, NB, K, bn = q.shape
+    scale = jnp.ones((*lead, NB, 1, bn), jnp.float32)
+    return QTensor(q=q.astype(jnp.bfloat16), scale=scale, bits=16,
+                   group_size=0, orig_dtype="bfloat16", block_n=bn)
+
+
 def _blk(a, block_n):
     *ld, r, n = a.shape
     return a.reshape(*ld, r, n // block_n, block_n).swapaxes(-3, -2)
@@ -309,7 +336,8 @@ def qmatmul_ref(x: jnp.ndarray, qt: QTensor, dtype=None) -> jnp.ndarray:
     dtype = dtype or x.dtype
     if qt.block_n:
         return _qmatmul_ref_blocked(x, qt, dtype)
-    q = qt.q if qt.bits == 8 else _unpack_int4(qt.q, qt.block_rows)
+    q = (qt.q if qt.bits in (8, 16)
+         else _unpack_int4(qt.q, qt.block_rows))
     num_groups = qt.scale.shape[0]
     if num_groups == 1:
         y = jnp.dot(x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
@@ -348,7 +376,7 @@ def _unpack_int4_blocked(packed: jnp.ndarray, block_rows: int) -> jnp.ndarray:
 def _qmatmul_ref_blocked(x: jnp.ndarray, qt: QTensor, dtype) -> jnp.ndarray:
     """XLA path for the blocked layout — used for prefill (M large, MXU-bound)
     and as the golden model; avoids ever re-laying the weight at call time."""
-    if qt.bits == 8:
+    if qt.bits in (8, 16):
         q3 = qt.q
     elif qt.pack_axis == "n":
         q3 = _unpack_npair_blocked(qt.q)

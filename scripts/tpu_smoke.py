@@ -52,6 +52,16 @@ def main():
                 ok &= check(f"quant_matmul bits={bits} gs={gs} M={M} "
                             f"asym={asym}", got, want)
 
+    # ---- dense bf16 streaming (bits=16 blocked QTensor) ----
+    wd16 = jax.random.normal(key, (4096, 12288), jnp.bfloat16) * 0.02
+    qt16 = Q.to_blocked_dense(wd16, 384)
+    for M in (1, 8):
+        x = jax.random.normal(key, (M, 4096), jnp.bfloat16)
+        got = QM.quant_matmul(x, qt16)
+        want = jnp.dot(x, wd16, preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+        ok &= check(f"dense-stream bf16 M={M}", got, want)
+
     # ---- int4 N-pair (difference-of-dots) layout, compiled parity ----
     for gs, asym in [(0, False), (128, False), (128, True)]:
         w = jax.random.normal(key, (4096, 12288), jnp.float32) * 0.02
@@ -385,6 +395,52 @@ def main():
             want_s, wsn[b][None, None], (jnp.int32(2), jnp.int32(b),
                                          woff[b], jnp.int32(0)))
     ok &= check("kv_write scales", gs, want_s)
+
+    # ---- whole-layer decode megakernel vs the split-kernel path ----
+    # (ops/pallas/layer_fused.py; compiled A/B of a small llama decode)
+    import os
+    from llm_inference_tpu.config import tiny_llama
+    lcfg = tiny_llama(hidden_size=1024, intermediate_size=2816,
+                      num_layers=2, num_heads=8, num_kv_heads=8,
+                      head_dim=128, vocab_size=512, dtype="bfloat16")
+    lp0 = _llama.init_params(lcfg, jax.random.PRNGKey(9),
+                             dtype=jnp.float32)
+    lq = _llama.quantize_params(lp0, QuantConfig(weights="int4",
+                                                 group_size=128))
+    lq = _llama.fuse_params(lq)
+    from llm_inference_tpu.ops.quantization import to_blocked_npair as tbn
+    lay = dict(lq["layers"])
+    for nm, bn in (("wqkv", 768), ("wo", 512), ("w_gateup", 512),
+                   ("w_down", 512)):
+        lay[nm] = tbn(lay[nm], bn)
+    lq["layers"] = lay
+    lids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    lpos = jnp.arange(4, dtype=jnp.int32)[None]
+
+    def lrun(mega):
+        os.environ["LLMI_LAYER_MEGA"] = "1" if mega else "0"
+        try:
+            c = _kv.init_cache(lcfg.num_layers, 1, lcfg.num_kv_heads, 256,
+                               lcfg.head_dim, "int8")
+            lg, c = jax.jit(lambda pp, cc: _llama.forward(
+                lcfg, pp, lids, lpos, cc))(lq, c)
+            outs = [lg.astype(jnp.float32)]
+            tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
+            dec = jax.jit(lambda pp, tt, qq, cc: _llama.forward(
+                lcfg, pp, tt, qq, cc))
+            for t in range(3):
+                lg, c = dec(lq, tok, jnp.full((1, 1), 4 + t, jnp.int32), c)
+                outs.append(lg.astype(jnp.float32))
+                tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
+            return jnp.concatenate(outs), c
+        finally:
+            os.environ.pop("LLMI_LAYER_MEGA", None)
+    want_l, cref = lrun(False)
+    got_l, cgot = lrun(True)
+    ok &= check("layer megakernel decode logits", got_l, want_l, tol=6e-2)
+    ok &= check("layer megakernel cache codes",
+                cgot.k.astype(jnp.float32), cref.k.astype(jnp.float32),
+                tol=6e-2)
 
     log("ALL OK" if ok else "FAILURES — see above")
     sys.exit(0 if ok else 1)
