@@ -7,17 +7,20 @@ self-attention → o_linear → add-residual-norm → FFN — each a separate CU
 launch there. Round-3 already fused the tail (wo → +h/norm → gate-up →
 SwiGLU → down, ops/pallas/quant_matmul.layer_tail_fused); this kernel folds
 the REST of the layer in front of it: the fused-norm qkv GEMV, in-kernel
-RoPE, the int8-KV quantize+write (cache aliased in place), and the online-
-softmax attention over the streamed cache — so a decode layer is ONE kernel
-invocation instead of four. The measured motivation (round 3): ~5 µs fixed
-cost per kernel invocation × 4 invocations × 32 layers ≈ the whole
-remaining gap to the INT4 roofline target; a single grid also lets Mosaic
-prefetch each phase's first weight block behind the previous phase's tail
-compute instead of paying a cold DMA ramp per kernel.
+RoPE, the KV write (cache aliased in place; int8 caches quantize
+in-kernel), and the online-softmax attention over the streamed cache — so
+a decode layer is ONE kernel invocation instead of four. The measured
+motivation (round 3): ~5 µs fixed cost per kernel invocation × 4
+invocations × 32 layers ≈ the whole remaining gap to the INT4 roofline
+target; a single grid also lets Mosaic prefetch each phase's first weight
+block behind the previous phase's tail compute instead of paying a cold
+DMA ramp per kernel.
 
 Single-sequence decode only (B = 1, T = 1) — the bs=1 latency path this
 framework's headline bench measures. Batched decode keeps the split
-kernels (their grids parallelize over B).
+kernels (their grids parallelize over B). Covers BOTH bench configs:
+npair-INT4 weights + INT8 KV (the secondary line) and blocked INT8
+weights + bf16 KV (the headline line); grouped or per-channel scales.
 
 Phase layout on ONE 1-D grid whose attention extent is TRACED
 (nS = ceil(pos / sb) slot blocks — the same dynamic-grid trick as
@@ -27,28 +30,29 @@ ops/pallas/decode_attention):
                           residual+RMSNorm prologue; output accumulates
                           into a flat [1, Nqkv] f32 scratch)
   j == NBq                head assembly (static vreg moves from the flat
-                          scratch), RoPE, int8 quantize of the new k/v,
-                          one-hot blend into the aliased cache RMW blocks,
-                          online-softmax INIT from the new token itself
+                          scratch), RoPE, (int8-quantize +) one-hot blend
+                          into the aliased cache RMW blocks, online-
+                          softmax INIT from the new token itself
   j ∈ (NBq, attn_end)     attention slot blocks over the CACHE (slots
                           strictly < pos — slot pos is stale in HBM during
                           this call; its contribution was seeded in-VMEM
                           at j==NBq, which also makes the write/read
                           ordering hazard moot)
   j ∈ [attn_end, +NBo)    wo GEMV (x = attention rows; groups are row
-                          slices since gso | D — no lanes↔sublanes
-                          reshape anywhere)
+                          slices since the group size divides D — no
+                          lanes↔sublanes reshape anywhere)
   j == attn_end+NBo       residual add + FFN RMSNorm (h2 output written)
   next NBg                gate-up GEMV
   one step                SwiGLU
   last NBd                down GEMV (down_out blocks written)
 
-All weight operands are stacked npair QTensors indexed by the scalar-
+All weight operands are stacked blocked QTensors indexed by the scalar-
 prefetched layer (the repo invariant: never scan-slice an operand into a
-custom call). The cache k/v/scale arrays each appear TWICE as operands —
-a streaming view for attention and a small RMW view ([Hkv, 8, D] codes /
-[8, Hkv] scales around the write slot) aliased to the outputs — all uses
-live inside the one custom call, so XLA inserts no copies.
+custom call). The cache k/v (and, quantized, scale) arrays each appear
+TWICE as operands — a streaming view for attention and a small RMW view
+([Hkv, 8, D] codes / [8, Hkv] scales around the write slot) aliased to
+the outputs — all uses live inside the one custom call, so XLA inserts
+no copies.
 """
 
 from __future__ import annotations
@@ -68,52 +72,99 @@ from llm_inference_tpu.ops.quantization import QTensor
 NEG_INF = -1e30
 
 
-def _group_dots_npair_rows(x_ref, w, s_blk, gsize, floor_unpack, D):
-    """npair group loop with x stored as HEAD ROWS [Hq, D] (the attention
-    accumulator) instead of one flat [1, K] row: group g's slice is
-    x[c0 // D, c0 % D : c0 % D + gsize] — static sublane/lane slices, so
-    the wo GEMV consumes the attention output without any lanes↔sublanes
-    relayout. Requires D % gsize == 0."""
-    Kp, bnp = w.shape
-    acc_lo = jnp.zeros((1, bnp), jnp.float32)
-    acc_hi = jnp.zeros((1, bnp), jnp.float32)
-    for c0 in range(0, Kp, gsize):
+def _gdots(x_f32, w, s_blk, gsize, bits, floor_unpack):
+    """One weight block's GEMV: x [M, K] f32 (lane-contiguous) × blocked
+    codes → [M, out] f32. bits=4 → npair difference-of-dots; bits=8 →
+    bf16 dots with output-side scales (gsize=0 = per-channel)."""
+    if bits == 4:
+        return _group_dots_npair(x_f32, w, s_blk, gsize, floor_unpack)
+    Kp, bn = w.shape
+    if gsize == 0:                      # per-channel
+        acc = jnp.dot(x_f32.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return acc * s_blk[0:1]
+    acc = jnp.zeros((x_f32.shape[0], bn), jnp.float32)
+    for g in range(Kp // gsize):
+        r0 = g * gsize
+        xg = x_f32[:, r0:r0 + gsize].astype(jnp.bfloat16)
+        acc += jnp.dot(xg, w[r0:r0 + gsize].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32
+                       ) * s_blk[g][None, :]
+    return acc
+
+
+def _gdots_rows(x_ref, w, s_blk, gsize, bits, floor_unpack, D):
+    """Same GEMV with x stored as HEAD ROWS [Hq, D] (the attention
+    accumulator): contraction index c ↔ x[c // D, c % D] — static
+    sublane/lane slices, so the wo GEMV consumes the attention output
+    without any lanes↔sublanes relayout. Requires D % gsize == 0 (or
+    per-channel, which chunks by D)."""
+    Kp, bn = w.shape
+    step = gsize if gsize else D
+    acc_lo = jnp.zeros((1, bn), jnp.float32)
+    acc_hi = jnp.zeros((1, bn), jnp.float32) if bits == 4 else None
+    for c0 in range(0, Kp, step):
         h, off = c0 // D, c0 % D
-        xg = x_ref[h:h + 1, off:off + gsize]
-        wb = w[c0:c0 + gsize]
-        xsum = jnp.sum(xg, -1, keepdims=True)
-        if floor_unpack:
-            f = wb.astype(jnp.float32)
-            hi_s = jnp.floor(f * 0.0625)
-            d1 = jnp.dot(xg, f, preferred_element_type=jnp.float32)
-            d_hi = jnp.dot(xg, hi_s, preferred_element_type=jnp.float32)
-            d_lo = d1 - 16.0 * d_hi - 8.0 * xsum
+        xg = x_ref[h:h + 1, off:off + step]
+        wb = w[c0:c0 + step]
+        if bits == 4:
+            xsum = jnp.sum(xg, -1, keepdims=True)
+            if floor_unpack:
+                f = wb.astype(jnp.float32)
+                hi_s = jnp.floor(f * 0.0625)
+                d1 = jnp.dot(xg, f, preferred_element_type=jnp.float32)
+                d_hi = jnp.dot(xg, hi_s,
+                               preferred_element_type=jnp.float32)
+                d_lo = d1 - 16.0 * d_hi - 8.0 * xsum
+            else:
+                d1 = jnp.dot(xg, wb.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+                d2 = jnp.dot(xg, (wb & 0xF).astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+                d_lo = d2 - 8.0 * xsum
+                d_hi = (d1 - d2) * 0.0625
+            s = s_blk[c0 // gsize:c0 // gsize + 1]
+            acc_lo += d_lo * s[:, :bn]
+            acc_hi += d_hi * s[:, bn:]
         else:
-            d1 = jnp.dot(xg, wb.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-            d2 = jnp.dot(xg, (wb & 0xF).astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
-            d_lo = d2 - 8.0 * xsum
-            d_hi = (d1 - d2) * 0.0625
-        g = c0 // gsize
-        s = s_blk[g:g + 1]
-        acc_lo += d_lo * s[:, :bnp]
-        acc_hi += d_hi * s[:, bnp:]
-    return jnp.concatenate([acc_lo, acc_hi], axis=1)
+            d = jnp.dot(xg.astype(jnp.bfloat16),
+                        wb.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            acc_lo += d * (s_blk[c0 // gsize][None, :] if gsize
+                           else 1.0)
+    if bits == 4:
+        return jnp.concatenate([acc_lo, acc_hi], axis=1)
+    if gsize == 0:
+        acc_lo = acc_lo * s_blk[0:1]
+    return acc_lo
 
 
 def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
-            wq_ref, sq_ref, k_ref, v_ref, ks_ref, vs_ref,
-            kr_ref, vr_ref, ksr_ref, vsr_ref,
-            wo_ref, so_ref, wg_ref, sg_ref, wd_ref, sd_ref,
-            dn_ref, h2_ref, ko_ref, vo_ref, kso_ref, vso_ref,
-            qkv_ref, hsum_ref, xn_ref, q_sref, m_ref, l_ref, acc_ref,
-            wout_ref, gu_ref, act_ref, *,
+            wq_ref, sq_ref, k_ref, v_ref, *rest,
             NBq: int, NBo: int, NBg: int, NBd: int,
             gsq: int, gso: int, gsg: int, gsd: int,
             Hq: int, Hkv: int, G: int, D: int, sb: int,
             eps: float, scale: float, I_half: int,
-            outq: int, outo: int, outg: int, floor_unpack: bool):
+            outq: int, outo: int, outg: int, wbits: int,
+            quant_kv: bool, floor_unpack: bool):
+    rest = list(rest)
+    if quant_kv:
+        ks_ref, vs_ref = rest.pop(0), rest.pop(0)
+        kr_ref, vr_ref = rest.pop(0), rest.pop(0)
+        ksr_ref, vsr_ref = rest.pop(0), rest.pop(0)
+    else:
+        kr_ref, vr_ref = rest.pop(0), rest.pop(0)
+        ks_ref = vs_ref = ksr_ref = vsr_ref = None
+    wo_ref, so_ref = rest.pop(0), rest.pop(0)
+    wg_ref, sg_ref = rest.pop(0), rest.pop(0)
+    wd_ref, sd_ref = rest.pop(0), rest.pop(0)
+    dn_ref, h2_ref = rest.pop(0), rest.pop(0)
+    ko_ref, vo_ref = rest.pop(0), rest.pop(0)
+    if quant_kv:
+        kso_ref, vso_ref = rest.pop(0), rest.pop(0)
+    (qkv_ref, hsum_ref, xn_ref, q_sref, m_ref, l_ref, acc_ref,
+     wout_ref, gu_ref, act_ref) = rest
+
     j = pl.program_id(0)
     pos = meta_ref[1]
     attn_end = meta_ref[2]
@@ -129,11 +180,11 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
 
     @pl.when(j < NBq)
     def _():
-        acc = _group_dots_npair(xn_ref[:], wq_ref[0, 0], sq_ref[0, 0],
-                                gsq, floor_unpack)
+        acc = _gdots(xn_ref[:], wq_ref[0, 0], sq_ref[0, 0], gsq, wbits,
+                     floor_unpack)
         qkv_ref[:, pl.dslice(j * outq, outq)] = acc
 
-    # ---- phase B: heads, RoPE, quantize+write, self-term seed ----
+    # ---- phase B: heads, RoPE, (quantize+)write, self-term seed ----
     @pl.when(j == NBq)
     def _():
         qf = qkv_ref[:]
@@ -158,51 +209,66 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         k = rope(k)
         q_sref[:] = q * scale          # attention scale folded in once
 
-        # int8 quantize (quantization.quantize_kv semantics), scale column
-        # → lane row on the MXU at HIGHEST precision (kv_write._qkernel)
+        s_in = pos % 8
+        # the per-head new row is replicated onto its 8 slot-sublanes with
+        # a 0/1 MXU dot (HIGHEST: exact for f32 of bf16 values / int
+        # codes) — no [Hkv, D] → [Hkv, 1, D] relayout
+        rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 0) // 8
+               == jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 1)
+               ).astype(jnp.float32)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, 1), 0) % 8
+               == s_in)
         eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
                jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
                ).astype(jnp.float32)
 
-        def quant(rows):                               # [Hkv, D] f32
-            absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
-            s = jnp.maximum(absmax / 127.0, 1e-8)      # [Hkv, 1]
-            codes = jnp.clip(jnp.round(rows / s), -128, 127)
-            srow = jax.lax.dot_general(
-                s, eye, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # [1, Hkv]
-            return codes, s, srow
+        if quant_kv:
+            # int8 quantize (quantization.quantize_kv semantics), scale
+            # column → lane row on the MXU (kv_write._qkernel)
+            def quant(rows):                           # [Hkv, D] f32
+                absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+                s = jnp.maximum(absmax / 127.0, 1e-8)  # [Hkv, 1]
+                codes = jnp.clip(jnp.round(rows / s), -128, 127)
+                srow = jax.lax.dot_general(
+                    s, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # [1, Hkv]
+                return codes, s, srow
 
-        kq, ks_col, ks_row = quant(k)
-        vq, vs_col, vs_row = quant(v)
+            kq, ks_col, ks_row = quant(k)
+            vq, vs_col, vs_row = quant(v)
+            kwr, vwr = kq, vq
+            # the seed attends the DEQUANTIZED codes — same math as the
+            # split-kernel path (write then attend over the cache)
+            kdq = (kq * ks_col).astype(jnp.bfloat16)
+            vdq = (vq * vs_col).astype(jnp.bfloat16)
+        else:
+            kwr, vwr = k, v
+            kdq = k.astype(jnp.bfloat16)
+            vdq = v.astype(jnp.bfloat16)
 
-        # one-hot blend into the aliased RMW blocks. The per-head code row
-        # is replicated onto its 8 slot-sublanes with a 0/1 MXU dot (codes
-        # ≤ 127 are exact in bf16) — no [Hkv, D] → [Hkv, 1, D] relayout.
-        s_in = pos % 8
-        rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 0) // 8 ==
-               jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 1)
-               ).astype(jnp.float32)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, 1), 0) % 8
-               == s_in)
-        kq_rep = jnp.dot(rep, kq, preferred_element_type=jnp.float32)
-        vq_rep = jnp.dot(rep, vq, preferred_element_type=jnp.float32)
+        kq_rep = jax.lax.dot_general(
+            rep, kwr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        vq_rep = jax.lax.dot_general(
+            rep, vwr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        cdt = ko_ref.dtype
         ki = kr_ref[0, 0].reshape(Hkv * 8, D)
         vi = vr_ref[0, 0].reshape(Hkv * 8, D)
-        ko_ref[0, 0] = jnp.where(sel, kq_rep.astype(jnp.int8), ki
+        ko_ref[0, 0] = jnp.where(sel, kq_rep.astype(cdt), ki
                                  ).reshape(Hkv, 8, D)
-        vo_ref[0, 0] = jnp.where(sel, vq_rep.astype(jnp.int8), vi
+        vo_ref[0, 0] = jnp.where(sel, vq_rep.astype(cdt), vi
                                  ).reshape(Hkv, 8, D)
-        sel8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s_in)
-        kso_ref[0, 0] = jnp.where(sel8, ks_row, ksr_ref[0, 0])
-        vso_ref[0, 0] = jnp.where(sel8, vs_row, vsr_ref[0, 0])
+        if quant_kv:
+            sel8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s_in)
+            kso_ref[0, 0] = jnp.where(sel8, ks_row, ksr_ref[0, 0])
+            vso_ref[0, 0] = jnp.where(sel8, vs_row, vsr_ref[0, 0])
 
         # online-softmax seed from the NEW token (its cache slot is stale
-        # in HBM until this call's writeback; phase C masks it out). Uses
-        # the dequantized codes so the math matches the split-kernel path.
-        kdq = (kq * ks_col).astype(jnp.bfloat16)
-        vdq = (vq * vs_col).astype(jnp.bfloat16)
+        # in HBM until this call's writeback; phase C masks it out)
         selhk = (jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 1) ==
                  jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 0) // G
                  ).astype(jnp.float32)
@@ -223,15 +289,16 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         q = q_sref[:].astype(jnp.bfloat16)             # [Hq, D], scaled
         kb = k_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
         vb = v_ref[0, 0].reshape(HS, D).astype(jnp.bfloat16)
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
-               jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
-               ).astype(jnp.float32)
-        ks_t = jax.lax.dot_general(                    # [Hkv, sb]
-            eye, ks_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        vs_t = jax.lax.dot_general(
-            eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if quant_kv:
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
+                   jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+                   ).astype(jnp.float32)
+            ks_t = jax.lax.dot_general(                # [Hkv, sb]
+                eye, ks_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vs_t = jax.lax.dot_general(
+                eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         def scale_strips(x, s_t):
             return jnp.concatenate(
@@ -241,7 +308,8 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         scores = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # scale already in q
-        scores = scale_strips(scores, ks_t)
+        if quant_kv:
+            scores = scale_strips(scores, ks_t)
         row = jax.lax.broadcasted_iota(jnp.int32, (Hq, HS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (Hq, HS), 1)
         slot = c * sb + col % sb
@@ -254,7 +322,8 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         p = jnp.exp(scores - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        p = scale_strips(p, vs_t)
+        if quant_kv:
+            p = scale_strips(p, vs_t)
         acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
             p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
 
@@ -266,8 +335,8 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
     @pl.when((j >= attn_end) & (j < attn_end + NBo))
     def _():
         jo = j - attn_end
-        acc = _group_dots_npair_rows(acc_ref, wo_ref[0, 0], so_ref[0, 0],
-                                     gso, floor_unpack, D)
+        acc = _gdots_rows(acc_ref, wo_ref[0, 0], so_ref[0, 0], gso, wbits,
+                          floor_unpack, D)
         wout_ref[:, pl.dslice(jo * outo, outo)] = acc
 
     # ---- phase E: residual + FFN norm (h2 written once) ----
@@ -282,8 +351,8 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
     @pl.when((j > attn_end + NBo) & (j <= attn_end + NBo + NBg))
     def _():
         jg = j - attn_end - NBo - 1
-        acc = _group_dots_npair(xn_ref[:], wg_ref[0, 0], sg_ref[0, 0],
-                                gsg, floor_unpack)
+        acc = _gdots(xn_ref[:], wg_ref[0, 0], sg_ref[0, 0], gsg, wbits,
+                     floor_unpack)
         gu_ref[:, pl.dslice(jg * outg, outg)] = acc
 
     @pl.when(j == attn_end + NBo + NBg + 1)
@@ -294,32 +363,38 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
 
     @pl.when(j > attn_end + NBo + NBg + 1)
     def _():
-        acc = _group_dots_npair(act_ref[:], wd_ref[0, 0], sd_ref[0, 0],
-                                gsd, floor_unpack)
+        acc = _gdots(act_ref[:], wd_ref[0, 0], sd_ref[0, 0], gsd, wbits,
+                     floor_unpack)
         dn_ref[:] = acc.astype(dn_ref.dtype)
 
 
-def _npair_ok(qt, rows):
-    return (isinstance(qt, QTensor) and qt.block_n != 0
-            and qt.pack_axis == "n" and qt.zbias is None
-            and qt.q.ndim == 4 and qt.scale.shape[-2] > 1
-            and qt.q.shape[-2] == rows)
+def _wt_ok(qt, rows, bits):
+    if not (isinstance(qt, QTensor) and qt.block_n != 0
+            and qt.zbias is None and qt.q.ndim == 4
+            and qt.q.shape[-2] == rows and qt.bits == bits):
+        return False
+    if bits == 4:
+        return qt.pack_axis == "n" and qt.scale.shape[-2] > 1
+    return qt.pack_axis == "k"
 
 
 @functools.partial(jax.jit, static_argnames=(
     "NBq", "NBo", "NBg", "NBd", "gsq", "gso", "gsg", "gsd",
-    "Hq", "Hkv", "G", "D", "sb", "eps", "scale", "I_half", "interpret"))
+    "Hq", "Hkv", "G", "D", "sb", "eps", "scale", "I_half", "wbits",
+    "interpret"))
 def _call(h2d, res2d, ga, gf, cos_row, sin_row,
           wq, sq, wo, so, wg, sg, wd, sd,
           k_all, v_all, ks_all, vs_all, lyr, pos, *,
           NBq, NBo, NBg, NBd, gsq, gso, gsg, gsd,
-          Hq, Hkv, G, D, sb, eps, scale, I_half, interpret):
+          Hq, Hkv, G, D, sb, eps, scale, I_half, wbits, interpret):
     L = wq.shape[0]
+    mult = 2 if wbits == 4 else 1
     bnq, bno, bng, bnd = (wq.shape[3], wo.shape[3], wg.shape[3],
                           wd.shape[3])
-    outq, outo, outg, outd = 2 * bnq, 2 * bno, 2 * bng, 2 * bnd
+    outq, outo, outg, outd = (mult * bnq, mult * bno, mult * bng,
+                              mult * bnd)
     H = NBo * outo
-    S = k_all.shape[3]
+    quant_kv = ks_all is not None
     nS = (pos + sb - 1) // sb            # history blocks (slots < pos)
     attn_end = NBq + 1 + nS
     total = attn_end + NBo + 1 + NBg + 1 + NBd
@@ -331,11 +406,11 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
         _kernel, NBq=NBq, NBo=NBo, NBg=NBg, NBd=NBd,
         gsq=gsq, gso=gso, gsg=gsg, gsd=gsd, Hq=Hq, Hkv=Hkv, G=G, D=D,
         sb=sb, eps=eps, scale=scale, I_half=I_half,
-        outq=outq, outo=outo, outg=outg,
+        outq=outq, outo=outo, outg=outg, wbits=wbits, quant_kv=quant_kv,
         floor_unpack=_npair_unpack_floor())
 
-    def const(*shape):
-        return lambda j, meta: tuple(0 for _ in shape)
+    def const2(j, meta):
+        return (0, 0)
 
     def wmap(nb):
         return lambda j, meta: (meta[0], jnp.clip(j, 0, nb - 1), 0, 0)
@@ -368,22 +443,38 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
     Nqkv = NBq * outq
     I2 = NBg * outg
     in_specs = [
-        pl.BlockSpec((1, H), const(0, 0)),                    # h
-        pl.BlockSpec((1, H), const(0, 0)),                    # res
-        pl.BlockSpec((1, H), const(0, 0)),                    # ga
-        pl.BlockSpec((1, H), const(0, 0)),                    # gf
-        pl.BlockSpec((1, D), const(0, 0)),                    # cos
-        pl.BlockSpec((1, D), const(0, 0)),                    # sin
+        pl.BlockSpec((1, H), const2),                         # h
+        pl.BlockSpec((1, H), const2),                         # res
+        pl.BlockSpec((1, H), const2),                         # ga
+        pl.BlockSpec((1, H), const2),                         # gf
+        pl.BlockSpec((1, D), const2),                         # cos
+        pl.BlockSpec((1, D), const2),                         # sin
         pl.BlockSpec((1, 1, H, bnq), wmap(NBq)),              # wq
         pl.BlockSpec((1, 1, Gq, outq), wmap(NBq)),            # sq
         pl.BlockSpec((1, 1, Hkv, sb, D), kvs_map),            # k stream
         pl.BlockSpec((1, 1, Hkv, sb, D), kvs_map),            # v stream
-        pl.BlockSpec((1, 1, sb, Hkv), ss_map),                # ks stream
-        pl.BlockSpec((1, 1, sb, Hkv), ss_map),                # vs stream
+    ]
+    operands = [meta, h2d, res2d, ga, gf, cos_row, sin_row,
+                wq, sq, k_all, v_all]
+    if quant_kv:
+        in_specs += [
+            pl.BlockSpec((1, 1, sb, Hkv), ss_map),            # ks stream
+            pl.BlockSpec((1, 1, sb, Hkv), ss_map),            # vs stream
+        ]
+        operands += [ks_all, vs_all]
+    rmw_base = len(operands)             # k RMW operand index
+    in_specs += [
         pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # k RMW
         pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # v RMW
-        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),               # ks RMW
-        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),               # vs RMW
+    ]
+    operands += [k_all, v_all]
+    if quant_kv:
+        in_specs += [
+            pl.BlockSpec((1, 1, 8, Hkv), srmw_map),           # ks RMW
+            pl.BlockSpec((1, 1, 8, Hkv), srmw_map),           # vs RMW
+        ]
+        operands += [ks_all, vs_all]
+    in_specs += [
         pl.BlockSpec((1, 1, Hq * D, bno), womap),             # wo
         pl.BlockSpec((1, 1, Go, outo), womap),                # so
         pl.BlockSpec((1, 1, H, bng), wgmap),                  # wg
@@ -391,27 +482,35 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
         pl.BlockSpec((1, 1, I_half, bnd), wdmap),             # wd
         pl.BlockSpec((1, 1, Gd, outd), wdmap),                # sd
     ]
+    operands += [wo, so, wg, sg, wd, sd]
+
     out_specs = [
         pl.BlockSpec((1, outd),
                      lambda j, meta: (0, jnp.clip(
                          j - meta[2] - NBo - NBg - 2, 0, NBd - 1))),
-        pl.BlockSpec((1, H), const(0, 0)),                    # h2
+        pl.BlockSpec((1, H), const2),                         # h2
         pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
         pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
-        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
-        pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1, NBd * outd), h2d.dtype),
         jax.ShapeDtypeStruct((1, H), h2d.dtype),
         jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
         jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
-        jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
-        jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype),
     ]
+    aliases = {rmw_base: 2, rmw_base + 1: 3}
+    if quant_kv:
+        out_specs += [pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
+                      pl.BlockSpec((1, 1, 8, Hkv), srmw_map)]
+        out_shape += [jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+                      jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype)]
+        aliases[rmw_base + 2] = 4
+        aliases[rmw_base + 3] = 5
+
     wbytes = (wq.size + wo.size + wg.size + wd.size) // L
     sbytes = (sq.size + so.size + sg.size + sd.size) * 4 // L
-    return pl.pallas_call(
+    kv_item = k_all.dtype.itemsize
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -432,23 +531,22 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
             ],
         ),
         out_shape=out_shape,
-        # operand numbering includes the scalar-prefetch arg: meta=0,
-        # h=1 … vs_rmw=16 (see in_specs order above)
-        input_output_aliases={13: 2, 14: 3, 15: 4, 16: 5},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * (H * Nqkv + Hq * D * H + H * I2 + I_half * H)
-            + 4 * Hkv * G * S * D,
+            + 4 * Hkv * G * k_all.shape[3] * D,
             bytes_accessed=wbytes + sbytes
-            + 2 * Hkv * S * D + Nqkv * 4 + H * 8,
-            transcendentals=Hq * S + I_half),
+            + 2 * Hkv * k_all.shape[3] * D * kv_item + Nqkv * 4 + H * 8,
+            transcendentals=Hq * k_all.shape[3] + I_half),
         interpret=interpret,
-    )(meta, h2d, res2d, ga, gf, cos_row, sin_row,
-      wq, sq, k_all, v_all, ks_all, vs_all,
-      k_all, v_all, ks_all, vs_all,
-      wo, so, wg, sg, wd, sd)
+    )(*operands)
+    if quant_kv:
+        return out
+    dn, h2, ko, vo = out
+    return dn, h2, ko, vo, None, None
 
 
 def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
@@ -457,11 +555,11 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
     (h2, down_out, new_cache) or None when this configuration is
     unsupported (caller falls back to the split-kernel path).
 
-    Supported: B = T = 1, dense INT8-quantized KVCache (S % 8 == 0),
-    stacked npair symmetric wqkv/wo/w_gateup/w_down with grouped scales,
-    D = 128 with the wo group size dividing D, no sliding window, no
-    logit softcap, no qk-norm, no qkv bias, no LoRA (caller gates).
-    """
+    Supported: B = T = 1, dense KVCache in bf16 or INT8 (S % 8 == 0),
+    stacked blocked wqkv/wo/w_gateup/w_down all npair-INT4 (grouped
+    scales) or all INT8 (grouped or per-channel), symmetric, D = 128 with
+    the wo group size dividing D, no sliding window, no logit softcap, no
+    qk-norm, no qkv bias, no LoRA (caller gates)."""
     B, T, H = h.shape
     if B != 1 or T != 1:
         return None
@@ -473,40 +571,53 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
     if D != 128:
         return None
     from llm_inference_tpu.ops import kvcache as kvc
-    if not isinstance(cache, kvc.KVCache) or cache.bits != 8:
+    if not isinstance(cache, kvc.KVCache) or cache.bits not in (8, 16):
         return None
     if cache.max_seq_len % 8 or cache.batch_size != 1:
         return None
     wq, wo = qw.get("wqkv"), qw.get("wo")
     wg, wd = qw.get("w_gateup"), qw.get("w_down")
     Hq, Hkv = cfg.num_heads, cfg.num_kv_heads
-    if not (_npair_ok(wq, H) and _npair_ok(wo, Hq * D)
-            and _npair_ok(wg, H)):
+    wbits = wq.bits if isinstance(wq, QTensor) else 0
+    if wbits not in (4, 8):
+        return None
+    if not (_wt_ok(wq, H, wbits) and _wt_ok(wo, Hq * D, wbits)
+            and _wt_ok(wg, H, wbits)):
         return None
     L, NBq, _, bnq = wq.q.shape
     _, NBo, _, bno = wo.q.shape
     _, NBg, _, bng = wg.q.shape
-    if NBq * 2 * bnq != (Hq + 2 * Hkv) * D or NBo * 2 * bno != H:
+    mult = 2 if wbits == 4 else 1
+    if NBq * mult * bnq != (Hq + 2 * Hkv) * D or NBo * mult * bno != H:
         return None
-    I_half = NBg * 2 * bng // 2
-    if not _npair_ok(wd, I_half):
+    I_half = NBg * mult * bng // 2
+    if not _wt_ok(wd, I_half, wbits):
         return None
     _, NBd, Kd, bnd = wd.q.shape
-    if Kd != I_half or NBd * 2 * bnd != H:
+    if Kd != I_half or NBd * mult * bnd != H:
         return None
-    gsq = H // wq.scale.shape[-2]
-    gso = Hq * D // wo.scale.shape[-2]
-    gsg = H // wg.scale.shape[-2]
-    gsd = I_half // wd.scale.shape[-2]
-    if min(gsq, gso, gsg, gsd) < 8 or D % gso:
-        return None
-    if H % gsq or (Hq * D) % gso or H % gsg or I_half % gsd:
+
+    def gsize(qt, K):
+        g = qt.scale.shape[-2]
+        return 0 if g == 1 else K // g
+
+    gsq = gsize(wq, H)
+    gso = gsize(wo, Hq * D)
+    gsg = gsize(wg, H)
+    gsd = gsize(wd, I_half)
+    for gs, K in ((gsq, H), (gso, Hq * D), (gsg, H), (gsd, I_half)):
+        if gs and (gs < 8 or K % gs):
+            return None
+    if wbits == 4 and 0 in (gsq, gso, gsg, gsd):
+        return None                      # npair kernel path is grouped
+    if gso and D % gso:
         return None
     S = cache.max_seq_len
     if S % 128:
         return None
     # attention slot-block size: ≥2 blocks, ~1 MB K block, divides S
-    sb = max(128, min(S // 2, (1 << 20) // (Hkv * D)))
+    kv_item = cache.k.dtype.itemsize
+    sb = max(128, min(S // 2, (1 << 20) // (Hkv * D * kv_item)))
     sb -= sb % 128
     while S % sb:
         sb -= 128
@@ -530,8 +641,11 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
         gsq=gsq, gso=gso, gsg=gsg, gsd=gsd,
         Hq=Hq, Hkv=Hkv, G=Hq // Hkv, D=D, sb=sb,
         eps=float(cfg.rms_norm_eps), scale=float(D) ** -0.5,
-        I_half=I_half, interpret=use_interpret())
-    new_cache = cache.replace(k=k_all, v=v_all, k_scale=ks_all,
-                              v_scale=vs_all)
+        I_half=I_half, wbits=wbits, interpret=use_interpret())
+    if cache.quantized:
+        new_cache = cache.replace(k=k_all, v=v_all, k_scale=ks_all,
+                                  v_scale=vs_all)
+    else:
+        new_cache = cache.replace(k=k_all, v=v_all)
     return (h2.reshape(B, T, H).astype(h.dtype),
             dn.reshape(B, T, H).astype(h.dtype), new_cache)

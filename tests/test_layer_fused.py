@@ -30,15 +30,19 @@ def _mega_cfg(**kw):
     return tiny_llama(**defaults)
 
 
-def _npair_params(cfg, seed=0, gs=64):
+def _npair_params(cfg, seed=0, gs=64, bits="int4"):
+    from llm_inference_tpu.ops.quantization import to_blocked
     params = llama.init_params(cfg, jax.random.PRNGKey(seed),
                                dtype=jnp.float32)
-    q = llama.quantize_params(params, QuantConfig(weights="int4",
+    q = llama.quantize_params(params, QuantConfig(weights=bits,
                                                   group_size=gs))
     q = llama.fuse_params(q)
     layers = dict(q["layers"])
     for name in ("wqkv", "wo", "w_gateup", "w_down"):
-        layers[name] = to_blocked_npair(layers[name], 256)
+        if bits == "int4":
+            layers[name] = to_blocked_npair(layers[name], 256)
+        else:
+            layers[name] = to_blocked(layers[name], 256)
     q["layers"] = layers
     return q
 
@@ -61,28 +65,37 @@ def _run_decode(cfg, params, cache, steps=3, mega=True):
         os.environ.pop("LLMI_LAYER_MEGA", None)
 
 
-@pytest.mark.parametrize("kv_heads", [2, 4])   # GQA (G=2) and MHA (G=1)
-def test_megakernel_matches_split_path(kv_heads):
+@pytest.mark.parametrize("kv_heads,bits,kv,gs", [
+    (2, "int4", "int8", 64),     # GQA, the secondary-bench config
+    (4, "int4", "int8", 64),     # MHA (the 7B shape)
+    (4, "int8", "bf16", 0),      # the headline config: int8 pc + bf16 KV
+    (4, "int8", "int8", 64),     # int8 grouped + int8 KV
+])
+def test_megakernel_matches_split_path(kv_heads, bits, kv, gs):
     cfg = _mega_cfg(num_kv_heads=kv_heads)
-    params = _npair_params(cfg)
+    params = _npair_params(cfg, bits=bits, gs=gs)
 
     def fresh():
         return kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
-                                  256, cfg.head_dim, "int8")
+                                  256, cfg.head_dim,
+                                  "int8" if kv == "int8" else jnp.bfloat16)
 
     ref, cache_ref = _run_decode(cfg, params, fresh(), mega=False)
     out, cache_out = _run_decode(cfg, params, fresh(), mega=True)
     for i, (a, b) in enumerate(zip(ref, out)):
         np.testing.assert_allclose(a, b, atol=0.15, rtol=0.05,
                                    err_msg=f"step {i}")
-    # cache contents must agree where written (codes within ±1 from
+    # cache contents must agree where written (codes within ±2 from
     # bf16-dot rounding differences in the qkv GEMV)
-    kref = np.asarray(cache_ref.k, np.int32)
-    kout = np.asarray(cache_out.k, np.int32)
-    assert np.abs(kref - kout).max() <= 2
-    np.testing.assert_allclose(np.asarray(cache_ref.k_scale),
-                               np.asarray(cache_out.k_scale),
-                               atol=1e-3, rtol=0.05)
+    kref = np.asarray(cache_ref.k, np.float32)
+    kout = np.asarray(cache_out.k, np.float32)
+    if kv == "int8":
+        assert np.abs(kref - kout).max() <= 2
+        np.testing.assert_allclose(np.asarray(cache_ref.k_scale),
+                                   np.asarray(cache_out.k_scale),
+                                   atol=1e-3, rtol=0.05)
+    else:
+        np.testing.assert_allclose(kout, kref, atol=3e-2, rtol=3e-2)
 
 
 def test_megakernel_multi_position_history():
@@ -135,9 +148,9 @@ def test_megakernel_fallbacks():
     h = jnp.zeros((1, 1, 256), jnp.bfloat16)
     posn = jnp.array([[5]], jnp.int32)
 
-    bf16 = kvcache.init_cache(2, 1, 2, 256, 128, jnp.bfloat16)
+    int4kv = kvcache.init_cache(2, 1, 2, 256, 128, "int4")  # packed KV
     assert layer_fused.layer_decode_fused(
-        cfg, h, h, lp1, qw, bf16, 0, posn, cos, sin) is None
+        cfg, h, h, lp1, qw, int4kv, 0, posn, cos, sin) is None
 
     int8 = kvcache.init_cache(2, 2, 2, 256, 128, "int8")  # batch 2
     h2 = jnp.zeros((2, 1, 256), jnp.bfloat16)
