@@ -48,11 +48,17 @@ ops/pallas/decode_attention):
 
 All weight operands are stacked blocked QTensors indexed by the scalar-
 prefetched layer (the repo invariant: never scan-slice an operand into a
-custom call). The cache k/v (and, quantized, scale) arrays each appear
-TWICE as operands — a streaming view for attention and a small RMW view
-([Hkv, 8, D] codes / [8, Hkv] scales around the write slot) aliased to
-the outputs — all uses live inside the one custom call, so XLA inserts
-no copies.
+custom call). The cache is READ-ONLY here: the kernel outputs the new
+token's roped k/v rows and the caller writes them with the existing
+fused write kernel (ops/pallas/kv_write) — so a layer is TWO calls, not
+four. (v1 of this kernel wrote the cache itself via input_output_aliases
+with the array ALSO passed as a streaming operand; XLA copy-protected
+the dual use with FOUR full-cache copies per layer per step — 650 ms of
+a 1050 ms 32-step trace, 188.7 → 30.5 tok/s. Never alias an output to
+an operand whose buffer the same call also reads through another
+operand.) The current token's attention contribution is seeded in-VMEM
+at phase B, so nothing here depends on the write landing first; the
+write kernel's output cache is what the NEXT decode step streams.
 """
 
 from __future__ import annotations
@@ -150,18 +156,13 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
     rest = list(rest)
     if quant_kv:
         ks_ref, vs_ref = rest.pop(0), rest.pop(0)
-        kr_ref, vr_ref = rest.pop(0), rest.pop(0)
-        ksr_ref, vsr_ref = rest.pop(0), rest.pop(0)
     else:
-        kr_ref, vr_ref = rest.pop(0), rest.pop(0)
-        ks_ref = vs_ref = ksr_ref = vsr_ref = None
+        ks_ref = vs_ref = None
     wo_ref, so_ref = rest.pop(0), rest.pop(0)
     wg_ref, sg_ref = rest.pop(0), rest.pop(0)
     wd_ref, sd_ref = rest.pop(0), rest.pop(0)
     dn_ref, h2_ref = rest.pop(0), rest.pop(0)
     ko_ref, vo_ref = rest.pop(0), rest.pop(0)
-    if quant_kv:
-        kso_ref, vso_ref = rest.pop(0), rest.pop(0)
     (qkv_ref, hsum_ref, xn_ref, q_sref, m_ref, l_ref, acc_ref,
      wout_ref, gu_ref, act_ref) = rest
 
@@ -209,66 +210,33 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         k = rope(k)
         q_sref[:] = q * scale          # attention scale folded in once
 
-        s_in = pos % 8
-        # the per-head new row is replicated onto its 8 slot-sublanes with
-        # a 0/1 MXU dot (HIGHEST: exact for f32 of bf16 values / int
-        # codes) — no [Hkv, D] → [Hkv, 1, D] relayout
-        rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 0) // 8
-               == jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, Hkv), 1)
-               ).astype(jnp.float32)
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * 8, 1), 0) % 8
-               == s_in)
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
-               jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
-               ).astype(jnp.float32)
+        # new rows OUT (bf16, post-rope) — the caller's kv_write kernel
+        # lands them in the cache; round to bf16 FIRST so the self-term
+        # below sees exactly what that kernel will quantize/store
+        k16 = k.astype(jnp.bfloat16)
+        v16 = v.astype(jnp.bfloat16)
+        ko_ref[:] = k16
+        vo_ref[:] = v16
 
         if quant_kv:
-            # int8 quantize (quantization.quantize_kv semantics), scale
-            # column → lane row on the MXU (kv_write._qkernel)
-            def quant(rows):                           # [Hkv, D] f32
-                absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+            # the seed attends the DEQUANTIZED int8 codes — same math as
+            # the split path (kv_write._qkernel quantize, then attend)
+            def quant_dq(rows16):                      # [Hkv, D] bf16
+                r = rows16.astype(jnp.float32)
+                absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
                 s = jnp.maximum(absmax / 127.0, 1e-8)  # [Hkv, 1]
-                codes = jnp.clip(jnp.round(rows / s), -128, 127)
-                srow = jax.lax.dot_general(
-                    s, eye, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)   # [1, Hkv]
-                return codes, s, srow
+                codes = jnp.clip(jnp.round(r / s), -128, 127)
+                return (codes * s).astype(jnp.bfloat16)
 
-            kq, ks_col, ks_row = quant(k)
-            vq, vs_col, vs_row = quant(v)
-            kwr, vwr = kq, vq
-            # the seed attends the DEQUANTIZED codes — same math as the
-            # split-kernel path (write then attend over the cache)
-            kdq = (kq * ks_col).astype(jnp.bfloat16)
-            vdq = (vq * vs_col).astype(jnp.bfloat16)
+            kdq = quant_dq(k16)
+            vdq = quant_dq(v16)
         else:
-            kwr, vwr = k, v
-            kdq = k.astype(jnp.bfloat16)
-            vdq = v.astype(jnp.bfloat16)
-
-        kq_rep = jax.lax.dot_general(
-            rep, kwr, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        vq_rep = jax.lax.dot_general(
-            rep, vwr, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        cdt = ko_ref.dtype
-        ki = kr_ref[0, 0].reshape(Hkv * 8, D)
-        vi = vr_ref[0, 0].reshape(Hkv * 8, D)
-        ko_ref[0, 0] = jnp.where(sel, kq_rep.astype(cdt), ki
-                                 ).reshape(Hkv, 8, D)
-        vo_ref[0, 0] = jnp.where(sel, vq_rep.astype(cdt), vi
-                                 ).reshape(Hkv, 8, D)
-        if quant_kv:
-            sel8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == s_in)
-            kso_ref[0, 0] = jnp.where(sel8, ks_row, ksr_ref[0, 0])
-            vso_ref[0, 0] = jnp.where(sel8, vs_row, vsr_ref[0, 0])
+            kdq = k16
+            vdq = v16
 
         # online-softmax seed from the NEW token (its cache slot is stale
-        # in HBM until this call's writeback; phase C masks it out)
+        # in HBM until the caller's write kernel runs; phase C masks it
+        # out)
         selhk = (jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 1) ==
                  jax.lax.broadcasted_iota(jnp.int32, (Hq, Hkv), 0) // G
                  ).astype(jnp.float32)
@@ -423,12 +391,6 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
         hi = jnp.maximum(meta[2] - NBq - 2, 0)
         return (meta[0], 0, jnp.clip(j - NBq - 1, 0, hi), 0)
 
-    def krmw_map(j, meta):
-        return (meta[0], 0, 0, meta[1] // 8, 0)
-
-    def srmw_map(j, meta):
-        return (meta[0], 0, meta[1] // 8, 0)
-
     def womap(j, meta):
         return (meta[0], jnp.clip(j - meta[2], 0, NBo - 1), 0, 0)
 
@@ -462,18 +424,6 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
             pl.BlockSpec((1, 1, sb, Hkv), ss_map),            # vs stream
         ]
         operands += [ks_all, vs_all]
-    rmw_base = len(operands)             # k RMW operand index
-    in_specs += [
-        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # k RMW
-        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),            # v RMW
-    ]
-    operands += [k_all, v_all]
-    if quant_kv:
-        in_specs += [
-            pl.BlockSpec((1, 1, 8, Hkv), srmw_map),           # ks RMW
-            pl.BlockSpec((1, 1, 8, Hkv), srmw_map),           # vs RMW
-        ]
-        operands += [ks_all, vs_all]
     in_specs += [
         pl.BlockSpec((1, 1, Hq * D, bno), womap),             # wo
         pl.BlockSpec((1, 1, Go, outo), womap),                # so
@@ -484,33 +434,28 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
     ]
     operands += [wo, so, wg, sg, wd, sd]
 
+    def constkv(j, meta):
+        return (0, 0)
+
     out_specs = [
         pl.BlockSpec((1, outd),
                      lambda j, meta: (0, jnp.clip(
                          j - meta[2] - NBo - NBg - 2, 0, NBd - 1))),
         pl.BlockSpec((1, H), const2),                         # h2
-        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
-        pl.BlockSpec((1, 1, Hkv, 8, D), krmw_map),
+        pl.BlockSpec((Hkv, D), constkv),                      # k_new
+        pl.BlockSpec((Hkv, D), constkv),                      # v_new
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1, NBd * outd), h2d.dtype),
         jax.ShapeDtypeStruct((1, H), h2d.dtype),
-        jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
-        jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        jax.ShapeDtypeStruct((Hkv, D), jnp.bfloat16),
+        jax.ShapeDtypeStruct((Hkv, D), jnp.bfloat16),
     ]
-    aliases = {rmw_base: 2, rmw_base + 1: 3}
-    if quant_kv:
-        out_specs += [pl.BlockSpec((1, 1, 8, Hkv), srmw_map),
-                      pl.BlockSpec((1, 1, 8, Hkv), srmw_map)]
-        out_shape += [jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
-                      jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype)]
-        aliases[rmw_base + 2] = 4
-        aliases[rmw_base + 3] = 5
 
     wbytes = (wq.size + wo.size + wg.size + wd.size) // L
     sbytes = (sq.size + so.size + sg.size + sd.size) * 4 // L
     kv_item = k_all.dtype.itemsize
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -531,7 +476,6 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
             ],
         ),
         out_shape=out_shape,
-        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -543,10 +487,6 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
             transcendentals=Hq * k_all.shape[3] + I_half),
         interpret=interpret,
     )(*operands)
-    if quant_kv:
-        return out
-    dn, h2, ko, vo = out
-    return dn, h2, ko, vo, None, None
 
 
 def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
@@ -632,7 +572,7 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
     h2d = h.reshape(1, H).astype(jnp.bfloat16)
     res2d = residual_in.reshape(1, H).astype(jnp.bfloat16)
 
-    dn, h2, k_all, v_all, ks_all, vs_all = _call(
+    dn, h2, k_new, v_new = _call(
         h2d, res2d, ga, gf, cos_row, sin_row,
         wq.q, wq.scale, wo.q, wo.scale, wg.q, wg.scale, wd.q, wd.scale,
         cache.k, cache.v, cache.k_scale, cache.v_scale,
@@ -642,10 +582,12 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
         Hq=Hq, Hkv=Hkv, G=Hq // Hkv, D=D, sb=sb,
         eps=float(cfg.rms_norm_eps), scale=float(D) ** -0.5,
         I_half=I_half, wbits=wbits, interpret=use_interpret())
-    if cache.quantized:
-        new_cache = cache.replace(k=k_all, v=v_all, k_scale=ks_all,
-                                  v_scale=vs_all)
-    else:
-        new_cache = cache.replace(k=k_all, v=v_all)
+    # land the new rows with the standard fused write kernel — the read-
+    # only megakernel already attended this token from VMEM, so ordering
+    # is free (the write feeds the NEXT step's streams)
+    from llm_inference_tpu.ops import kvcache as _kvc
+    new_cache = _kvc.update_cache_layer(
+        cache, layer_idx, k_new.reshape(1, 1, Hkv, D),
+        v_new.reshape(1, 1, Hkv, D), pos.reshape(1))
     return (h2.reshape(B, T, H).astype(h.dtype),
             dn.reshape(B, T, H).astype(h.dtype), new_cache)

@@ -48,18 +48,21 @@ def _npair_params(cfg, seed=0, gs=64, bits="int4"):
 
 
 def _run_decode(cfg, params, cache, steps=3, mega=True):
+    # decode a FIXED token sequence (not greedy feedback): with random
+    # dummy weights the top-2 logits routinely tie at bf16 precision, and
+    # a tie broken differently between the two numerically-inequal paths
+    # would fork the cache history and fail the comparison spuriously
     os.environ["LLMI_LAYER_MEGA"] = "1" if mega else "0"
     try:
         ids = jnp.array([[3, 5, 7, 11]], jnp.int32)
         pos = jnp.arange(4, dtype=jnp.int32)[None]
         logits, cache = llama.forward(cfg, params, ids, pos, cache)
         outs = [np.asarray(logits)]
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
         for t in range(steps):
+            tok = jnp.full((1, 1), 17 + 3 * t, jnp.int32)
             p = jnp.full((1, 1), 4 + t, jnp.int32)
             logits, cache = llama.forward(cfg, params, tok, p, cache)
             outs.append(np.asarray(logits))
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
         return outs, cache
     finally:
         os.environ.pop("LLMI_LAYER_MEGA", None)
@@ -117,12 +120,11 @@ def test_megakernel_multi_position_history():
             cache = fresh()
             logits, cache = llama.forward(cfg, params, ids, pos, cache)
             outs = []
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
             for t in range(130, 134):          # fake deep positions
+                tok = jnp.full((1, 1), t % 19 + 2, jnp.int32)  # fixed seq
                 p = jnp.full((1, 1), t, jnp.int32)
                 logits, cache = llama.forward(cfg, params, tok, p, cache)
                 outs.append(np.asarray(logits))
-                tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
             return outs
         finally:
             os.environ.pop("LLMI_LAYER_MEGA", None)
