@@ -684,7 +684,8 @@ def cached_attention(cfg: ModelConfig, q, k, v, cache, layer_idx,
 def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
            write_offsets, mask, cos, sin, tp_axis: Optional[str],
            paged_history: bool = False, lora_lp=None, adapter_idx=None,
-           stacked_norms=None, residual_in=None, want_pair: bool = False):
+           stacked_norms=None, residual_in=None, want_pair: bool = False,
+           mega_norms=None):
     """One decoder layer. h: [B, T, H] (replicated across TP).
 
     Layer-varying state is split three ways:
@@ -714,7 +715,7 @@ def _layer(cfg: ModelConfig, h, lp, qw, cache, layer_idx, positions,
         from llm_inference_tpu.ops.pallas import layer_fused
         mega = layer_fused.layer_decode_fused(
             cfg, h, residual_in, lp, qw, cache, layer_idx, positions,
-            cos, sin)
+            cos, sin, stacked_norms=mega_norms)
         if mega is not None:
             h2, down_out, cache = mega
             return h2, cache, down_out
@@ -921,13 +922,19 @@ def forward(
         # pair carry (h2, delta): each layer's down-projection delta folds
         # into the NEXT layer's fused qkv prologue instead of a standalone
         # XLA add per layer; the pair closes once after the scan
+        # the megakernel indexes these stacked gammas in-kernel (no scan
+        # slice); the split path keeps its measured-default scan-sliced lp
+        mega_norms = {"attn_norm": params["layers"]["attn_norm"],
+                      "ffn_norm": params["layers"]["ffn_norm"]}
+
         def body(carry, lp):
             h2, d, cache, idx = carry
             h2, cache, d2 = _layer(cfg, h2, lp, qw, cache, idx, positions,
                                    write_offsets, mask, cos, sin, tp_axis,
                                    paged_history=paged_history,
                                    stacked_norms=stacked_norms,
-                                   residual_in=d, want_pair=True)
+                                   residual_in=d, want_pair=True,
+                                   mega_norms=mega_norms)
             debug.tap("out", h2 + d2, layer=idx)
             return (h2, d2, cache, idx + 1), None
 

@@ -196,6 +196,149 @@ def quantize_write_token(k_all, v_all, ks_all, vs_all, layer,
     )(off, lyr, k_new, v_new, k_all, v_all, ks_all, vs_all)
 
 
+def _qrows_kernel(off_ref, layer_ref, kn_ref, vn_ref, ki_ref, vi_ref,
+                  ksi_ref, vsi_ref, ko_ref, vo_ref, kso_ref, vso_ref):
+    """B=1 variant of _qkernel taking the new rows as plain [Hkv, D]
+    (the whole-layer megakernel's natural output layout — no [1,Hkv,1,D]
+    relayout copy between the two kernels). The row→slot-sublane
+    replication runs on the MXU (0/1 dot, exact at HIGHEST)."""
+    s = off_ref[0] % _SLOT_BLK
+    Hkv, D = kn_ref.shape
+
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0) ==
+           jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+           ).astype(jnp.float32)
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, Hkv), 0)
+           // _SLOT_BLK ==
+           jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, Hkv), 1)
+           ).astype(jnp.float32)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, 1), 0)
+           % _SLOT_BLK == s)
+
+    def quant(rows):                                   # [Hkv, D] bf16
+        r = rows.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(r), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-8)      # [Hkv, 1]
+        codes = jnp.clip(jnp.round(r / scale), -128, 127)
+        srow = jax.lax.dot_general(scale, eye, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        return codes, srow                             # [Hkv,D] f32, [1,Hkv]
+
+    kq, ks = quant(kn_ref[:])
+    vq, vs = quant(vn_ref[:])
+    kq_rep = jax.lax.dot_general(rep, kq, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+    vq_rep = jax.lax.dot_general(rep, vq, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+    ki = ki_ref[0, 0].reshape(Hkv * _SLOT_BLK, D)
+    vi = vi_ref[0, 0].reshape(Hkv * _SLOT_BLK, D)
+    ko_ref[0, 0] = jnp.where(sel, kq_rep.astype(jnp.int8), ki
+                             ).reshape(Hkv, _SLOT_BLK, D)
+    vo_ref[0, 0] = jnp.where(sel, vq_rep.astype(jnp.int8), vi
+                             ).reshape(Hkv, _SLOT_BLK, D)
+    sel8 = (jax.lax.broadcasted_iota(jnp.int32, (_SLOT_BLK, 1), 0) == s)
+    kso_ref[0, 0] = jnp.where(sel8, ks, ksi_ref[0, 0])
+    vso_ref[0, 0] = jnp.where(sel8, vs, vsi_ref[0, 0])
+
+
+@jax.jit
+def quantize_write_rows(k_all, v_all, ks_all, vs_all, layer,
+                        k_new, v_new, offset):
+    """Fused INT8 quantize + decode write, B=1, rows-layout inputs:
+    k_new/v_new [Hkv, D] bf16/f32 (the megakernel's outputs, no reshape).
+    offset: scalar int32. Caches aliased in place like
+    quantize_write_token."""
+    Hkv, D = k_new.shape
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    off = jnp.minimum(jnp.asarray(offset, jnp.int32).reshape(1),
+                      k_all.shape[3] - 1)
+
+    def cache_map(b, off, lyr):
+        return (lyr[0], 0, 0, off[0] // _SLOT_BLK, 0)
+
+    def scale_map(b, off, lyr):
+        return (lyr[0], 0, off[0] // _SLOT_BLK, 0)
+
+    cache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, D), cache_map)
+    sspec = pl.BlockSpec((1, 1, _SLOT_BLK, Hkv), scale_map)
+    new_spec = pl.BlockSpec((Hkv, D), lambda b, off, lyr: (0, 0))
+    return pl.pallas_call(
+        _qrows_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec,
+                      sspec, sspec],
+            out_specs=[cache_spec, cache_spec, sspec, sspec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                   jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+                   jax.ShapeDtypeStruct(ks_all.shape, ks_all.dtype),
+                   jax.ShapeDtypeStruct(vs_all.shape, vs_all.dtype)],
+        # operands: (off, lyr, k_new, v_new, k_all, v_all, ks_all, vs_all)
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=use_interpret(),
+    )(off, lyr, k_new, v_new, k_all, v_all, ks_all, vs_all)
+
+
+def _rows_kernel(off_ref, layer_ref, kn_ref, vn_ref, ki_ref, vi_ref,
+                 ko_ref, vo_ref):
+    """bf16 twin of _qrows_kernel (no quantization)."""
+    s = off_ref[0] % _SLOT_BLK
+    Hkv, D = kn_ref.shape
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, Hkv), 0)
+           // _SLOT_BLK ==
+           jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, Hkv), 1)
+           ).astype(jnp.float32)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (Hkv * _SLOT_BLK, 1), 0)
+           % _SLOT_BLK == s)
+
+    def rep_rows(rows):
+        return jax.lax.dot_general(
+            rep, rows.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # exact for bf16
+
+    ki = ki_ref[0, 0].reshape(Hkv * _SLOT_BLK, D)
+    vi = vi_ref[0, 0].reshape(Hkv * _SLOT_BLK, D)
+    ko_ref[0, 0] = jnp.where(sel, rep_rows(kn_ref[:]).astype(ko_ref.dtype),
+                             ki).reshape(Hkv, _SLOT_BLK, D)
+    vo_ref[0, 0] = jnp.where(sel, rep_rows(vn_ref[:]).astype(vo_ref.dtype),
+                             vi).reshape(Hkv, _SLOT_BLK, D)
+
+
+@jax.jit
+def write_rows(k_all, v_all, layer, k_new, v_new, offset):
+    """Dense-cache (bf16) B=1 rows-layout decode write: k_new/v_new
+    [Hkv, D], offset scalar. Caches aliased in place."""
+    Hkv, D = k_new.shape
+    lyr = jnp.asarray(layer, jnp.int32).reshape(1)
+    off = jnp.minimum(jnp.asarray(offset, jnp.int32).reshape(1),
+                      k_all.shape[3] - 1)
+
+    def cache_map(b, off, lyr):
+        return (lyr[0], 0, 0, off[0] // _SLOT_BLK, 0)
+
+    cache_spec = pl.BlockSpec((1, 1, Hkv, _SLOT_BLK, D), cache_map)
+    new_spec = pl.BlockSpec((Hkv, D), lambda b, off, lyr: (0, 0))
+    return pl.pallas_call(
+        _rows_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[new_spec, new_spec, cache_spec, cache_spec],
+            out_specs=[cache_spec, cache_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+                   jax.ShapeDtypeStruct(v_all.shape, v_all.dtype)],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=use_interpret(),
+    )(off, lyr, k_new, v_new, k_all, v_all)
+
+
 @jax.jit
 def write_token_scales(ks_all, vs_all, layer, ks_new, vs_new, offsets):
     """Write ONE token's per-head scales into slot-major [L, B, S, Hkv]."""

@@ -177,7 +177,7 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         hsum_ref[:] = x32
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         xn_ref[:] = (x32 * jax.lax.rsqrt(var + eps)
-                     * ga_ref[:].astype(jnp.float32))
+                     * ga_ref[0].astype(jnp.float32))
 
     @pl.when(j < NBq)
     def _():
@@ -314,7 +314,7 @@ def _kernel(meta_ref, h_ref, res_ref, ga_ref, gf_ref, cos_ref, sin_ref,
         h2_ref[:] = x32.astype(h2_ref.dtype)
         var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
         xn_ref[:] = (x32 * jax.lax.rsqrt(var + eps)
-                     * gf_ref[:].astype(jnp.float32))
+                     * gf_ref[0].astype(jnp.float32))
 
     @pl.when((j > attn_end + NBo) & (j <= attn_end + NBo + NBg))
     def _():
@@ -404,11 +404,18 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
     Gq, Go, Gg, Gd = (sq.shape[2], so.shape[2], sg.shape[2], sd.shape[2])
     Nqkv = NBq * outq
     I2 = NBg * outg
+    # gammas arrive STACKED [L, 1, H] (indexed by the prefetched layer —
+    # no per-layer XLA slice op in the scan body) or [1, 1, H]
+    g_stacked = ga.shape[0] > 1
+
+    def gmap(j, meta):
+        return (meta[0] if g_stacked else 0, 0, 0)
+
     in_specs = [
         pl.BlockSpec((1, H), const2),                         # h
         pl.BlockSpec((1, H), const2),                         # res
-        pl.BlockSpec((1, H), const2),                         # ga
-        pl.BlockSpec((1, H), const2),                         # gf
+        pl.BlockSpec((1, 1, H), gmap),                        # ga
+        pl.BlockSpec((1, 1, H), gmap),                        # gf
         pl.BlockSpec((1, D), const2),                         # cos
         pl.BlockSpec((1, D), const2),                         # sin
         pl.BlockSpec((1, 1, H, bnq), wmap(NBq)),              # wq
@@ -490,7 +497,7 @@ def _call(h2d, res2d, ga, gf, cos_row, sin_row,
 
 
 def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
-                       positions, cos_tab, sin_tab):
+                       positions, cos_tab, sin_tab, stacked_norms=None):
     """Try the whole-layer decode megakernel. Returns
     (h2, down_out, new_cache) or None when this configuration is
     unsupported (caller falls back to the split-kernel path).
@@ -567,8 +574,18 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
     pos = positions.reshape(-1)[-1].astype(jnp.int32)
     cos_row = jax.lax.dynamic_index_in_dim(cos_tab, pos, 0)   # [1, D]
     sin_row = jax.lax.dynamic_index_in_dim(sin_tab, pos, 0)
-    ga = lp["attn_norm"].reshape(1, H)
-    gf = lp["ffn_norm"].reshape(1, H)
+
+    def gamma(name):
+        # stacked [L, H] (scan-invariant, layer-indexed in the kernel —
+        # the [L,1,H] reshape hoists out of the scan) beats the per-layer
+        # scan-slice fusions it replaces (~1.5 µs/layer of XLA glue)
+        sn = (stacked_norms or {}).get(name)
+        if sn is not None and sn.ndim == 2 and sn.shape[0] == L and L > 1:
+            return sn[:, None, :]
+        return lp[name].reshape(1, 1, H)
+
+    ga = gamma("attn_norm")
+    gf = gamma("ffn_norm")
     h2d = h.reshape(1, H).astype(jnp.bfloat16)
     res2d = residual_in.reshape(1, H).astype(jnp.bfloat16)
 
@@ -582,12 +599,22 @@ def layer_decode_fused(cfg, h, residual_in, lp, qw, cache, layer_idx,
         Hq=Hq, Hkv=Hkv, G=Hq // Hkv, D=D, sb=sb,
         eps=float(cfg.rms_norm_eps), scale=float(D) ** -0.5,
         I_half=I_half, wbits=wbits, interpret=use_interpret())
-    # land the new rows with the standard fused write kernel — the read-
-    # only megakernel already attended this token from VMEM, so ordering
-    # is free (the write feeds the NEXT step's streams)
-    from llm_inference_tpu.ops import kvcache as _kvc
-    new_cache = _kvc.update_cache_layer(
-        cache, layer_idx, k_new.reshape(1, 1, Hkv, D),
-        v_new.reshape(1, 1, Hkv, D), pos.reshape(1))
+    # land the new rows with the rows-layout fused write kernels — the
+    # read-only megakernel already attended this token from VMEM, so
+    # ordering is free (the write feeds the NEXT step's streams), and the
+    # [Hkv, D] layout flows between the two kernels with zero relayout
+    # copies (update_cache_layer's [B,T,H,D] convention cost ~0.8 µs/layer
+    # of XLA copies)
+    from llm_inference_tpu.ops.pallas import kv_write as _kw
+    if cache.quantized:
+        k_all, v_all, ks_all, vs_all = _kw.quantize_write_rows(
+            cache.k, cache.v, cache.k_scale, cache.v_scale, layer_idx,
+            k_new, v_new, pos)
+        new_cache = cache.replace(k=k_all, v=v_all, k_scale=ks_all,
+                                  v_scale=vs_all)
+    else:
+        k_all, v_all = _kw.write_rows(cache.k, cache.v, layer_idx,
+                                      k_new, v_new, pos)
+        new_cache = cache.replace(k=k_all, v=v_all)
     return (h2.reshape(B, T, H).astype(h.dtype),
             dn.reshape(B, T, H).astype(h.dtype), new_cache)
