@@ -141,3 +141,43 @@ class TestFusedQuantizeWrite:
                 np.asarray(got[0][1, b, 0, offs[b]]), np.asarray(kq[b, 0, 0]))
             np.testing.assert_array_equal(
                 np.asarray(got[1][1, b, 0, offs[b]]), np.asarray(vq[b, 0, 0]))
+
+    def test_quantize_write_rows_matches_token(self):
+        """B=1 rows-layout fused write (the megakernel's output path) must
+        land the same codes/scales as quantize_write_token."""
+        rng = np.random.default_rng(7)
+        L, Hkv, S, D = 2, 4, 32, 128
+        def fresh():
+            return (jnp.zeros((L, 1, Hkv, S, D), jnp.int8),
+                    jnp.zeros((L, 1, Hkv, S, D), jnp.int8),
+                    jnp.zeros((L, 1, S, Hkv), jnp.float32),
+                    jnp.zeros((L, 1, S, Hkv), jnp.float32))
+        k_new = jnp.asarray(rng.standard_normal((Hkv, D)), jnp.bfloat16)
+        v_new = jnp.asarray(rng.standard_normal((Hkv, D)), jnp.bfloat16)
+        for off in (0, 5, 17, 31):
+            a = kv_write.quantize_write_rows(*fresh(), jnp.int32(1),
+                                             k_new, v_new, jnp.int32(off))
+            b = kv_write.quantize_write_token(
+                *fresh(), jnp.int32(1), k_new[None, :, None, :],
+                v_new[None, :, None, :], jnp.asarray([off], jnp.int32))
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x, np.float32),
+                                           np.asarray(y, np.float32),
+                                           atol=1e-6)
+
+    def test_write_rows_matches_token(self):
+        rng = np.random.default_rng(8)
+        L, Hkv, S, D = 2, 4, 32, 128
+        k_new = jnp.asarray(rng.standard_normal((Hkv, D)), jnp.bfloat16)
+        v_new = jnp.asarray(rng.standard_normal((Hkv, D)), jnp.bfloat16)
+        z = lambda: jnp.zeros((L, 1, Hkv, S, D), jnp.bfloat16)
+        for off in (0, 9, 31):
+            ka, va = kv_write.write_rows(z(), z(), jnp.int32(0),
+                                         k_new, v_new, jnp.int32(off))
+            kb, vb = kv_write.write_token(
+                z(), z(), jnp.int32(0), k_new[None, :, None, :],
+                v_new[None, :, None, :], jnp.asarray([off], jnp.int32))
+            np.testing.assert_array_equal(np.asarray(ka, np.float32),
+                                          np.asarray(kb, np.float32))
+            np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                          np.asarray(vb, np.float32))
