@@ -112,6 +112,31 @@ class TestNpairSharded:
         # layout too — this is not npair-specific
         np.testing.assert_allclose(out, golden, atol=2e-2, rtol=2e-2)
 
+    def test_tp_dense_stream_parity(self):
+        """Dense-bf16 streaming (bits=16 blocked QTensors, round 4) under
+        TP: the structural pspec rules shard q on NB (col) / K rows (row)
+        and replicate the ones-scales; forward must match the plain dense
+        sharded path."""
+        cfg = tiny_llama(num_kv_heads=4, num_heads=8, head_dim=64,
+                         hidden_size=512, intermediate_size=512,
+                         vocab_size=512, dtype="bfloat16")
+        tp = 2
+        params = llama.init_params(cfg, jax.random.PRNGKey(11))
+        plain = llama.fuse_params(
+            jax.tree.map(lambda a: a, params), tp_size=tp)
+        stream = llama.prepare_params(
+            jax.tree.map(lambda a: a, params), tp_size=tp, donate=False,
+            dense_stream=True)
+        assert getattr(stream["layers"]["wqkv"], "bits", 0) == 16
+
+        rng = np.random.default_rng(12)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)),
+                          jnp.int32)
+        pos = jnp.tile(jnp.arange(5, dtype=jnp.int32), (2, 1))
+        want, _ = run_sharded(cfg, plain, ids, pos, 1, tp)
+        got, _ = run_sharded(cfg, stream, ids, pos, 1, tp)
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
 
 class TestDecodeSharded:
     def test_prefill_then_decode_sharded(self, cfg, params):
