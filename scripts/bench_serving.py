@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--paged", action="store_true")
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="paged + prefix cache; half the trace repeats "
+                    "earlier prompts — reports repeat-TTFT vs fresh-TTFT")
     ap.add_argument("--speculative", action="store_true",
                     help="n-gram speculative scheduler (repetitive "
                     "prompts; reports accepted/device-step)")
@@ -96,11 +100,12 @@ def main():
         cache_dtype = (args.kv if args.kv in ("int8", "int4")
                        else jnp.bfloat16)
 
+    paged_mode = args.paged or args.prefix_cache
     ecfg = EngineConfig(max_seq_len=args.seq_len,
                         max_batch_size=args.slots,
                         prefill_buckets=(args.prompt_len,),
                         decode_chunk=8,
-                        page_size=(64 if args.paged else 0))
+                        page_size=(args.page_size if paged_mode else 0))
     eng = InferenceEngine(cfg, params, engine_cfg=ecfg,
                           cache_dtype=cache_dtype)
     gen = GenerationConfig(greedy=True, max_new_tokens=args.max_new,
@@ -109,6 +114,9 @@ def main():
         from llm_inference_tpu.engine.speculative import (
             SpeculativeBatchingScheduler)
         sched = SpeculativeBatchingScheduler(eng, gen, slots=args.slots)
+    elif args.prefix_cache:
+        sched = PagedScheduler(eng, gen, slots=args.slots,
+                               prefix_cache=True)
     elif args.paged:
         sched = PagedScheduler(eng, gen, slots=args.slots)
     else:
@@ -125,6 +133,13 @@ def main():
     else:
         prompts = [list(rng.integers(5, cfg.vocab_size - 1, P))
                    for _ in range(args.requests)]
+    repeat_idx = set()
+    if args.prefix_cache:
+        # every second request repeats an earlier prompt — its prefill
+        # should hit shared pages and TTFT collapse to the suffix cost
+        for i in range(1, args.requests, 2):
+            prompts[i] = list(prompts[i - 1])
+            repeat_idx.add(i)
     gaps = rng.exponential(1.0 / args.rate, args.requests)
     gaps[0] = 0.0
     arrivals = np.cumsum(gaps)
@@ -189,6 +204,14 @@ def main():
             st["produced"] / max(st["steps"], 1), 2)
         log(f"speculative: {st['produced']} tokens / {st['steps']} device "
             f"steps = {result['accepted_per_step']} tok/device-step")
+    if repeat_idx:
+        fresh = [r.ttft_s for i, r in enumerate(reqs)
+                 if i not in repeat_idx]
+        reps = [r.ttft_s for i, r in enumerate(reqs) if i in repeat_idx]
+        result["ttft_fresh_p50_ms"] = round(pctl(fresh, 50) * 1e3, 1)
+        result["ttft_repeat_p50_ms"] = round(pctl(reps, 50) * 1e3, 1)
+        log(f"prefix cache: fresh TTFT p50 {pctl(fresh,50)*1e3:.0f} ms, "
+            f"repeat TTFT p50 {pctl(reps,50)*1e3:.0f} ms")
 
     if not args.no_raw:
         # raw-scan ceiling: same engine forward, all slots decoding, no
