@@ -420,6 +420,14 @@ class EngineConfig:
     # Static sort width bounding per-request top-k in the batched decode
     # program (ops/sampling.sample_per_row); requests may use any k ≤ this.
     max_top_k: int = 64
+    # One-chunk-deep harvest pipelining in the batched schedulers: chunk
+    # k+1 is dispatched BEFORE chunk k's tokens are fetched, so the
+    # device-to-host readback (and any dispatch latency) overlaps the next
+    # chunk's execution instead of serializing the decode loop. Costs one
+    # chunk of slot-retirement lag (a finished request's slot frees one
+    # chunk later). The speculative scheduler ignores this (its accept
+    # loop is inherently synchronous).
+    pipeline_harvest: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "EngineConfig":

@@ -189,6 +189,24 @@ class ContinuousBatchingScheduler:
             lambda a, row, s: jax.lax.dynamic_update_slice(
                 a, row[None], (s, jnp.int32(0))),
             donate_argnums=(0,))
+        # wall-time phase accounting (scripts/bench_serving.py): seconds in
+        # admissions (prefill + first-token sync + insert), decode dispatch
+        # (program call, async), and harvest (device sync + host
+        # bookkeeping), plus event counts — names the host-loop overhead
+        # vs the raw-scan ceiling
+        self.phase_s = {"admit": 0.0, "dispatch": 0.0, "harvest": 0.0}
+        self.phase_n = {"admit": 0, "chunks": 0}
+        # one-chunk-deep harvest pipeline (EngineConfig.pipeline_harvest):
+        # (toks, lps, tvs, tis, slot_req snapshot) futures of the chunk
+        # whose tokens have not been fetched yet. The snapshot pins row→
+        # request attribution to DISPATCH-time occupancy: a slot admitted
+        # after the dispatch must not receive the stale chunk's rows.
+        self._pending = None
+        self.pipeline_harvest = bool(
+            getattr(engine.engine_cfg, "pipeline_harvest", True))
+        # deferred admissions within one step: (slot, req, first-token /
+        # logprob / top-logprob futures), flushed by _finish_admissions
+        self._admit_pend: List[tuple] = []
 
     def _resolve_sampling(self, req: Request):
         """(temperature, top_k, top_p, greedy, min_p, rep, pres, freq)
@@ -343,11 +361,17 @@ class ContinuousBatchingScheduler:
         return self.engine.new_cache(self.B)
 
     @staticmethod
-    def _insert_fn(batch_cache, one_cache, token1, pos1, token, pos, slot):
+    def _insert_fn(batch_cache, one_cache, token1, pos1, token, pos, slot,
+                   row):
         def put(dst, src):
             if dst is None:
                 return None
-            src = src[:, :1]     # row 0 (prefill may carry dp replicas)
+            # `row` of the admission prefill's cache (0 for a single
+            # admission — prefill may carry dp replicas; wave admissions
+            # insert row i of one batched prefill). The source cache may
+            # be PROMPT-BUCKET sized (shorter S than the batch cache):
+            # the update writes only its own extent.
+            src = jax.lax.dynamic_slice_in_dim(src, row, 1, axis=1)
             zeros = (jnp.int32(0),) * (dst.ndim - 2)
             return jax.lax.dynamic_update_slice(
                 dst, src, (jnp.int32(0), slot) + zeros)
@@ -429,67 +453,137 @@ class ContinuousBatchingScheduler:
     # ------------------------------------------------------------------
 
     def _admit_one(self, slot: int, req: Request) -> bool:
-        """Prefill `req` alone and insert its pages into `slot`.
+        """Prefill `req` alone and insert it into `slot` — DISPATCH only.
+
+        Everything here is an async device dispatch (prefill → first-token
+        sample → batch-cache insert form one functional chain); the
+        first-token fetch and host bookkeeping are deferred to
+        `_finish_admissions`, so a burst of admissions in one step pays ONE
+        device round trip, not one per request.
 
         Under a data-sharded mesh the prompt is replicated across the data
         axis (a batch-1 prefill can't shard over dp>1); row 0 is inserted."""
         dp = self.engine.data_parallel
         aidx1 = (jnp.full((dp,), self.engine.resolve_adapter(req.adapter),
                           jnp.int32) if self.engine.has_lora else None)
+        small = self.engine.new_cache(
+            dp, max_seq=self.engine._bucket(len(req.prompt_ids)))
         logits, one_cache = self.engine.prefill(
-            [list(req.prompt_ids)] * dp, cache=self.engine.new_cache(dp),
-            adapter_idx=aidx1)
+            [list(req.prompt_ids)] * dp, cache=small, adapter_idx=aidx1)
         logits = logits[:1]
-        first, done = self._first_token_epilogue(slot, req, logits)
-        if done:
-            return True
+        first = self._first_token_dispatch(slot, req, logits)
         pos1 = jnp.asarray([len(req.prompt_ids)], jnp.int32)
         self.cache, self.token, self.pos = self._insert_jit(
             self.cache, one_cache, first.astype(jnp.int32), pos1,
-            self.token, self.pos, jnp.int32(slot))
-        self._set_slot_sampling(slot, req)
+            self.token, self.pos, jnp.int32(slot), jnp.int32(0))
         self.slot_req[slot] = req
         return True
 
-    def _first_token_epilogue(self, slot: int, req: Request, logits):
-        """Shared admission tail (dense AND paged): sample the first token
-        with the request's knobs, record it (logprobs, stop checks, TTFT),
-        and retire the request if it already finished. Returns the sampled
-        device array and whether the request is done."""
+    def _admit_batch(self, slots: List[int], reqs: List[Request]) -> None:
+        """Admit k requests with ONE padded prefill (dense backend, dp=1).
+
+        Prefill at serving prompt lengths is weight-streaming-bound, so k
+        rows cost about the same device time as one — a burst of arrivals
+        admits in one program instead of k serial prefills. B pads to a
+        power-of-two bucket (bounded program set); the prefill cache is
+        sized at the PROMPT bucket, not max_seq_len, so allocation and the
+        per-row insert copies stay small."""
+        k = len(reqs)
+        Bb = 1 << (k - 1).bit_length()
+        prompts = [list(r.prompt_ids) for r in reqs]
+        prompts += [prompts[-1]] * (Bb - k)
+        aidx = (jnp.asarray([self.engine.resolve_adapter(r.adapter)
+                             for r in reqs] + [0] * (Bb - k), jnp.int32)
+                if self.engine.has_lora else None)
+        small = self.engine.new_cache(
+            Bb, max_seq=self.engine._bucket(max(len(p) for p in prompts)))
+        logits, ck = self.engine.prefill(prompts, cache=small,
+                                         adapter_idx=aidx)
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            first = self._first_token_dispatch(slot, req,
+                                               logits[i:i + 1])
+            pos1 = jnp.asarray([len(req.prompt_ids)], jnp.int32)
+            self.cache, self.token, self.pos = self._insert_jit(
+                self.cache, ck, first.astype(jnp.int32), pos1,
+                self.token, self.pos, jnp.int32(slot), jnp.int32(i))
+            self.slot_req[slot] = req
+
+    def _first_token_dispatch(self, slot: int, req: Request, logits):
+        """Shared admission tail, dispatch half (dense AND paged): sample
+        the first token with the request's knobs (async) and stash the
+        result futures for `_finish_admissions`. Returns the sampled
+        token's device array (the backend inserts it into the batch
+        state)."""
         first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
-        tok_np, lp_np = jax.device_get((first, first_lp))
-        tok = int(tok_np[0])
-        stops = self._stops(req)
-        req.output_ids.append(tok)
-        req.output_logprobs.append(float(lp_np[0]))
-        if req.top_logprobs:
-            tv, ti = jax.device_get((ftv, fti))
-            req.output_top_logprobs.append(
-                [(int(i), float(v)) for i, v in
-                 zip(ti[0][:req.top_logprobs], tv[0][:req.top_logprobs])])
-        self._check_stop_strings(req, tok)
-        if tok not in stops:
-            self._emit(req)
-        self.engine.metrics.observe("ttft_s", req.ttft_s)
-        if (tok in stops or req.finished
-                or len(req.output_ids) >= req.max_new_tokens):
-            req.finished = req.finished or tok in stops
-            req.done_t = time.perf_counter()
-            self.slot_req[slot] = None
-            self._on_retire(slot)
-            return first, True
-        return first, False
+        self._admit_pend.append((slot, req, first, first_lp, ftv, fti))
+        return first
+
+    def _finish_admissions(self) -> None:
+        """Fetch every pending admission's first token in ONE transfer and
+        run the host bookkeeping (logprobs, stop checks, slot sampling
+        knobs, instant-retire). Runs before the step's decode dispatch, so
+        per-slot knob arrays are correct for the chunk that follows."""
+        pend, self._admit_pend = self._admit_pend, []
+        if not pend:
+            return
+        fetched = jax.device_get([(p[2], p[3]) for p in pend])
+        for (slot, req, _first, _flp, ftv, fti), (tok_np, lp_np) in zip(
+                pend, fetched):
+            tok = int(tok_np[0])
+            stops = self._stops(req)
+            req.output_ids.append(tok)
+            req.output_logprobs.append(float(lp_np[0]))
+            if req.top_logprobs:
+                tv, ti = jax.device_get((ftv, fti))
+                req.output_top_logprobs.append(
+                    [(int(i), float(v)) for i, v in
+                     zip(ti[0][:req.top_logprobs], tv[0][:req.top_logprobs])])
+            self._check_stop_strings(req, tok)
+            if tok not in stops:
+                self._emit(req)
+            self.engine.metrics.observe("ttft_s", req.ttft_s)
+            if (tok in stops or req.finished
+                    or len(req.output_ids) >= req.max_new_tokens):
+                req.finished = req.finished or tok in stops
+                req.done_t = time.perf_counter()
+                self.slot_req[slot] = None
+                self._on_retire(slot)
+            else:
+                self._set_slot_sampling(slot, req)
+
+    def _harvest_pending(self, pend=None) -> None:
+        """Fetch one stashed chunk's tokens (np.asarray blocks on the
+        device result — under pipelining the readback overlaps the
+        already-dispatched NEXT chunk) and distribute them. With no
+        argument, drains self._pending."""
+        if pend is None:
+            pend, self._pending = self._pending, None
+            if pend is None:
+                return
+        toks, lps, tvs, tis, snap = pend
+        t1 = time.perf_counter()
+        self._harvest(np.asarray(toks), np.asarray(lps),
+                      None if tvs is None else np.asarray(tvs),
+                      None if tis is None else np.asarray(tis),
+                      snapshot=snap)
+        self.phase_s["harvest"] += time.perf_counter() - t1
 
     def _harvest(self, toks_np: np.ndarray,
                  lps_np: Optional[np.ndarray] = None,
                  tvs_np: Optional[np.ndarray] = None,
-                 tis_np: Optional[np.ndarray] = None) -> None:
-        """Distribute a decode chunk's tokens [B, steps] to the requests."""
+                 tis_np: Optional[np.ndarray] = None,
+                 snapshot: Optional[List[Optional[Request]]] = None) -> None:
+        """Distribute a decode chunk's tokens [B, steps] to the requests.
+
+        `snapshot` is the slot occupancy AT DISPATCH time: row b belongs
+        to snapshot[b], and is dropped unless that request still occupies
+        slot b (a preempted/retired slot's rows are garbage; a slot
+        re-admitted between dispatch and harvest must not receive them)."""
         now = time.perf_counter()
         for b in range(self.B):
-            req = self.slot_req[b]
-            if req is None:
+            req = self.slot_req[b] if snapshot is None else snapshot[b]
+            if req is None or req is not self.slot_req[b]:
                 continue
             stops = self._stops(req)
             for j, t in enumerate(toks_np[b]):
@@ -631,16 +725,55 @@ class ContinuousBatchingScheduler:
     def step(self) -> bool:
         """One scheduling iteration: admit into free slots, then decode one
         chunk for all active slots. Returns False when fully idle."""
-        for b in range(self.B):
-            if self.slot_req[b] is None and self.queue:
-                if not self._admit_one(b, self.queue.popleft()):
-                    break                    # backend out of capacity
+        t0 = time.perf_counter()
+        # wave admission (one batched prefill) when the backend uses the
+        # base admission path and the mesh has no data axis; backends with
+        # their own _admit_one (paged pages/prefix-cache, draft-model
+        # prefill hooks) admit per-request
+        wave = (type(self)._admit_one
+                is ContinuousBatchingScheduler._admit_one
+                and self.engine.data_parallel == 1)
+        if wave and self.queue:
+            free = [b for b in range(self.B) if self.slot_req[b] is None]
+            k = min(len(free), len(self.queue))
+            if k == 1:
+                self._admit_one(free[0], self.queue.popleft())
+                self.phase_n["admit"] += 1
+            elif k > 1:
+                self._admit_batch(free[:k],
+                                  [self.queue.popleft() for _ in range(k)])
+                self.phase_n["admit"] += k
+        elif not wave:
+            for b in range(self.B):
+                if self.slot_req[b] is None and self.queue:
+                    if not self._admit_one(b, self.queue.popleft()):
+                        break                # backend out of capacity
+                    self.phase_n["admit"] += 1
+        # one sync for ALL admissions this step: each _admit_one only
+        # DISPATCHED its prefill + first-token sample + insert; the
+        # first-token fetch (a device round trip each) batches here
+        self._finish_admissions()
+        self.phase_s["admit"] += time.perf_counter() - t0
         active = [r for r in self.slot_req if r is not None]
         if not active:
+            if self._pending is not None:
+                self._harvest_pending()      # drain the in-flight chunk
+                return True
             return bool(self.queue)
-        budget = min(r.max_new_tokens - len(r.output_ids) for r in active)
-        steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
+        # ALWAYS dispatch a full decode_chunk: clamping the chunk to the
+        # remaining-token budget compiles a separate program per distinct
+        # residue (a 14-19 s warm-cache stall EACH, mid-trace), and once
+        # one short chunk runs the budgets drift off the chunk grid so up
+        # to decode_chunk distinct programs get built. Harvest truncates
+        # each request at its own max_new; the overshoot rows are retired
+        # slots whose writes clamp at the cache edge (kv_write clamps
+        # offsets >= S to a last-slot write; the paged backend sinks them
+        # on the reserved null page) — ≤ chunk-1 wasted rows per
+        # retirement wave, all batched, zero marginal step cost.
+        steps = self.engine.engine_cfg.decode_chunk
         if not self._before_chunk(steps):
+            if self._pending is not None:
+                self._harvest_pending()   # retiring slots may free pages
             return True
         self._dispatch_decode(steps)
         return True
@@ -648,6 +781,7 @@ class ContinuousBatchingScheduler:
     def _dispatch_decode(self, steps: int) -> None:
         """Run one decode chunk for all active slots and harvest it (the
         caller has already run _before_chunk)."""
+        t0 = time.perf_counter()
         self.key, sub = jax.random.split(self.key)
         live = [b for b, r in enumerate(self.slot_req) if r is not None]
         use_pen = any(self.rep_host[b] != 1.0 or self.pres_host[b] != 0.0
@@ -671,6 +805,7 @@ class ContinuousBatchingScheduler:
             toks, lps, self.cache, self.token, self.pos, *_ = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
                 None, None, aidx)
+            tvs = tis = None
         else:
             use_topk = any(self.topk_host[b] > 0 for b in live)
             use_topp = any(self.topp_host[b] < 1.0 for b in live)
@@ -703,12 +838,20 @@ class ContinuousBatchingScheduler:
                 jnp.asarray(self.cidx_host) if use_guided else None,
                 jnp.asarray(self.dstate_host) if use_guided else None)
             if use_guided:
+                # device→host DFA state round-trip: a per-chunk sync (the
+                # guided path does not pipeline; constrained decoding is
+                # not the throughput path)
                 self.dstate_host = np.array(dstate)   # writable copy
-            if top_used:
-                self._harvest(np.asarray(toks), np.asarray(lps),
-                              np.asarray(tvs), np.asarray(tis))
-                return
-        self._harvest(np.asarray(toks), np.asarray(lps))
+            if not top_used:
+                tvs = tis = None
+        self.phase_s["dispatch"] += time.perf_counter() - t0
+        self.phase_n["chunks"] += 1
+        prev, self._pending = self._pending, (toks, lps, tvs, tis,
+                                              list(self.slot_req))
+        if prev is not None:
+            self._harvest_pending(prev)
+        if not self.pipeline_harvest:
+            self._harvest_pending()          # synchronous mode
 
     def cancel(self, req: Request) -> bool:
         """Abort a request: drop it from the queue, or flag it so the next
@@ -745,6 +888,7 @@ class ContinuousBatchingScheduler:
         in-flight request out of its slot and put it back at the FRONT of
         the queue with generation state reset, so a restarted worker (fresh
         cache) replays them from the prompt. Returns the drained requests."""
+        self._pending = None    # in-flight chunk tokens are replayed anyway
         drained = []
         for b in range(self.B):
             req = self.slot_req[b]
@@ -925,8 +1069,12 @@ class PagedScheduler(ContinuousBatchingScheduler):
             for b, req in enumerate(self.slot_req):
                 if req is None:
                     continue
+                # clamp at S: full-chunk dispatch can overshoot a RETIRING
+                # request's limit by < chunk (growing past the table width
+                # would shape-error; the overshoot rows only touch the
+                # retiring slot's own stale pages)
                 ok, g = self._ensure_blocks(
-                    b, int(self.pos_host[b]) + steps + 1)
+                    b, min(int(self.pos_host[b]) + steps + 1, self.S))
                 grew |= g
                 if not ok:
                     starved = b
@@ -1043,21 +1191,19 @@ class PagedScheduler(ContinuousBatchingScheduler):
         # register the freshly prefilled full-prefix pages for future reuse
         for j in range(hit_blocks, len(hashes)):
             self.store.insert(hashes[j], self.slot_pages[slot][j])
-        first, done = self._first_token_epilogue(slot, req, logits)
-        if done:
-            return True
+        first = self._first_token_dispatch(slot, req, logits)
         self.token, self.pos = self._set_tok_pos(
             self.token, self.pos, first.astype(jnp.int32),
             jnp.asarray([plen], jnp.int32), jnp.int32(slot))
         self.pos_host[slot] = plen
-        self._set_slot_sampling(slot, req)
         self.slot_req[slot] = req
         return True
 
     def _interleave_decode(self, admitting_slot: int) -> None:
-        active = [r for r in self.slot_req if r is not None]
-        budget = min(r.max_new_tokens - len(r.output_ids) for r in active)
-        steps = max(1, min(self.engine.engine_cfg.decode_chunk, budget))
+        # flush deferred admissions first: an earlier admission this step
+        # must have its sampling knobs set before its slot decodes here
+        self._finish_admissions()
+        steps = self.engine.engine_cfg.decode_chunk   # same program as step()
         saved = self.pt_host[admitting_slot].copy()
         self.pt_host[admitting_slot] = 0
         ok = self._before_chunk(steps)

@@ -225,6 +225,10 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
                              "for now (use the plain scheduler under "
                              "tp/dp)")
         super().__init__(engine, gen, slots)
+        # the accept loop syncs on every verify forward (np.array of g):
+        # harvest pipelining cannot apply, and the plain-chunk fallback
+        # dispatch must complete synchronously too
+        self.pipeline_harvest = False
         self.gamma = gamma
         self.ngram = ngram
         self.spec_stats = {"steps": 0, "accepted": 0, "produced": 0}
@@ -376,7 +380,7 @@ class DraftSpeculativeBatchingScheduler(SpeculativeBatchingScheduler):
             z = jnp.zeros((1,), jnp.int32)
             self._dcache, self._dtok, self._dpos = self._dinsert(
                 self._dcache, one, z, z, self._dtok, self._dpos,
-                jnp.int32(slot))
+                jnp.int32(slot), jnp.int32(0))
             self._dnext[slot] = len(req.prompt_ids)
         return ok
 

@@ -148,11 +148,20 @@ def main():
     # timed window (a full batch so every admission/decode shape is seen)
     log("warm-up (compiles)...")
     t0 = time.time()
-    for p in prompts[:args.slots]:
-        sched.submit(list(p), max_new_tokens=4)
-    while sched.step():
-        pass
+    chunk = ecfg.decode_chunk
+    # compile every program the trace can hit: wave-admission prefills at
+    # each power-of-two batch bucket, and the steps=decode_chunk decode
+    # program (max_new spans a full chunk) — none compile mid-trace
+    g = 1
+    while g <= args.slots:
+        for p in prompts[:g]:
+            sched.submit(list(p), max_new_tokens=2 * chunk + 1)
+        while sched.step():
+            pass
+        g *= 2
     log(f"warm-up done ({time.time()-t0:.0f}s)")
+    sched.phase_s = {k: 0.0 for k in sched.phase_s}
+    sched.phase_n = {k: 0 for k in sched.phase_n}
 
     log(f"trace: {args.requests} reqs @ {args.rate}/s, prompt {P}, "
         f"max_new {args.max_new}, slots {args.slots}")
@@ -180,6 +189,13 @@ def main():
     itls = [(r.done_t - r.first_token_t) / (len(r.output_ids) - 1)
             for r in reqs if len(r.output_ids) > 1]
     log(f"serving: {produced} tokens in {span:.2f}s → {tok_s:.1f} tok/s")
+    ph, pn = sched.phase_s, sched.phase_n
+    log(f"phases: admit {ph['admit']:.2f}s ({pn['admit']} admissions, "
+        f"{ph['admit']/max(pn['admit'],1)*1e3:.0f} ms each), "
+        f"dispatch {ph['dispatch']:.2f}s / harvest {ph['harvest']:.2f}s "
+        f"({pn['chunks']} chunks, "
+        f"{(ph['dispatch']+ph['harvest'])/max(pn['chunks'],1)*1e3:.0f} ms "
+        f"each)")
     log(f"TTFT p50 {pctl(ttfts,50)*1e3:.0f} ms  p95 "
         f"{pctl(ttfts,95)*1e3:.0f} ms")
     log(f"ITL  p50 {pctl(itls,50)*1e3:.2f} ms  p95 "
