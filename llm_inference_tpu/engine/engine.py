@@ -448,6 +448,24 @@ class InferenceEngine:
                 return b
         return n  # beyond the largest (valid) bucket: compile exactly
 
+    def prefill_cache_len(self, n: int) -> int:
+        """Smallest cache extent that admits an n-token prompt through the
+        chunked `prefill` path with every bucket-rounded write window in
+        bounds. For prompts beyond the largest bucket, prefill runs
+        largest-bucket chunks whose LAST window is bucket-rounded — a cache
+        sized at `_bucket(n)` (= n exactly in that regime) is too short for
+        that window, and the dynamic_update_slice start would clamp and
+        overwrite committed KV. Used by scheduler admission to size its
+        prompt-local prefill caches."""
+        fitting = [b for b in self.engine_cfg.prefill_buckets
+                   if b <= self.engine_cfg.max_seq_len]
+        chunk = max(fitting) if fitting else self.engine_cfg.max_seq_len
+        if n <= chunk:
+            return min(self._bucket(n), self.engine_cfg.max_seq_len)
+        last_o = ((n - 1) // chunk) * chunk
+        return min(last_o + self._bucket(n - last_o),
+                   self.engine_cfg.max_seq_len)
+
     def _encode_prompts(self, prompts) -> List[List[int]]:
         out = []
         for p in prompts:
@@ -479,6 +497,17 @@ class InferenceEngine:
                 f"and corrupt the cache tail)")
         if cache is None:
             cache = self.new_cache(B)
+        # a caller-provided cache may be smaller than max_seq_len (scheduler
+        # admission sizes it at the prompt bucket) — every write window must
+        # stay inside ITS extent, or the dynamic_update_slice start clamps
+        # and overwrites committed KV
+        extent = min(self.engine_cfg.max_seq_len,
+                     getattr(cache, "max_seq_len", None)
+                     or self.engine_cfg.max_seq_len)
+        if longest > extent:
+            raise ValueError(
+                f"prompt needs {longest} cache slots but the provided cache "
+                f"extent is {extent}")
 
         # prompts longer than the largest bucket run as a SEQUENCE of
         # largest-bucket chunks continuing the same cache (the forward's
@@ -497,12 +526,11 @@ class InferenceEngine:
             part = [t[o:o + chunk] for t in token_lists]
             need = max(max(len(p) for p in part), 1)
             # cap the bucketed width at the remaining cache: the write
-            # window is shared across rows, and a window crossing
-            # max_seq_len would clamp its dynamic_update_slice start and
+            # window is shared across rows, and a window crossing the cache
+            # extent would clamp its dynamic_update_slice start and
             # overwrite committed KV (the longest-fits check above bounds
             # the TOKENS, not the rounded-up bucket)
-            T = min(self._bucket(need),
-                    self.engine_cfg.max_seq_len - o - max(starts))
+            T = min(self._bucket(need), extent - o - max(starts))
             if T < need:
                 raise ValueError(
                     f"prefill chunk needs {need} slots but only {T} fit "

@@ -132,6 +132,17 @@ class Request:
 class ContinuousBatchingScheduler:
     """Slot-based continuous batching over an InferenceEngine."""
 
+    # class supports batched (wave) admission: k concurrently-arriving
+    # requests prefill in ONE padded program per suffix chunk instead of k
+    # serial prefills (subclasses whose _admit_one has per-request device
+    # work with no batched counterpart set this False)
+    wave_admission = True
+    # admission first-token fetch may defer past the next chunk dispatch
+    # (merged into the harvest's device_get — one round trip per step);
+    # subclasses whose dispatch consumes output_ids on host (speculative
+    # proposal history) set this False to keep the eager fetch
+    defer_admit_fetch = True
+
     def __init__(self, engine: InferenceEngine,
                  gen: Optional[GenerationConfig] = None,
                  slots: Optional[int] = None):
@@ -189,13 +200,19 @@ class ContinuousBatchingScheduler:
             lambda a, row, s: jax.lax.dynamic_update_slice(
                 a, row[None], (s, jnp.int32(0))),
             donate_argnums=(0,))
+        # admission penalty-row seeding with the first token as a DEVICE
+        # array (no fetch on the admission path)
+        self._seed_penalty_jit = jax.jit(self._seed_penalty_fn,
+                                         donate_argnums=(0, 1))
         # wall-time phase accounting (scripts/bench_serving.py): seconds in
         # admissions (prefill + first-token sync + insert), decode dispatch
         # (program call, async), and harvest (device sync + host
         # bookkeeping), plus event counts — names the host-loop overhead
         # vs the raw-scan ceiling
         self.phase_s = {"admit": 0.0, "dispatch": 0.0, "harvest": 0.0}
-        self.phase_n = {"admit": 0, "chunks": 0}
+        # syncs = blocking device fetches (each pays one relay/PCIe round
+        # trip) — lets benches separate transport RTT from host-loop cost
+        self.phase_n = {"admit": 0, "chunks": 0, "syncs": 0}
         # one-chunk-deep harvest pipeline (EngineConfig.pipeline_harvest):
         # (toks, lps, tvs, tis, slot_req snapshot) futures of the chunk
         # whose tokens have not been fetched yet. The snapshot pins row→
@@ -301,7 +318,16 @@ class ContinuousBatchingScheduler:
         self._gtrans_dev = jnp.asarray(gtrans)
         return idx
 
-    def _set_slot_sampling(self, slot: int, req: Request) -> None:
+    def _set_slot_sampling(self, slot: int, req: Request,
+                           first=None) -> None:
+        """Program the slot's sampling state at ADMISSION DISPATCH time —
+        no device fetch needed: the scalar knobs and bias rows are
+        host-known, and the penalty rows are seeded device-side with the
+        sampled-first-token ARRAY (`first`) instead of its fetched value,
+        so a burst of admissions costs zero extra round trips. The one
+        token-dependent piece that must run on host — the guided DFA walk
+        — stays in `_finish_admissions` (guided admissions force an eager
+        fetch before the next dispatch; see step())."""
         t, k, p, gr, minp, rep, pres, freq = self._resolve_sampling(req)
         self.temp_host[slot] = t
         self.topk_host[slot] = k
@@ -315,20 +341,15 @@ class ContinuousBatchingScheduler:
         self.aidx_host[slot] = self.engine.resolve_adapter(req.adapter)
         if rep != 1.0 or pres != 0.0 or freq != 0.0:
             # seed the slot's penalty rows: prompt tokens (repetition
-            # scope) + the admission-sampled first token (output scope)
+            # scope) + the admission-sampled first token (output scope) —
+            # the first token rides in as a device array, folded in-jit
             self._ensure_penalty_state()
             V = self.engine.cfg.vocab_size
-            counts_row = np.zeros((V,), np.int32)
             seen_row = np.zeros((V,), bool)
             seen_row[np.asarray(req.prompt_ids, np.int64) % V] = True
-            first = req.output_ids[0]
-            counts_row[first] += 1
-            seen_row[first] = True
-            s = jnp.int32(slot)
-            self._counts = self._row_set_jit(self._counts,
-                                             jnp.asarray(counts_row), s)
-            self._seen = self._row_set_jit(self._seen,
-                                           jnp.asarray(seen_row), s)
+            self._counts, self._seen = self._seed_penalty_jit(
+                self._counts, self._seen, jnp.asarray(seen_row),
+                first[:1].astype(jnp.int32), jnp.int32(slot))
         # (neutral-knob rows are identity under apply_penalties, so stale
         # counts in non-penalized slots are harmless; every penalized
         # admission rewrites its own row)
@@ -349,11 +370,24 @@ class ContinuousBatchingScheduler:
             if cidx is None:
                 cidx = self._register_dfa(req.constraint)
             self.cidx_host[slot] = cidx
-            # the admission-sampled first token already advanced the DFA
-            self.dstate_host[slot] = req.constraint.walk(req.output_ids)
+            # dstate needs the FETCHED first token (DFA walk is host
+            # code) — set in _finish_admissions, which step() forces
+            # before the next dispatch for guided admissions
         else:
             self.cidx_host[slot] = 0
             self.dstate_host[slot] = -1
+
+    @staticmethod
+    def _seed_penalty_fn(counts, seen, prompt_seen, first, slot):
+        V = counts.shape[1]
+        oh = jnp.arange(V, dtype=jnp.int32) == first[0]
+        crow = oh.astype(counts.dtype)[None]
+        srow = (prompt_seen | oh)[None]
+        counts = jax.lax.dynamic_update_slice(counts, crow,
+                                              (slot, jnp.int32(0)))
+        seen = jax.lax.dynamic_update_slice(seen, srow,
+                                            (slot, jnp.int32(0)))
+        return counts, seen
 
     # ------------------------------------------------------------------
 
@@ -467,7 +501,7 @@ class ContinuousBatchingScheduler:
         aidx1 = (jnp.full((dp,), self.engine.resolve_adapter(req.adapter),
                           jnp.int32) if self.engine.has_lora else None)
         small = self.engine.new_cache(
-            dp, max_seq=self.engine._bucket(len(req.prompt_ids)))
+            dp, max_seq=self.engine.prefill_cache_len(len(req.prompt_ids)))
         logits, one_cache = self.engine.prefill(
             [list(req.prompt_ids)] * dp, cache=small, adapter_idx=aidx1)
         logits = logits[:1]
@@ -496,7 +530,8 @@ class ContinuousBatchingScheduler:
                              for r in reqs] + [0] * (Bb - k), jnp.int32)
                 if self.engine.has_lora else None)
         small = self.engine.new_cache(
-            Bb, max_seq=self.engine._bucket(max(len(p) for p in prompts)))
+            Bb, max_seq=self.engine.prefill_cache_len(
+                max(len(p) for p in prompts)))
         logits, ck = self.engine.prefill(prompts, cache=small,
                                          adapter_idx=aidx)
         for i, (slot, req) in enumerate(zip(slots, reqs)):
@@ -510,24 +545,33 @@ class ContinuousBatchingScheduler:
 
     def _first_token_dispatch(self, slot: int, req: Request, logits):
         """Shared admission tail, dispatch half (dense AND paged): sample
-        the first token with the request's knobs (async) and stash the
-        result futures for `_finish_admissions`. Returns the sampled
-        token's device array (the backend inserts it into the batch
-        state)."""
+        the first token with the request's knobs (async), program the
+        slot's sampling state (host knobs + device-seeded penalty rows —
+        zero fetches), and stash the result futures for
+        `_finish_admissions`. Returns the sampled token's device array
+        (the backend inserts it into the batch state)."""
         first, first_lp, ftv, fti = self._sample_first(logits, req)
         req.first_token_t = time.perf_counter()
+        self._set_slot_sampling(slot, req, first)
         self._admit_pend.append((slot, req, first, first_lp, ftv, fti))
         return first
 
-    def _finish_admissions(self) -> None:
-        """Fetch every pending admission's first token in ONE transfer and
-        run the host bookkeeping (logprobs, stop checks, slot sampling
-        knobs, instant-retire). Runs before the step's decode dispatch, so
-        per-slot knob arrays are correct for the chunk that follows."""
+    def _finish_admissions(self, fetched=None) -> None:
+        """Fetch every pending admission's first token in ONE transfer
+        (or consume `fetched`, pre-fetched by the merged harvest
+        device_get) and run the host bookkeeping: logprobs, stop checks,
+        instant-retire, guided DFA walk. The slot sampling knobs were
+        already programmed at dispatch (`_set_slot_sampling`), so this may
+        safely run AFTER the next chunk's dispatch — step() merges the
+        fetch into the chunk harvest's to halve the per-step transport
+        round trips, forcing an eager call only for guided admissions
+        (their dstate DOES gate the next dispatch)."""
         pend, self._admit_pend = self._admit_pend, []
         if not pend:
             return
-        fetched = jax.device_get([(p[2], p[3]) for p in pend])
+        if fetched is None:
+            self.phase_n["syncs"] += 1
+            fetched = jax.device_get([(p[2], p[3]) for p in pend])
         for (slot, req, _first, _flp, ftv, fti), (tok_np, lp_np) in zip(
                 pend, fetched):
             tok = int(tok_np[0])
@@ -535,6 +579,7 @@ class ContinuousBatchingScheduler:
             req.output_ids.append(tok)
             req.output_logprobs.append(float(lp_np[0]))
             if req.top_logprobs:
+                self.phase_n["syncs"] += 1
                 tv, ti = jax.device_get((ftv, fti))
                 req.output_top_logprobs.append(
                     [(int(i), float(v)) for i, v in
@@ -549,8 +594,10 @@ class ContinuousBatchingScheduler:
                 req.done_t = time.perf_counter()
                 self.slot_req[slot] = None
                 self._on_retire(slot)
-            else:
-                self._set_slot_sampling(slot, req)
+            elif req.constraint is not None:
+                # the DFA walk is host code and needs the fetched token
+                # (the rest of the slot state was programmed at dispatch)
+                self.dstate_host[slot] = req.constraint.walk(req.output_ids)
 
     def _harvest_pending(self, pend=None) -> None:
         """Fetch one stashed chunk's tokens (np.asarray blocks on the
@@ -563,6 +610,18 @@ class ContinuousBatchingScheduler:
                 return
         toks, lps, tvs, tis, snap = pend
         t1 = time.perf_counter()
+        # ONE blocking fetch for the whole chunk AND any pending
+        # admission first-tokens (separate np.asarray calls paid one
+        # transport round trip EACH through the TPU relay; the admission
+        # fetch used to be a second round trip per step)
+        apend = self._admit_pend
+        self.phase_n["syncs"] += 1
+        (toks, lps, tvs, tis), afetched = jax.device_get(
+            ((toks, lps, tvs, tis), [(p[2], p[3]) for p in apend]))
+        if apend:
+            # admissions first: an instant-retire (first token = stop)
+            # must clear slot_req before the chunk rows are attributed
+            self._finish_admissions(afetched)
         self._harvest(np.asarray(toks), np.asarray(lps),
                       None if tvs is None else np.asarray(tvs),
                       None if tis is None else np.asarray(tis),
@@ -726,13 +785,12 @@ class ContinuousBatchingScheduler:
         """One scheduling iteration: admit into free slots, then decode one
         chunk for all active slots. Returns False when fully idle."""
         t0 = time.perf_counter()
-        # wave admission (one batched prefill) when the backend uses the
-        # base admission path and the mesh has no data axis; backends with
-        # their own _admit_one (paged pages/prefix-cache, draft-model
-        # prefill hooks) admit per-request
-        wave = (type(self)._admit_one
-                is ContinuousBatchingScheduler._admit_one
-                and self.engine.data_parallel == 1)
+        # wave admission (one batched prefill per suffix chunk) when the
+        # backend provides a batched admission path and the mesh has no
+        # data axis; backends whose _admit_one has per-request device work
+        # with no batched counterpart (draft-model prefill hooks) set
+        # wave_admission=False and admit per-request
+        wave = self.wave_admission and self.engine.data_parallel == 1
         if wave and self.queue:
             free = [b for b in range(self.B) if self.slot_req[b] is None]
             k = min(len(free), len(self.queue))
@@ -749,13 +807,19 @@ class ContinuousBatchingScheduler:
                     if not self._admit_one(b, self.queue.popleft()):
                         break                # backend out of capacity
                     self.phase_n["admit"] += 1
-        # one sync for ALL admissions this step: each _admit_one only
-        # DISPATCHED its prefill + first-token sample + insert; the
-        # first-token fetch (a device round trip each) batches here
-        self._finish_admissions()
+        # the admission first-token fetch is DEFERRED into the chunk
+        # harvest's device_get (one transport round trip per step instead
+        # of two) — the slot knobs were programmed at dispatch, so only
+        # guided admissions (host DFA walk gates the next chunk's masks)
+        # force the fetch before dispatch
+        if (not self.defer_admit_fetch
+                or any(p[1].constraint is not None
+                       for p in self._admit_pend)):
+            self._finish_admissions()
         self.phase_s["admit"] += time.perf_counter() - t0
         active = [r for r in self.slot_req if r is not None]
         if not active:
+            self._finish_admissions()
             if self._pending is not None:
                 self._harvest_pending()      # drain the in-flight chunk
                 return True
@@ -774,8 +838,14 @@ class ContinuousBatchingScheduler:
         if not self._before_chunk(steps):
             if self._pending is not None:
                 self._harvest_pending()   # retiring slots may free pages
+            self._finish_admissions()     # no chunk to merge with
             return True
         self._dispatch_decode(steps)
+        # no pending chunk was available to merge with (first chunk after
+        # idle under pipelining): fetch the admissions directly — every
+        # step leaves _admit_pend drained, so drain_inflight/adopt between
+        # steps never see half-finished admissions
+        self._finish_admissions()
         return True
 
     def _dispatch_decode(self, steps: int) -> None:
@@ -800,7 +870,7 @@ class ContinuousBatchingScheduler:
                                            repetition_penalty=1.0,
                                            presence_penalty=0.0,
                                            frequency_penalty=0.0))
-            aidx = (jnp.asarray(self.aidx_host)
+            aidx = (jnp.asarray(self.aidx_host.copy())
                     if self.engine.has_lora else None)
             toks, lps, self.cache, self.token, self.pos, *_ = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
@@ -820,27 +890,36 @@ class ContinuousBatchingScheduler:
                 use_bias=use_bias, guided=use_guided)
             if use_pen:
                 self._ensure_penalty_state()
+            # .copy() on every persistent per-slot host array: the device
+            # transfer may zero-copy the numpy buffer, and these arrays
+            # are mutated at admission/retire while dispatched chunks are
+            # still in flight (see _table_snapshot)
             (toks, lps, self.cache, self.token, self.pos, _,
              self._counts, self._seen, tvs, tis, dstate) = fn(
                 self.engine.params, self.cache, self.token, self.pos, sub,
-                jnp.asarray(self.temp_host), jnp.asarray(self.topk_host),
-                jnp.asarray(self.topp_host), jnp.asarray(self.greedy_host),
-                jnp.asarray(self.minp_host), jnp.asarray(self.seed_host),
+                jnp.asarray(self.temp_host.copy()),
+                jnp.asarray(self.topk_host.copy()),
+                jnp.asarray(self.topp_host.copy()),
+                jnp.asarray(self.greedy_host.copy()),
+                jnp.asarray(self.minp_host.copy()),
+                jnp.asarray(self.seed_host.copy()),
                 self._counts if use_pen else None,
                 self._seen if use_pen else None,
-                jnp.asarray(self.rep_host), jnp.asarray(self.pres_host),
-                jnp.asarray(self.freq_host),
-                jnp.asarray(self.aidx_host)
+                jnp.asarray(self.rep_host.copy()),
+                jnp.asarray(self.pres_host.copy()),
+                jnp.asarray(self.freq_host.copy()),
+                jnp.asarray(self.aidx_host.copy())
                 if self.engine.has_lora else None,
                 self._bias if use_bias else None,
                 self._gmask_dev if use_guided else None,
                 self._gtrans_dev if use_guided else None,
-                jnp.asarray(self.cidx_host) if use_guided else None,
-                jnp.asarray(self.dstate_host) if use_guided else None)
+                jnp.asarray(self.cidx_host.copy()) if use_guided else None,
+                jnp.asarray(self.dstate_host.copy()) if use_guided else None)
             if use_guided:
                 # device→host DFA state round-trip: a per-chunk sync (the
                 # guided path does not pipeline; constrained decoding is
                 # not the throughput path)
+                self.phase_n["syncs"] += 1
                 self.dstate_host = np.array(dstate)   # writable copy
             if not top_used:
                 tvs = tis = None
@@ -1031,13 +1110,36 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.slot_req[slot] = None
         self.dstate_host[slot] = -1
         # bias_on_host intentionally NOT cleared (dirty-row marker)
+        # invalidate the slot's row in any unharvested pipelined chunk:
+        # the snapshot identity check (snapshot[b] is slot_req[b]) cannot
+        # tell a PREEMPTED request apart from its own REPLAY re-admitted
+        # into the same slot — the stale chunk's rows would be appended
+        # to the reset stream (caught by test_guided preemption replay)
+        if self._pending is not None:
+            self._pending[4][slot] = None
         self._on_retire(slot)
         req.reset_generation()       # replayed from the prompt — byte-
         self.queue.appendleft(req)   # identical under seeded sampling
 
     def _sync_table(self) -> None:
         self.cache = self.cache.replace(
-            page_table=jnp.asarray(self.pt_host))
+            page_table=self._table_snapshot(self.pt_host))
+
+    @staticmethod
+    def _table_snapshot(table_np) -> jnp.ndarray:
+        """Host page-table → device, from a SNAPSHOT copy.
+
+        jnp.asarray on a persistent numpy buffer can hand PJRT's CPU
+        client a zero-copy view of the host memory; the scheduler then
+        MUTATES pt_host (interleave parking restores it, admissions grow
+        it) while dispatched-but-unexecuted programs still hold the view.
+        Under host load the executor lags far enough behind for a decode
+        chunk to read the RESTORED table and write through an admitting
+        slot's real pages — KV corruption that reproduced only on a busy
+        box (tests/test_paged_scheduler.py interleaved). A fresh copy per
+        sync makes the device view immutable; the table is [slots, nb]
+        int32, so the copy is noise."""
+        return jnp.asarray(np.array(table_np, copy=True))
 
     def _validate_capacity(self, prompt_len: int, max_new: int) -> None:
         need = (prompt_len + max_new + self.ps - 1) // self.ps
@@ -1160,7 +1262,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
                 W *= 2
             W = min(W, self.nb)
             cache1 = self.cache.replace(
-                page_table=jnp.asarray(self.pt_host[slot:slot + 1, :W]))
+                page_table=self._table_snapshot(self.pt_host[slot:slot + 1, :W]))
             use_hist = hit_blocks > 0 or done > 0
             prefill = self._prefill_hist if use_hist else self._prefill_paged
             # only pass the LoRA slot when adapters are loaded: the
@@ -1174,7 +1276,7 @@ class PagedScheduler(ContinuousBatchingScheduler):
                 self.engine.params, jnp.asarray(ids), jnp.asarray(pos),
                 cache1, jnp.asarray([n_tok - 1], jnp.int32), *extra)
             self.cache = cache1.replace(
-                page_table=jnp.asarray(self.pt_host))
+                page_table=self._table_snapshot(self.pt_host))
             done += bucket
             if (self._interleave and done < suffix
                     and any(r is not None for r in self.slot_req)):
@@ -1199,18 +1301,164 @@ class PagedScheduler(ContinuousBatchingScheduler):
         self.slot_req[slot] = req
         return True
 
-    def _interleave_decode(self, admitting_slot: int) -> None:
+    def _admit_batch(self, slots: List[int], reqs: List[Request]) -> None:
+        """Admit k requests with ONE padded suffix prefill per chunk wave.
+
+        The host-side half stays per-request (prefix-cache lookup, page
+        allocation, store registration); the device half — the ps-aligned
+        chunked suffix prefills — batches across the admitting slots.
+        Each row's page-table row routes its writes to its own pages (at
+        its own hit_len+done offset via the positions array), rows whose
+        suffix finished in an earlier chunk park on the null page for the
+        rest of the wave, and the position masks isolate rows from each
+        other exactly as in decode. A burst of k arrivals costs one
+        program per chunk instead of k serial chunk chains — the paged
+        counterpart of the dense backend's `_admit_batch`.
+
+        On pool exhaustion a row is undone (`_on_retire`) and requeued,
+        and the remaining rows continue — per-row failure, not
+        whole-wave."""
+        infos = []
+        deferred: List[Request] = []
+        seen_hashes: set = set()
+        for slot, req in zip(slots, reqs):
+            plen = len(req.prompt_ids)
+            hashes: list = []
+            hit_pages: list = []
+            if self.store is not None:
+                from llm_inference_tpu.engine import prefix_cache
+                hashes = prefix_cache.chunk_hashes(
+                    req.prompt_ids, self.ps,
+                    salt=self.engine.resolve_adapter(req.adapter))
+                # intra-wave prefix overlap: an earlier request in THIS
+                # wave is about to prefill pages this one could share —
+                # defer it one step so its lookup hits the freshly
+                # registered pages instead of prefilling privately
+                # (serial admission got this sharing for free; a burst of
+                # identical system-prompt requests must not lose it)
+                if hashes and hashes[0] in seen_hashes:
+                    deferred.append(req)
+                    continue
+                seen_hashes.update(hashes)
+                hit_pages = self.store.lookup(hashes, self.ps)
+            hit_blocks = len(hit_pages)
+            if hit_blocks:
+                self.slot_pages[slot] = list(hit_pages)
+                self.pt_host[slot, :hit_blocks] = hit_pages
+            infos.append({"slot": slot, "req": req, "plen": plen,
+                          "hashes": hashes, "hit_blocks": hit_blocks,
+                          "hit_len": hit_blocks * self.ps,
+                          "suffix": plen - hit_blocks * self.ps,
+                          "alive": True, "logits": None})
+        for req in reversed(deferred):
+            self.queue.appendleft(req)
+        k = len(infos)
+        if not k:
+            return
+        fitting = [b for b in self.engine.engine_cfg.prefill_buckets
+                   if b <= self.S]
+        chunk_max = max(fitting) if fitting else self.S
+        chunk_max = (chunk_max // self.ps) * self.ps or self.ps
+        Bb = 1 << (k - 1).bit_length()
+        failed: List[Request] = []
+        done = 0
+        while True:
+            writing = [f for f in infos
+                       if f["alive"] and f["suffix"] > done]
+            if not writing:
+                break
+            part = max(f["suffix"] - done for f in writing)
+            bucket = self.engine._bucket(min(part, chunk_max))
+            bucket = ((bucket + self.ps - 1) // self.ps) * self.ps
+            bucket = min([bucket, chunk_max]
+                         + [self.S - f["hit_len"] - done for f in writing])
+            still = []
+            for f in writing:
+                ok, _ = self._ensure_blocks(
+                    f["slot"], f["hit_len"] + done + bucket)
+                if ok:
+                    still.append(f)
+                else:
+                    # undo prefix refs + earlier chunks' pages; the row
+                    # retries when pages free up (order restored below)
+                    self._on_retire(f["slot"])
+                    f["alive"] = False
+                    failed.append(f["req"])
+            if not still:
+                break
+            self._sync_table()
+            need_blocks = max((f["hit_len"] + done + bucket) // self.ps
+                              for f in still)
+            W = 1
+            while W < need_blocks:
+                W *= 2
+            W = min(W, self.nb)
+            ids = np.zeros((Bb, bucket), np.int32)
+            pos = np.zeros((Bb, bucket), np.int32)
+            last = np.zeros((Bb,), np.int32)
+            table = np.zeros((Bb, W), np.int32)
+            for i, f in enumerate(infos):
+                if not (f["alive"] and f["suffix"] > done):
+                    continue            # parked: null-page row, pos 0
+                n_tok = min(f["suffix"] - done, bucket)
+                o = f["hit_len"] + done
+                ids[i, :n_tok] = f["req"].prompt_ids[o:o + n_tok]
+                pos[i] = o + np.arange(bucket, dtype=np.int32)
+                last[i] = n_tok - 1
+                table[i] = self.pt_host[f["slot"], :W]
+            use_hist = done > 0 or any(f["hit_blocks"] for f in still)
+            prefill = self._prefill_hist if use_hist else self._prefill_paged
+            extra = ((jnp.asarray(
+                [self.engine.resolve_adapter(f["req"].adapter)
+                 for f in infos] + [0] * (Bb - k), jnp.int32),)
+                if self.engine.has_lora else ())
+            cache1 = self.cache.replace(page_table=jnp.asarray(table))
+            logits, cache1 = prefill(
+                self.engine.params, jnp.asarray(ids), jnp.asarray(pos),
+                cache1, jnp.asarray(last), *extra)
+            self.cache = cache1.replace(
+                page_table=self._table_snapshot(self.pt_host))
+            for i, f in enumerate(infos):
+                if f["alive"] and done < f["suffix"] <= done + bucket:
+                    f["logits"] = logits[i:i + 1]   # async row slice
+            done += bucket
+            if (self._interleave
+                    and any(f["alive"] and f["suffix"] > done
+                            for f in infos)
+                    and any(r is not None for r in self.slot_req)):
+                self._interleave_decode(
+                    [f["slot"] for f in infos if f["alive"]])
+        for req in reversed(failed):
+            self.queue.appendleft(req)
+        for f in infos:
+            if not f["alive"]:
+                continue
+            slot, req = f["slot"], f["req"]
+            if self.store is not None:
+                for j in range(f["hit_blocks"], len(f["hashes"])):
+                    self.store.insert(f["hashes"][j],
+                                      self.slot_pages[slot][j])
+            first = self._first_token_dispatch(slot, req, f["logits"])
+            self.token, self.pos = self._set_tok_pos(
+                self.token, self.pos, first.astype(jnp.int32),
+                jnp.asarray([f["plen"]], jnp.int32), jnp.int32(slot))
+            self.pos_host[slot] = f["plen"]
+            self.slot_req[slot] = req
+
+    def _interleave_decode(self, admitting_slots) -> None:
+        if isinstance(admitting_slots, int):
+            admitting_slots = [admitting_slots]
         # flush deferred admissions first: an earlier admission this step
         # must have its sampling knobs set before its slot decodes here
         self._finish_admissions()
         steps = self.engine.engine_cfg.decode_chunk   # same program as step()
-        saved = self.pt_host[admitting_slot].copy()
-        self.pt_host[admitting_slot] = 0
+        saved = self.pt_host[admitting_slots].copy()
+        self.pt_host[admitting_slots] = 0
         ok = self._before_chunk(steps)
         self._sync_table()
         if ok:
             self._dispatch_decode(steps)
-        self.pt_host[admitting_slot] = saved
+        self.pt_host[admitting_slots] = saved
         self._sync_table()
 
 

@@ -215,6 +215,10 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
     logit_bias, guided decoding, adapters, or top_logprobs are rejected
     at submit (use the plain scheduler for those)."""
 
+    # the proposal step reads req.output_ids (history) on host at
+    # dispatch time — the admission first token must be fetched eagerly
+    defer_admit_fetch = False
+
     def __init__(self, engine, gen=None, slots=None, gamma: int = 4,
                  ngram: int = 3):
         if engine._sharded:
@@ -345,6 +349,9 @@ class DraftSpeculativeBatchingScheduler(SpeculativeBatchingScheduler):
     draft KV is overwritten just in time by the same position-masking
     invariant as the target's. Greedy-exact: the emitted streams equal
     the plain scheduler's regardless of draft quality."""
+
+    # the per-request draft prefill hook has no batched counterpart yet
+    wave_admission = False
 
     def __init__(self, engine, draft_engine, gen=None, slots=None,
                  gamma: int = 4):

@@ -689,7 +689,14 @@ def prepare_params(params: Params, tp_size: int = 1, *, donate: bool = True,
         return out
 
     if donate:
-        return jax.jit(_transform, donate_argnums=0)(params)
+        # lifetime-only donation (see llama.prepare_params): re-layouts
+        # change shapes, so the "donated buffers were not usable" warning
+        # is expected here — silence it locally
+        import warnings
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable")
+            return jax.jit(_transform, donate_argnums=0)(params)
     return _transform(params)
 
 

@@ -360,7 +360,17 @@ def prepare_params(params: Params, tp_size: int = 1, *, fuse: bool = True,
         return p
 
     if donate:
-        return jax.jit(_transform, donate_argnums=0)(params)
+        # The donation is for LIFETIME (the old layout's buffers free at
+        # program end, not after the caller drops its pytree), not for
+        # aliasing: a blocked re-layout changes shapes, so XLA usually
+        # cannot reuse the donated buffers in place and warns "donated
+        # buffers were not usable". That is expected — silence it so real
+        # donation bugs in the serving programs stay visible.
+        import warnings
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable")
+            return jax.jit(_transform, donate_argnums=0)(params)
     return _transform(params)
 
 

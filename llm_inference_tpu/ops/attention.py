@@ -86,9 +86,23 @@ def attend(
     scores = jnp.where(mask[:, :, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     if v_scale is not None:
-        probs = probs * jnp.swapaxes(v_scale, 1, 2)[:, :, None, None, :]
+        vs = jnp.swapaxes(v_scale, 1, 2)[:, :, None, None, :]
+        # same 0×inf guard as for V below: a diverged idle row can leave
+        # an inf scale on a slot no query attends
+        vs = jnp.where(mask.any(axis=2)[:, :, None, None, :], vs, 0)
+        probs = probs * vs
+    # sanitize V on slots NO query may attend: their probs are exactly 0,
+    # but 0 × NaN = NaN in the einsum. A retired slot keeps decoding its
+    # own sampled garbage between requests (full-chunk dispatch), its
+    # hidden state can diverge to inf/NaN, and the clamped edge writes
+    # leave NaN K/V in the row — a freshly re-admitted request would then
+    # read NaN THROUGH its causal mask. (The Pallas decode/flash kernels
+    # never load blocks beyond the query position — block skip — so only
+    # this jnp path needs the guard; the scores side is already `where`d.)
+    attendable = mask.any(axis=2)[:, :, :, None]            # [B, 1, S, 1]
+    vq = jnp.where(attendable, v.astype(q.dtype), 0)
     out = jnp.einsum("bhgts,bhsd->bhgtd", probs.astype(q.dtype),
-                     v.astype(q.dtype), preferred_element_type=jnp.float32)
+                     vq, preferred_element_type=jnp.float32)
     # Dv may differ from the q/k dim (MLA latent attention: k carries the
     # rope tail, v is the bare latent — models/deepseek.py)
     out = out.reshape(B, Hq, T, v.shape[-1]).transpose(0, 2, 1, 3)

@@ -153,12 +153,22 @@ def main():
     # each power-of-two batch bucket, and the steps=decode_chunk decode
     # program (max_new spans a full chunk) — none compile mid-trace
     g = 1
+    warmed = set()
     while g <= args.slots:
         for p in prompts[:g]:
             sched.submit(list(p), max_new_tokens=2 * chunk + 1)
         while sched.step():
             pass
+        warmed.add(g)
         g *= 2
+    if args.slots not in warmed:
+        # non-power-of-two slots: a trace wave of k in (g/2, slots] pads
+        # to a batch bucket the pow2 loop never compiled — warm one burst
+        # of exactly `slots` requests so no compile lands mid-trace
+        for p in prompts[:args.slots]:
+            sched.submit(list(p), max_new_tokens=2 * chunk + 1)
+        while sched.step():
+            pass
     log(f"warm-up done ({time.time()-t0:.0f}s)")
     sched.phase_s = {k: 0.0 for k in sched.phase_s}
     sched.phase_n = {k: 0 for k in sched.phase_n}
@@ -196,6 +206,29 @@ def main():
         f"({pn['chunks']} chunks, "
         f"{(ph['dispatch']+ph['harvest'])/max(pn['chunks'],1)*1e3:.0f} ms "
         f"each)")
+    # transport-RTT accounting: each blocking fetch (pn['syncs']) pays one
+    # device round trip — through the bench relay that is ~30 ms of pure
+    # transport the on-chip deployment would not pay. Measure the actual
+    # round-trip floor with a trivial fetch and report the RTT-adjusted
+    # serving rate alongside the raw one.
+    import jax as _jax
+    import jax.numpy as _jnp
+    # a FRESH tiny computation each rep: device_get of an already-fetched
+    # array replays the cached host copy and measures 0 — each rep must
+    # dispatch + execute + fetch to see the true transport cost
+    tick = _jax.jit(lambda x: x + 1)
+    z = tick(_jnp.zeros((), _jnp.int32))
+    _jax.device_get(z)
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        z = tick(z)
+        _jax.device_get(z)
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    rtt_total = pn["syncs"] * rtt
+    log(f"syncs: {pn['syncs']} blocking fetches × {rtt*1e3:.1f} ms RTT "
+        f"= {rtt_total:.2f}s transport ({rtt_total/span*100:.0f}% of span)")
     log(f"TTFT p50 {pctl(ttfts,50)*1e3:.0f} ms  p95 "
         f"{pctl(ttfts,95)*1e3:.0f} ms")
     log(f"ITL  p50 {pctl(itls,50)*1e3:.2f} ms  p95 "
@@ -213,6 +246,13 @@ def main():
         "itl_p50_ms": round(pctl(itls, 50) * 1e3, 2),
         "itl_p95_ms": round(pctl(itls, 95) * 1e3, 2),
         "wall_s": round(t_end - t_start, 2),
+        "phases": {"admit_s": round(ph["admit"], 3),
+                   "dispatch_s": round(ph["dispatch"], 3),
+                   "harvest_s": round(ph["harvest"], 3),
+                   "admissions": pn["admit"], "chunks": pn["chunks"],
+                   "syncs": pn["syncs"]},
+        "rtt_ms": round(rtt * 1e3, 2),
+        "rtt_total_s": round(rtt_total, 3),
     }
     if args.speculative:
         st = sched.spec_stats
@@ -276,6 +316,12 @@ def main():
             f"→ {raw:.1f} tok/s; serving/raw = {tok_s/raw:.2f}")
         result["raw_scan_tok_s"] = round(raw, 1)
         result["serving_over_raw"] = round(tok_s / raw, 3)
+        # what the ratio would be without the relay's transport RTT on
+        # every blocking fetch (the on-chip-deployment equivalent)
+        adj = produced / max(span - rtt_total, 1e-9)
+        result["serving_tok_s_rtt_adj"] = round(adj, 1)
+        result["serving_over_raw_rtt_adj"] = round(adj / raw, 3)
+        log(f"RTT-adjusted: {adj:.1f} tok/s, serving/raw = {adj/raw:.2f}")
 
     print(json.dumps(result))
     if args.json:

@@ -57,7 +57,11 @@ def make_touch(NB, Kp, bnp, G):
         o_ref[:] = (w_ref[0, 0][:1].astype(jnp.float32)[:, :128]
                     + s_ref[0, 0][:1, :128])
 
-    def call(lyr):
+    # NB: the arrays are returned and passed through the jit boundary as
+    # ARGUMENTS — closing over them ships them as program constants and the
+    # relay's remote_compile dies on the multi-GB body (CLAUDE.md failure
+    # mode (c); the first version of this probe hit exactly that)
+    def call(lyr, q, s):
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -80,45 +84,50 @@ def make_touch(NB, Kp, bnp, G):
         )(lyr, q, s)
 
     bytes_per_layer = NB * (Kp * bnp + G * 2 * bnp * 4)
-    return call, bytes_per_layer
+    return call, (q, s), bytes_per_layer
 
 
 calls = []
+arrays = []
 total_bytes = 0
 for name, NB, Kp, bnp, G in STACKS:
-    c, b = make_touch(NB, Kp, bnp, G)
+    c, qs, b = make_touch(NB, Kp, bnp, G)
     calls.append(c)
+    arrays.extend(qs)
     total_bytes += b
 
 
-def step(x, _):
-    # one "layer" sweep over all four stacks, layer index rides the carry
-    lyr = x.astype(jnp.int32) % L
-    acc = jnp.zeros((1, 128), jnp.float32)
-    for c in calls:
-        acc = acc + c(lyr.reshape(1))
-    return (x + 1) % L, acc[0, 0]
-
-
-def run(steps):
+def run(steps, *arrs):
+    # the touch results MUST feed the carry: as per-step scan OUTPUTS with
+    # only outs[-1] consumed, XLA dead-code-eliminated every iteration's
+    # pallas calls and the first measurement printed a NEGATIVE marginal
     def body(carry, _):
-        return step(carry, None)
-    c, outs = jax.lax.scan(body, jnp.int32(0), None, length=steps)
-    return outs[-1]
+        x, tot = carry
+        # one "layer" sweep over all four stacks, layer index on the carry
+        lyr = x % L
+        acc = jnp.zeros((1, 128), jnp.float32)
+        for c, q, s in zip(calls, arrs[0::2], arrs[1::2]):
+            acc = acc + c(lyr.reshape(1), q, s)
+        return ((x + 1) % L, tot + acc[0, 0]), None
+    (x, tot), _ = jax.lax.scan(body, (jnp.int32(0), jnp.float32(0)), None,
+                               length=steps)
+    return tot
 
 
 ts = {}
 for steps in (2 * L, 6 * L):
-    j = jax.jit(lambda s=steps: run(s))
-    y = j()
-    y.block_until_ready()
-    best = 1e9
+    j = jax.jit(lambda *a, s=steps: run(s, *a))
+    y = j(*arrays)
+    float(y)   # data fetch: through the relay, block_until_ready alone
+    best = 1e9     # returns early — every bench here times a real fetch
     for _ in range(3):
         t0 = time.perf_counter()
-        y = j()
-        y.block_until_ready()
+        y = j(*arrays)
+        float(y)
         best = min(best, time.perf_counter() - t0)
     ts[steps] = best
+    log(f"scan[{steps}]: best {best*1e3:.2f} ms "
+        f"({best/steps*1e6:.1f} us/sweep incl. overhead)")
 per_layer = (ts[6 * L] - ts[2 * L]) / (4 * L)
 gbps = total_bytes / per_layer / 1e9
 log(f"stream-only: {per_layer*1e6:.1f} us/layer-sweep "

@@ -26,19 +26,21 @@ else:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-if os.environ.get("PYTEST_XDIST_WORKER"):
-    # Deterministic CPU math under parallel workers: with 4 workers
-    # contending for cores, the Eigen/oneDNN thread-pool split varies
-    # run to run, reduction order varies with it, and greedy bf16
-    # argmax TIES then flip between scheduler variants — failing
-    # exact-token assertions (test_paged_scheduler interleaved,
-    # test_prefix_cache; both pass standalone every time). Single-
-    # threaded intra-op math makes reductions order-stable.
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
-    if "xla_cpu_multi_thread_eigen" not in os.environ.get("XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_cpu_multi_thread_eigen=false").strip()
+# Deterministic CPU math, ALWAYS: when cores are contended (xdist
+# workers, or any heavy process sharing the box), the Eigen/oneDNN
+# thread-pool split varies run to run, reduction order varies with it,
+# and greedy bf16 argmax TIES then flip between scheduler variants —
+# failing exact-token assertions (test_paged_scheduler interleaved,
+# test_prefix_cache; all pass on an idle box every time). Originally
+# scoped to PYTEST_XDIST_WORKER; round 5 reproduced the same flake in
+# plain pytest runs alongside a chip bench, so the pinning is now
+# unconditional (compile time dominates these tiny models — the
+# single-thread cost is noise).
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+if "xla_cpu_multi_thread_eigen" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_multi_thread_eigen=false").strip()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:

@@ -239,6 +239,37 @@ class TestChunkedPrefill:
             [list(p) for p in prompts], gen)]
         assert got == want
 
+    def test_small_cache_chunked_prefill(self):
+        """Chunked prefill into a caller-provided SMALL cache (scheduler
+        admission sizes caches at the prompt, not max_seq_len): every
+        bucket-rounded write window must stay inside the cache extent.
+        Regression for the clamp-and-overwrite bug: a 20-token prompt with
+        buckets (8, 16) into a 20-slot cache put the last window at
+        [16, 24), whose start clamped to 12 and overwrote committed KV."""
+        import numpy as np
+        from llm_inference_tpu.config import EngineConfig
+
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=2,
+                                    prefill_buckets=(8, 16)))
+        rng = np.random.default_rng(1)
+        prompt = list(rng.integers(2, 200, 20))      # > largest bucket
+        # prefill_cache_len rounds the LAST chunk's window up: 16 + 8 = 24
+        assert eng.prefill_cache_len(20) == 24
+        assert eng.prefill_cache_len(16) == 16
+        assert eng.prefill_cache_len(63) == 64       # capped at max_seq_len
+        small = eng.new_cache(1, max_seq=eng.prefill_cache_len(20))
+        lg_small, _ = eng.prefill([list(prompt)], cache=small)
+        lg_full, _ = eng.prefill([list(prompt)])
+        np.testing.assert_allclose(np.asarray(lg_small), np.asarray(lg_full),
+                                   atol=1e-5, rtol=1e-5)
+        # a cache too small for the prompt raises instead of clamping
+        with pytest.raises(ValueError, match="cache extent"):
+            eng.prefill([list(prompt)], cache=eng.new_cache(1, max_seq=16))
+
 
 class TestChatTemplate:
     def test_consecutive_user_messages_not_dropped(self):

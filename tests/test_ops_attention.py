@@ -80,6 +80,39 @@ class TestAttend:
     def test_decode_single_token(self):
         self._run(B=3, T=1, Hq=4, Hkv=2, S=16, D=8, offsets=[5, 0, 15])
 
+    def test_nan_beyond_mask_does_not_leak(self):
+        """Masked slots may hold NaN/inf K/V (a retired serving slot keeps
+        decoding its own garbage between requests and can diverge; its
+        clamped edge writes leave NaN in the row). The softmax's exact-0
+        probabilities on masked lanes must NOT turn into NaN through the
+        0 x NaN products on the K-score or V sides."""
+        rng = np.random.default_rng(0)
+        B, T, Hq, Hkv, S, D = 1, 1, 4, 2, 8, 16
+        q = rng.standard_normal((B, T, Hq, D)).astype(np.float32)
+        k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+        v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+        pos = np.array([[3]], dtype=np.int32)
+        clean = attention.attend(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            attention.make_attention_mask(jnp.asarray(pos), S))
+        k[:, :, 5:] = np.nan
+        v[:, :, 7:] = np.inf
+        out = attention.attend(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            attention.make_attention_mask(jnp.asarray(pos), S))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(clean),
+                                   atol=1e-6)
+        # int8-scale variant: inf scale on a masked slot
+        ks = np.ones((B, S, Hkv), np.float32)
+        vs = np.ones((B, S, Hkv), np.float32)
+        vs[:, 6:] = np.inf
+        kq = np.nan_to_num(k)
+        out2 = attention.attend(
+            jnp.asarray(q), jnp.asarray(kq), jnp.asarray(np.nan_to_num(v)),
+            attention.make_attention_mask(jnp.asarray(pos), S),
+            k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
+        assert np.isfinite(np.asarray(out2)).all()
+
     def test_decode_attend_wrapper(self):
         rng = np.random.default_rng(7)
         B, Hq, Hkv, S, D = 2, 4, 2, 8, 16

@@ -66,6 +66,39 @@ class TestPagedScheduler:
         # all pages returned at the end
         assert paged.alloc.free_pages == 6
 
+    def test_wave_admission_matches_serial(self, engine):
+        """A burst of concurrent arrivals admits via ONE batched suffix
+        prefill per chunk (PagedScheduler._admit_batch); the streams must
+        equal serial per-request admission — including prompts long enough
+        to chunk (> largest bucket) and prefix-cache sharing (serial gets
+        intra-burst prefix hits, the wave prefills the same bits
+        privately)."""
+        rng = np.random.default_rng(7)
+        shared = list(rng.integers(2, 200, 17))
+        prompts = [shared + list(rng.integers(2, 200, 9)),
+                   shared + list(rng.integers(2, 200, 4)),
+                   list(rng.integers(2, 200, 21)),   # chunked, no hits
+                   list(rng.integers(2, 200, 5))]
+
+        def run(wave):
+            s = PagedScheduler(engine, GEN, slots=4, prefix_cache=True)
+            s.wave_admission = wave
+            return [r.output_ids for r in
+                    s.run([list(p) for p in prompts], max_new_tokens=6)]
+
+        assert run(True) == run(False)
+
+    def test_wave_admission_oversubscribed_pool(self, engine):
+        """Mid-wave pool exhaustion: rows that can't get pages are undone
+        and requeued (per-row failure), the rest of the wave admits, and
+        every request still completes."""
+        paged = PagedScheduler(engine, GEN, slots=4, num_pages=6)
+        prompts = [list(range(2, 11))] * 4        # 9 tokens -> 2 pages each
+        reqs = paged.run([list(p) for p in prompts], max_new_tokens=4)
+        assert all(r.done_t > 0 for r in reqs)
+        assert all(len(r.output_ids) == 4 for r in reqs)
+        assert paged.alloc.free_pages == 5
+
     def test_pages_released_on_retire(self, engine):
         paged = PagedScheduler(engine, GEN, slots=2)
         free0 = paged.alloc.free_pages

@@ -80,6 +80,75 @@ class TestScheduler:
         with pytest.raises(ValueError):
             sched.submit(list(range(2, 62)), max_new_tokens=10)
 
+    def test_prompt_longer_than_largest_bucket(self, engine):
+        """Regression: admission sizes a prompt-local prefill cache; prompts
+        beyond the largest bucket run CHUNKED, and the last chunk's
+        bucket-rounded write window must fit that small cache. A 20-token
+        prompt with buckets (8, 16) previously sized the cache at 20 while
+        the last window was [16, 24) — the dynamic_update_slice start
+        clamped to 12 and overwrote committed KV (silent garbage output)."""
+        rng = np.random.default_rng(3)
+        prompts = [list(rng.integers(2, 200, 20)),
+                   list(rng.integers(2, 200, 25))]
+        # wave path: both arrive together -> one batched admission prefill
+        sched = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        reqs = sched.run([list(p) for p in prompts], max_new_tokens=6)
+        for req, prompt in zip(reqs, prompts):
+            want = solo_generate(engine, prompt, 6)
+            got = req.output_ids
+            if 1 in got:
+                got = got[:got.index(1)]
+            assert got[:len(want)] == want[:len(got)], (
+                f"batched admission: {got} != {want}")
+        # single-admission path (_admit_one): one long prompt alone
+        sched1 = ContinuousBatchingScheduler(engine, GEN, slots=2)
+        (req,) = sched1.run([list(prompts[0])], max_new_tokens=6)
+        want = solo_generate(engine, prompts[0], 6)
+        got = req.output_ids
+        if 1 in got:
+            got = got[:got.index(1)]
+        assert got[:len(want)] == want[:len(got)], (
+            f"single admission: {got} != {want}")
+
+
+class TestIdleSlotDivergence:
+    def test_logprobs_finite_after_idle_slot_churn(self):
+        """Regression (latent since round 4, exposed by the deferred
+        admission fetch): a retired slot keeps decoding its own sampled
+        garbage between requests (full-chunk dispatch by design) and its
+        hidden state can diverge to inf/NaN, leaving NaN K/V at the
+        clamped cache edge. A request later admitted into that slot then
+        read NaN THROUGH its causal mask (0 x NaN in the V einsum) and
+        produced NaN logprobs / token 0 streams. ops/attention.attend now
+        sanitizes non-attendable slots."""
+        import math
+        cfg = tiny_llama(num_kv_heads=2)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        eng = InferenceEngine(
+            cfg, params,
+            engine_cfg=EngineConfig(max_seq_len=64, decode_chunk=4,
+                                    max_batch_size=2,
+                                    prefill_buckets=(8, 16)))
+        gen = GenerationConfig(greedy=True, max_new_tokens=6,
+                               eos_token_ids=(1,))
+        sched = ContinuousBatchingScheduler(eng, gen, slots=2)
+        # churn slot 0 while slot 1 idles and self-feeds garbage chunks
+        for p in ([5, 6, 7], [1, 2, 3, 4], [7, 8, 9], [7, 8, 9],
+                  [5, 6], [5, 6, 7, 8]):
+            sched.run([list(p)], max_new_tokens=6)
+        # staggered sampled admissions land one request in the idle slot
+        reqs = []
+        for i in range(4):
+            reqs.append(sched.submit([5, 6, 7], temperature=2.0,
+                                     seed=11 + i, greedy=False,
+                                     max_new_tokens=3))
+            sched.step()
+        while sched.step():
+            pass
+        for r in reqs:
+            assert all(math.isfinite(v) for v in r.output_logprobs), (
+                r.req_id, r.output_ids, r.output_logprobs)
+
 
 class TestRecovery:
     def test_drain_inflight_replays_requests(self, engine):
