@@ -156,10 +156,16 @@ def main():
 
     import jax.numpy as jnp
 
-    # headline: INT8 weight-only (BASELINE.md row 2)
-    tok_s, frac, ttft = measure(
-        cfg, QuantConfig(weights="int8", quantize_embedding=True),
-        cache_dtype=jnp.bfloat16, tag="int8", **common)
+    # headline: INT8 weight-only (BASELINE.md row 2).
+    # BENCH_ONLY=int4 skips it — kernel A/B iteration loops only need the
+    # int4 secondary and the int8 run costs ~6 min of chip time each.
+    only = os.environ.get("BENCH_ONLY", "")
+    if only == "int4":
+        tok_s, frac = float("nan"), float("nan")
+    else:
+        tok_s, frac, ttft = measure(
+            cfg, QuantConfig(weights="int8", quantize_embedding=True),
+            cache_dtype=jnp.bfloat16, tag="int8", **common)
 
     # secondary: INT4 weights (g=128) + INT8 KV cache (BASELINE.md row 3)
     if on_tpu:

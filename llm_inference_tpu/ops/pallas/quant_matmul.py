@@ -80,6 +80,21 @@ def _npair_dot_dtype():
             else jnp.float32)
 
 
+def _npair_groupdot():
+    """Round-5 experiment (LLMI_NPAIR_GROUPDOT=1): merge several scale
+    groups into ONE M-stacked MXU dot. The grouped npair GEMV issues two
+    [1, gsize]×[gsize, bn] dots PER GROUP (64 MXU invocations per 4096-K
+    block at g=128); stacking G groups as a block-diagonal [G, K_chunk]
+    activation matrix computes the same per-group partial dots as rows of
+    one [G, K_chunk]×[K_chunk, bn] dot — the MXU processes M ≤ 8 rows in
+    the same passes as M = 1, so the dot count drops ~4× and the VPU→MXU
+    ping-pong with it. Scale application moves to a [G, bn] weighted
+    column-sum on the VPU (cheap). Exactness unchanged: same dots, same
+    f32 accumulation, scales still applied post-dot per group."""
+    import os
+    return os.environ.get("LLMI_NPAIR_GROUPDOT") == "1"
+
+
 def _pad8_m():
     """Whether to pad GEMV activations 1→8 rows outside the kernel
     (round-2 behavior; LLMI_QMM_PAD8=1 restores it for A/B). Unpadded
@@ -173,6 +188,63 @@ def _kernel(lyr_ref, x_ref, w_ref, s_ref, *rest, bits: int,
         # nibble intermediates ([ch, bn] ×2) to ~0.5 MB each
         ch = (min(Kp, _ROW_CHUNK, max(128, (1 << 19) // (bn * 4)))
               if per_channel else gsize)
+        if (not per_channel and M == 1 and Kp % gsize == 0
+                and _npair_groupdot()):
+            # groups per stacked dot, bounded by the same ~0.5 MB f32
+            # intermediate budget as the chunked path
+            GP = max(1, min(4, ((1 << 19) // (bn * 4)) // gsize))
+        else:
+            GP = 1
+        if GP > 1:
+            s_all = s_ref[0, 0]                       # [nG, 2·bn]
+            z_all = z_ref[0, 0] if asym else None
+            acc_lo1 = jnp.zeros((1, bn), jnp.float32)
+            acc_hi1 = jnp.zeros((1, bn), jnp.float32)
+            for c0 in range(0, Kp, gsize * GP):
+                gp = min(GP, (Kp - c0) // gsize)
+                ch2 = gp * gsize
+                wb = w[c0:c0 + ch2]
+                xg = x[:, c0:c0 + ch2].astype(dd)     # [1, ch2]
+                # block-diagonal [gp, ch2]: row r = x masked to group r.
+                # Built from static lane-aligned concats — a broadcast of
+                # the (possibly replicated-layout) x vector over sublanes
+                # is rejected by Mosaic when the fused-norm prologue
+                # produced x in VMEM scratch, and dynamic_update_slice has
+                # no in-kernel lowering.
+                rows = []
+                for r in range(gp):
+                    seg = xg[:, r * gsize:(r + 1) * gsize]
+                    if r:
+                        seg = jnp.concatenate(
+                            [jnp.zeros((1, r * gsize), dd), seg], 1)
+                    if r < gp - 1:
+                        seg = jnp.concatenate(
+                            [seg, jnp.zeros((1, (gp - 1 - r) * gsize),
+                                            dd)], 1)
+                    rows.append(seg)
+                Xg = jnp.concatenate(rows, 0)
+                f = wb.astype(jnp.float32)
+                hi_s = jnp.floor(f * 0.0625)
+                d1 = jnp.dot(Xg, f.astype(dd),
+                             preferred_element_type=jnp.float32)
+                d_hi = jnp.dot(Xg, hi_s.astype(dd),
+                               preferred_element_type=jnp.float32)
+                xsum_g = jnp.sum(Xg.astype(jnp.float32), -1,
+                                 keepdims=True)       # [gp, 1]
+                d_lo = d1 - 16.0 * d_hi - 8.0 * xsum_g
+                g0 = c0 // gsize
+                s_blk = s_all[g0:g0 + gp]             # [gp, 2·bn]
+                acc_lo1 += jnp.sum(d_lo * s_blk[:, :bn], 0, keepdims=True)
+                acc_hi1 += jnp.sum(d_hi * s_blk[:, bn:], 0, keepdims=True)
+                if asym:
+                    z_blk = z_all[g0:g0 + gp]
+                    acc_lo1 += jnp.sum(xsum_g * z_blk[:, :bn], 0,
+                                       keepdims=True)
+                    acc_hi1 += jnp.sum(xsum_g * z_blk[:, bn:], 0,
+                                       keepdims=True)
+            o_ref[:] = jnp.concatenate([acc_lo1, acc_hi1],
+                                       axis=1).astype(o_ref.dtype)
+            return
         xsum_all = jnp.zeros((M, 1), jnp.float32)
         for c0 in range(0, Kp, ch):
             wb = w[c0:c0 + ch]

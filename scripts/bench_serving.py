@@ -237,7 +237,8 @@ def main():
         "metric": "serving_tok_s", "value": round(tok_s, 1),
         "unit": "tok/s",
         "config": {"model": cfg.name, "quant": args.quant, "kv": args.kv,
-                   "slots": args.slots, "paged": args.paged,
+                   "slots": args.slots, "paged": paged_mode,
+                   "prefix_cache": args.prefix_cache,
                    "speculative": args.speculative,
                    "requests": args.requests, "rate": args.rate,
                    "prompt_len": P, "max_new": args.max_new},

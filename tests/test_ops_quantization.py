@@ -303,6 +303,25 @@ class TestNPairPacking:
         assert out.shape == (M, N)
         assert rel_err(out, golden) < 2e-2
 
+    @pytest.mark.parametrize("gs,asym", [(128, False), (128, True),
+                                         (64, False)])
+    def test_groupdot_gemv_matches_plain(self, gs, asym, monkeypatch):
+        """LLMI_NPAIR_GROUPDOT=1 (M-stacked per-group dots) must be exact
+        vs the chunked path at M=1 — same dots, same f32 accumulation,
+        scales applied post-dot per group. (The M=4 test above never
+        engages it: the stacking uses the M dimension.)"""
+        rng = np.random.default_rng(31)
+        K, N = 512, 512
+        x = rng.standard_normal((1, K)).astype(np.float32) * 0.1
+        w = (rng.standard_normal((K, N)) * 0.1 + 0.03).astype(np.float32)
+        qt = Q.to_blocked_npair(
+            Q.quantize(jnp.asarray(w), bits=4, group_size=gs,
+                       asymmetric=asym), 256)
+        golden = np.asarray(QM.quant_matmul(jnp.asarray(x), qt))
+        monkeypatch.setenv("LLMI_NPAIR_GROUPDOT", "1")
+        out = np.asarray(QM.quant_matmul(jnp.asarray(x), qt))
+        np.testing.assert_allclose(out, golden, atol=1e-4, rtol=1e-4)
+
     def test_pallas_kernel_stacked_layers(self):
         rng = np.random.default_rng(23)
         L, M, K, N = 3, 4, 256, 512
