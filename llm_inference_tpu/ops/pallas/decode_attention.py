@@ -106,6 +106,29 @@ def _kv4_floor_unpack():
     return os.environ.get("LLMI_KV4_UNPACK", "floor") == "floor"
 
 
+def _strip_heads(hb: int, G: int) -> int:
+    """Heads per score-tile strip (see the strip comment in _kernel).
+
+    Default: hb (whole-block, single strip) — the round-5 chip A/B at
+    bs=16/32 measured strips marginally SLOWER (7.56 vs 7.50 ms/step
+    bs=16; 10.12 vs 10.04 bs=32, interleaved runs): the dead block-
+    diagonal VPU work is NOT the binding constraint — the kernel is
+    DMA-bound streaming sb-granular slot blocks (~60 % live at serving
+    prompt lengths), and the strip restructure only added dot overhead.
+    Kept as an opt-in (LLMI_ATTN_STRIPS=N, N | hb) with parity tests —
+    the third clean null result of the round's kernel campaign (after
+    the layer megakernel tie and the group-stacked GEMV tie), all three
+    saying the same thing: v5e hides launch/issue costs, and only
+    byte-count or VPU-op-count reductions move these kernels."""
+    env = _os.environ.get("LLMI_ATTN_STRIPS")
+    if env is not None:
+        n = int(env)
+        if n <= 0 or n >= hb or hb % n:
+            return hb
+        return n
+    return hb
+
+
 def _pick_blocks(Hkv: int, S: int, D: int, itemsize: int):
     """(hb, sb): one k block [hb, sb, D] ≈ _KV_BYTES_PER_STEP.
 
@@ -213,39 +236,60 @@ def _kernel(pos_ref, layer_ref, win_ref, q_ref, k_ref, v_ref, ks_ref,
                 eye, vs_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        def scale_strips(x, s_t):
-            # x[:, h·sb:(h+1)·sb] *= s_t[h] — broadcast one scale row over
-            # the strip's sublanes
-            return jnp.concatenate(
-                [x[:, h * sb:(h + 1) * sb] * s_t[h:h + 1, :]
-                 for h in range(hb)], axis=1)
-        # scores[(h',g), (h,s)] — contract D of both operands (NT form)
-        scores = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if quantized:
-            scores = scale_strips(scores, ks_t)
-        if softcap > 0.0:
-            scores = jnp.tanh(scores / softcap) * softcap
-        row = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (HG, HS), 1)
-        slot = j * sb + col % sb
-        ok = ((col // sb) == (row // G)) & (slot <= pos)
-        ok &= (win <= 0) | (slot > pos - win)
-        scores = jnp.where(ok, scores, NEG_INF)
+        # STRIP processing (round 5): the full [hb·G, hb·sb] score tile
+        # is block-DIAGONAL — only 1/hb of it is live, but the mask iota,
+        # exp, max/sum and the two dots all paid for the dead (hb−1)/hb.
+        # With the quantized hb=Hkv pin (Mosaic scale-block rule) that was
+        # 31/32 dead work at MHA-32 and measured ~500 GB/s attention at
+        # bs≥8. Processing hs heads per dot shrinks the tile to
+        # [hs·G, hs·sb] (dead fraction (hs−1)/hs) at the cost of hb/hs
+        # smaller MXU dots — which cost nothing extra (the group-stacked
+        # GEMV A/B showed small-dot count is not a constraint).
+        # LLMI_ATTN_STRIPS=0 reverts to whole-block; =N forces N.
+        hs = _strip_heads(hb, G)
+        for h0 in range(0, hb, hs):
+            r0, r1 = h0 * G, (h0 + hs) * G
+            s0, s1 = h0 * sb, (h0 + hs) * sb
+            qs = q[r0:r1]                         # [hs·G, D]
+            ks = kb[s0:s1]                        # [hs·sb, D]
+            vs_b = vb[s0:s1]
+            scores = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if quantized:
+                scores = jnp.concatenate(
+                    [scores[:, (h - h0) * sb:(h - h0 + 1) * sb]
+                     * ks_t[h:h + 1, :] for h in range(h0, h0 + hs)],
+                    axis=1)
+            if softcap > 0.0:
+                scores = jnp.tanh(scores / softcap) * softcap
+            row = jax.lax.broadcasted_iota(jnp.int32,
+                                           (hs * G, hs * sb), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32,
+                                           (hs * G, hs * sb), 1)
+            slot = j * sb + col % sb
+            ok = ((col // sb) == (row // G)) & (slot <= pos)
+            ok &= (win <= 0) | (slot > pos - win)
+            scores = jnp.where(ok, scores, NEG_INF)
 
-        m_prev = m_ref[:]                                     # [HG, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)                           # [HG, HS] f32
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = m_new
-        if quantized:
-            p = scale_strips(p, vs_t)
-        # cross-head entries of p are exp(-inf) = 0, so the plain [HG, HS]
-        # × [HS, D] dot sums each output head only over its own page
-        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-            p.astype(jnp.bfloat16), vb, preferred_element_type=jnp.float32)
+            m_prev = m_ref[r0:r1]                             # [hs·G, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)           # [hs·G, hs·sb] f32
+            l_ref[r0:r1] = l_ref[r0:r1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True)
+            m_ref[r0:r1] = m_new
+            if quantized:
+                p = jnp.concatenate(
+                    [p[:, (h - h0) * sb:(h - h0 + 1) * sb]
+                     * vs_t[h:h + 1, :] for h in range(h0, h0 + hs)],
+                    axis=1)
+            # cross-head entries of p are exp(-inf) = 0, so the strip
+            # dot sums each output head only over its own pages
+            acc_ref[r0:r1] = acc_ref[r0:r1] * alpha + jnp.dot(
+                p.astype(jnp.bfloat16), vs_b,
+                preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():

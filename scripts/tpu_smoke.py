@@ -418,6 +418,13 @@ def main():
     lpos = jnp.arange(4, dtype=jnp.int32)[None]
 
     def lrun(mega):
+        # FIXED decode token sequence (not greedy feedback): with dummy
+        # weights the logits have near-ties, and the mega/split paths'
+        # legitimate last-bit rounding differences fork the streams —
+        # the same flake tests/test_layer_fused.py de-flaked in round 4
+        # (this section forked at step 1 with a 0.0195 logit diff and
+        # read as rel=0.82 until round 5 caught it)
+        fixed = (9, 17, 23)
         os.environ["LLMI_LAYER_MEGA"] = "1" if mega else "0"
         try:
             c = _kv.init_cache(lcfg.num_layers, 1, lcfg.num_kv_heads, 256,
@@ -425,13 +432,12 @@ def main():
             lg, c = jax.jit(lambda pp, cc: _llama.forward(
                 lcfg, pp, lids, lpos, cc))(lq, c)
             outs = [lg.astype(jnp.float32)]
-            tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
             dec = jax.jit(lambda pp, tt, qq, cc: _llama.forward(
                 lcfg, pp, tt, qq, cc))
             for t in range(3):
+                tok = jnp.full((1, 1), fixed[t], jnp.int32)
                 lg, c = dec(lq, tok, jnp.full((1, 1), 4 + t, jnp.int32), c)
                 outs.append(lg.astype(jnp.float32))
-                tok = jnp.argmax(lg, -1).astype(jnp.int32)[:, None]
             return jnp.concatenate(outs), c
         finally:
             os.environ.pop("LLMI_LAYER_MEGA", None)

@@ -41,6 +41,23 @@ class TestDecodeAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=4e-3, rtol=2e-2)
 
+    @pytest.mark.parametrize("strips", [1, 2])
+    def test_strip_mode_matches_golden(self, strips, monkeypatch):
+        """Opt-in strip processing (LLMI_ATTN_STRIPS=N; a round-5 null
+        result kept behind the flag) must stay exact vs the whole-block
+        kernel."""
+        monkeypatch.setenv("LLMI_ATTN_STRIPS", str(strips))
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        B, Hq, Hkv, S, D = 2, 8, 4, 256, 128
+        q = jax.random.normal(ks[0], (B, 1, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+        pos = jnp.asarray([100, 37], jnp.int32)
+        ref = attention.decode_attend(q, k, v, pos[:, None])
+        out = DA.decode_attention(q, k[None], v[None], 0, pos)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=4e-3, rtol=2e-2)
+
     def test_respects_position_mask(self):
         """Entries beyond `pos` must not contribute."""
         B, Hq, S, D = 1, 4, 128, 64
