@@ -173,7 +173,26 @@ def apply_rope_gathered(
     layer scan and select the tiny gathered values inside it — selecting
     whole [max_pos, head_dim] tables in the scan body materializes an
     HBM copy of both tables every layer every step."""
+    # Split form (round 5): the rotate_half formulation materialized the
+    # negated f32 halves to HBM as their own fusion at prefill lengths
+    # (T=4096 profile: 19.4 ms/fwd of slice_negate fusions) — expanding
+    # per half keeps everything inside one producer-consumer chain with a
+    # single concat at the end. Same math bit-for-bit: the tables store
+    # each frequency duplicated across both halves, so cos1 == cos2 and
+    # sin1 == sin2 elementwise, and (x1·c − x2·s, x2·c + x1·s) is exactly
+    # x·cos + rotate_half(x)·sin. LLMI_ROPE_SPLIT=0 re-runs the A/B.
+    import os
+    half = x.shape[-1] // 2
     x32 = x.astype(jnp.float32)
-    out = (x32 * cos[:, :, None, :]
-           + _rotate_half(x32) * sin[:, :, None, :])
+    if os.environ.get("LLMI_ROPE_SPLIT") == "0":
+        out = (x32 * cos[:, :, None, :]
+               + _rotate_half(x32) * sin[:, :, None, :])
+        return out.astype(x.dtype)
+    c1 = cos[:, :, None, :half]
+    c2 = cos[:, :, None, half:]
+    s1 = sin[:, :, None, :half]
+    s2 = sin[:, :, None, half:]
+    x1 = x32[..., :half]
+    x2 = x32[..., half:]
+    out = jnp.concatenate([x1 * c1 - x2 * s1, x2 * c2 + x1 * s2], -1)
     return out.astype(x.dtype)

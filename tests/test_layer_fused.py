@@ -47,7 +47,7 @@ def _npair_params(cfg, seed=0, gs=64, bits="int4"):
     return q
 
 
-def _run_decode(cfg, params, cache, steps=3, mega=True):
+def _run_decode(cfg, params, cache, steps=2, mega=True):
     # decode a FIXED token sequence (not greedy feedback): with random
     # dummy weights the top-2 logits routinely tie at bf16 precision, and
     # a tie broken differently between the two numerically-inequal paths
@@ -79,8 +79,11 @@ def test_megakernel_matches_split_path(kv_heads, bits, kv, gs):
     params = _npair_params(cfg, bits=bits, gs=gs)
 
     def fresh():
+        # S=128 (one sb block) keeps interpret-mode wall time down —
+        # multi-block streaming is covered by
+        # test_megakernel_multi_position_history
         return kvcache.init_cache(cfg.num_layers, 1, cfg.num_kv_heads,
-                                  256, cfg.head_dim,
+                                  128, cfg.head_dim,
                                   "int8" if kv == "int8" else jnp.bfloat16)
 
     ref, cache_ref = _run_decode(cfg, params, fresh(), mega=False)
@@ -120,7 +123,7 @@ def test_megakernel_multi_position_history():
             cache = fresh()
             logits, cache = llama.forward(cfg, params, ids, pos, cache)
             outs = []
-            for t in range(130, 134):          # fake deep positions
+            for t in range(130, 132):          # fake deep positions
                 tok = jnp.full((1, 1), t % 19 + 2, jnp.int32)  # fixed seq
                 p = jnp.full((1, 1), t, jnp.int32)
                 logits, cache = llama.forward(cfg, params, tok, p, cache)

@@ -227,9 +227,9 @@ class TestInterleavedPrefill:
         from llm_inference_tpu.engine.scheduler import PagedScheduler
         import numpy as np
         rng = np.random.default_rng(3)
-        long_prompt = list(rng.integers(2, 200, 40))   # 5 prefill chunks
+        long_prompt = list(rng.integers(2, 200, 24))   # 3 prefill chunks
         short = [5, 6, 7]
-        gen = GenerationConfig(greedy=True, max_new_tokens=10,
+        gen = GenerationConfig(greedy=True, max_new_tokens=8,
                                eos_token_ids=())
 
         def run(interleave):
@@ -248,7 +248,7 @@ class TestInterleavedPrefill:
         a_int, b_int = run(True)
         assert a_int == a_ser       # seeded stream unchanged by schedule
         assert b_int == b_ser       # admitted prompt's KV uncorrupted
-        assert len(b_int) == 10
+        assert len(b_int) == 8
 
 
 class TestPoolCapacityGuard:
