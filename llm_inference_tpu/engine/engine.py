@@ -64,6 +64,20 @@ class InferenceEngine:
         self.mesh = mesh
         self.cache_dtype = cache_dtype
         self.metrics = metrics.Metrics()
+        if self.engine_cfg.max_seq_len % 128 and (
+                self.engine_cfg.max_seq_len >= 512):
+            # (tiny test configs below 512 use the jnp fallback anyway)
+            # the flash/decode kernels require the cache extent to be a
+            # lane multiple; a non-128-multiple silently falls back to the
+            # score-materializing XLA path (measured 507 → 940 ms for a
+            # T=4096 prefill when the cache was 4160) — warn loudly
+            import warnings
+            warnings.warn(
+                f"max_seq_len={self.engine_cfg.max_seq_len} is not a "
+                f"multiple of 128: prefill/decode fall off the Pallas "
+                f"kernels to the materializing XLA path (~2x slower at "
+                f"long contexts). Round up to "
+                f"{-(-self.engine_cfg.max_seq_len // 128) * 128}.")
 
         kv_quantized = cache_dtype in (jnp.int8, "int8", "int4")
         self._kv_quantized = kv_quantized

@@ -278,8 +278,11 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
     def _dispatch_decode(self, steps: int) -> None:
         import time as _time
         live = [b for b, r in enumerate(self.slot_req) if r is not None]
-        pos_np = np.array(self.pos)
-        tok_np = np.array(self.token)
+        # one blocking fetch, not two: each np.array pays a transport
+        # round trip (~24 ms through the bench relay)
+        self.phase_n["syncs"] += 1
+        tok_np, pos_np = (np.asarray(a) for a in
+                          jax.device_get((self.token, self.pos)))
         W = self.gamma + 1
         if any(int(pos_np[b]) + W > self.S for b in live):
             # too close to the cache end for a speculative window (a
@@ -296,7 +299,8 @@ class SpeculativeBatchingScheduler(ContinuousBatchingScheduler):
         g, glp, self.cache = self._verify_batched(
             self.engine.params, jnp.asarray(ids), jnp.asarray(posm),
             self.cache)
-        g, glp = np.asarray(g), np.asarray(glp)
+        self.phase_n["syncs"] += 1
+        g, glp = (np.asarray(a) for a in jax.device_get((g, glp)))
         self.spec_stats["steps"] += 1
         now = _time.perf_counter()
         new_tok, new_pos = tok_np.copy(), pos_np.copy()
