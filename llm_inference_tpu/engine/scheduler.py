@@ -551,7 +551,10 @@ class ContinuousBatchingScheduler:
         `_finish_admissions`. Returns the sampled token's device array
         (the backend inserts it into the batch state)."""
         first, first_lp, ftv, fti = self._sample_first(logits, req)
-        req.first_token_t = time.perf_counter()
+        # first_token_t is stamped at FETCH time (_finish_admissions) —
+        # that is when the client-visible stream callback fires; stamping
+        # here (dispatch) under-reported TTFT by up to a chunk once the
+        # fetch was deferred into the harvest's device_get
         self._set_slot_sampling(slot, req, first)
         self._admit_pend.append((slot, req, first, first_lp, ftv, fti))
         return first
@@ -572,8 +575,10 @@ class ContinuousBatchingScheduler:
         if fetched is None:
             self.phase_n["syncs"] += 1
             fetched = jax.device_get([(p[2], p[3]) for p in pend])
+        now = time.perf_counter()
         for (slot, req, _first, _flp, ftv, fti), (tok_np, lp_np) in zip(
                 pend, fetched):
+            req.first_token_t = now      # client-visible: token fetched
             tok = int(tok_np[0])
             stops = self._stops(req)
             req.output_ids.append(tok)
